@@ -1,0 +1,297 @@
+"""Pallas TPU flash-attention forward (prefill) kernel.
+
+TPU-native re-design of the reference CUDA forward kernel
+(/root/reference/csrc/flash_attn/src/flash_fwd_kernel.h:28-472):
+
+- CUTLASS CTA tiling            -> Pallas grid (b, h, q_blocks, kv_blocks) + BlockSpecs
+- cp.async double buffering     -> Pallas's automatic pipelined block fetches
+- online-softmax rescale        -> fp32 m/l/acc VMEM scratch carried across kv blocks
+- template static_switch zoo    -> Python-level trace specialization (causal/window/
+                                   alibi/softcap flags close over the kernel body)
+- reverse n-block iteration     -> forward iteration + [first_active, last_active]
+                                   block-range skip (equivalent work skipping)
+
+Semantics match the reference API (/root/reference/vllm_flash_attn/
+flash_attn_interface.py:1026-1116): bottom-right-aligned causal for sq != sk,
+inclusive sliding window (left, right), ALiBi bias -slope*|i + sk - sq - j|,
+MQA/GQA head broadcast, fp32 LSE output, fully-masked rows -> out 0 / lse +inf
+(flash_api.cpp:401-407).
+
+Internal layout is (b, h, s, d): the trailing (s, d) pair maps onto MXU tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vllm_flash_attn_tpu.config import use_interpret
+
+# -0.7 * float32 max: large enough to zero out after softmax, finite so that
+# exp(m - m) never hits inf - inf -> NaN on fully-masked rows.
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+MIN_LANES = 128
+
+
+def _stats_block(block_q: int) -> Tuple[int, int]:
+    return (block_q, MIN_LANES)
+
+
+def _fwd_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    alibi_ref,
+    o_ref,
+    lse_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    sm_scale: float,
+    causal: bool,
+    window: Tuple[int, int],
+    softcap: float,
+    block_q: int,
+    block_k: int,
+    seqlen_q: int,
+    seqlen_k: int,
+    has_alibi: bool,
+    return_lse: bool,
+):
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    offset = seqlen_k - seqlen_q  # bottom-right causal alignment
+    wl, wr = window
+    if causal:
+        wr = 0
+
+    # --- block-range skipping (replaces the CUDA reverse-iteration early-exit,
+    # flash_fwd_kernel.h:109-111) ---
+    min_row = qi * block_q
+    max_row = jnp.minimum(min_row + block_q, seqlen_q) - 1
+    if wr >= 0:
+        last_active = jnp.clip((max_row + offset + wr) // block_k, 0, nk - 1)
+    else:
+        last_active = nk - 1
+    if wl >= 0:
+        first_active = jnp.clip((min_row + offset - wl) // block_k, 0, last_active)
+    else:
+        first_active = 0
+
+    @pl.when(jnp.logical_and(ki >= first_active, ki <= last_active))
+    def _run():
+        @pl.when(ki == first_active)
+        def _init():
+            m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+            l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+            acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+        q = q_ref[0, 0]  # (block_q, d)
+        k = k_ref[0, 0]  # (block_k, d)
+        s = jax.lax.dot_general(
+            q,
+            k,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_q, block_k)
+        s *= sm_scale
+        if softcap > 0.0:
+            s = jnp.tanh(s / softcap) * softcap
+
+        row = (
+            jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            + min_row
+        )
+        col = (
+            jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            + ki * block_k
+        )
+
+        if has_alibi:
+            slope = alibi_ref[0, 0]
+            s = s - slope * jnp.abs(row + offset - col).astype(jnp.float32)
+
+        mask = col < seqlen_k  # guard kv remainder block
+        if wr >= 0:
+            mask &= col <= row + offset + wr
+        if wl >= 0:
+            mask &= col >= row + offset - wl
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[...]  # (block_q, 128)
+        l_prev = l_scr[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
+        m_next = jnp.maximum(m_prev, m_cur)  # broadcast to (block_q, 128)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        # Padded/masked columns contribute exp(MASK - m); with m >= MASK the
+        # contribution underflows to 0 except the degenerate all-masked row,
+        # where p == 1 on masked cols — force those to 0 via the mask.
+        p = jnp.where(mask, p, 0.0)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        v = v_ref[0, 0]  # (block_k, d)
+        pv = jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:, : acc_scr.shape[-1]] + pv
+
+        @pl.when(ki == last_active)
+        def _store():
+            l = l_scr[...][:, :1]
+            l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+            o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+            if return_lse:
+                m_fin = m_scr[...][:, :1]
+                lse = jnp.where(
+                    l == 0.0, jnp.inf, m_fin + jnp.log(l)
+                )  # fully-masked rows: +inf (flash_api.cpp:401-407)
+                lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+def _round_block(n: int, b: int) -> int:
+    return min(b, max(MIN_LANES, pl.cdiv(n, MIN_LANES) * MIN_LANES)) if n else b
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal",
+        "sm_scale",
+        "window",
+        "softcap",
+        "block_q",
+        "block_k",
+        "return_lse",
+        "interpret",
+    ),
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    alibi_slopes: Optional[jax.Array] = None,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    window: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    block_q: int = 128,
+    block_k: int = 128,
+    return_lse: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """Flash attention forward.
+
+    Args:
+        q: (batch, num_heads, seqlen_q, head_dim)
+        k, v: (batch, num_kv_heads, seqlen_k, head_dim); num_heads must be a
+            multiple of num_kv_heads (MQA/GQA broadcast,
+            flash_attn_interface.py:1046-1049).
+        alibi_slopes: optional (batch, num_heads) fp32.
+        causal: bottom-right-aligned causal mask.
+        window: inclusive (left, right) sliding window; -1 = unbounded.
+
+    Returns:
+        out (b, h, sq, d), and fp32 lse (b, h, sq) if return_lse.
+    """
+    b, h, sq, d = q.shape
+    _, h_k, sk, _ = k.shape
+    assert h % h_k == 0, f"num_heads {h} not divisible by num_kv_heads {h_k}"
+    q_per_kv = h // h_k
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    if interpret is None:
+        interpret = use_interpret()
+
+    block_q = _round_block(sq, block_q)
+    block_k = _round_block(sk, block_k)
+    nq = pl.cdiv(sq, block_q)
+    nk = pl.cdiv(sk, block_k)
+    grid = (b, h, nq, nk)
+
+    has_alibi = alibi_slopes is not None
+    if has_alibi:
+        alibi_slopes = jnp.broadcast_to(
+            jnp.asarray(alibi_slopes, jnp.float32).reshape(-1, h)[:1]
+            if alibi_slopes.ndim == 1
+            else alibi_slopes.astype(jnp.float32),
+            (b, h),
+        )
+    else:
+        alibi_slopes = jnp.zeros((1, 1), jnp.float32)
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        sm_scale=float(sm_scale),
+        causal=causal,
+        window=tuple(int(w) for w in window),
+        softcap=float(softcap),
+        block_q=block_q,
+        block_k=block_k,
+        seqlen_q=sq,
+        seqlen_k=sk,
+        has_alibi=has_alibi,
+        return_lse=return_lse,
+    )
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
+        pl.BlockSpec(
+            (1, 1, block_k, d),
+            lambda b_, h_, qi, ki, qpk=q_per_kv: (b_, h_ // qpk, ki, 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, block_k, d),
+            lambda b_, h_, qi, ki, qpk=q_per_kv: (b_, h_ // qpk, ki, 0),
+        ),
+        pl.BlockSpec(
+            (1, 1),
+            (lambda b_, h_, qi, ki: (b_, h_))
+            if has_alibi
+            else (lambda b_, h_, qi, ki: (0, 0)),
+            memory_space=pltpu.SMEM,
+        ),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((b, h, sq, d), q.dtype)]
+    out_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0))
+    ]
+    # LSE layout (b, h, sq) fp32, matching softmax_lse (flash_api.cpp:418).
+    out_shape.append(jax.ShapeDtypeStruct((b, h, sq), jnp.float32))
+    out_specs.append(
+        pl.BlockSpec((1, 1, block_q), lambda b_, h_, qi, ki: (b_, h_, qi))
+    )
+
+    scratch_shapes = [
+        pltpu.VMEM(_stats_block(block_q), jnp.float32),
+        pltpu.VMEM(_stats_block(block_q), jnp.float32),
+        pltpu.VMEM((block_q, d), jnp.float32),
+    ]
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, alibi_slopes)
+    if return_lse:
+        return out, lse
+    return out
