@@ -1,0 +1,128 @@
+"""Prefill kernel vs oracle, mirroring the reference parametrization
+(/root/reference/tests/test_flash_attn.py:545-563, test_flash_attn_output:880).
+
+Pallas runs in interpreter mode on CPU (config.use_interpret), which doubles as
+the race/oob sanitizer path (SURVEY.md §5.2).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from harness import check_close
+from vllm_flash_attn_tpu.core.reference import attention_ref
+from vllm_flash_attn_tpu.kernels.flash_prefill import flash_attention
+
+
+def run_case(
+    sq,
+    sk,
+    h=4,
+    h_k=4,
+    d=64,
+    causal=False,
+    window=(-1, -1),
+    alibi=False,
+    dtype=jnp.bfloat16,
+    softcap=0.0,
+    batch=2,
+    mult=2.0,
+):
+    rng = np.random.default_rng(sq * 7919 + sk)
+    q = jnp.asarray(rng.standard_normal((batch, sq, h, d)), dtype)
+    k = jnp.asarray(rng.standard_normal((batch, sk, h_k, d)), dtype)
+    v = jnp.asarray(rng.standard_normal((batch, sk, h_k, d)), dtype)
+    slopes = (
+        jnp.asarray(rng.random((batch, h)) * 0.3, jnp.float32) if alibi else None
+    )
+
+    out_ref, _ = attention_ref(
+        q, k, v, causal=causal, window_size=window, alibi_slopes=slopes,
+        softcap=softcap, upcast=True,
+    )
+    out_pt, _ = attention_ref(
+        q, k, v, causal=causal, window_size=window, alibi_slopes=slopes,
+        softcap=softcap, upcast=False, reorder_ops=True,
+    )
+    # kernel layout (b, h, s, d)
+    out = flash_attention(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        slopes,
+        causal=causal,
+        window=window,
+        softcap=softcap,
+    ).transpose(0, 2, 1, 3)
+    check_close(out, out_ref, out_pt, mult=mult)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize(
+    "sq,sk",
+    [(128, 128), (256, 256), (128, 256), (256, 128), (239, 113), (113, 203)],
+)
+def test_basic(sq, sk, causal):
+    run_case(sq, sk, causal=causal)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("h,h_k", [(8, 2), (8, 1)])
+def test_gqa_mqa(h, h_k, causal):
+    run_case(192, 192, h=h, h_k=h_k, causal=causal)
+
+
+@pytest.mark.parametrize("d", [32, 64, 96, 128, 160, 256])
+def test_head_dims(d):
+    run_case(128, 128, d=d, causal=True)
+
+
+@pytest.mark.parametrize(
+    "window", [(16, 0), (32, 32), (0, 16), (64, -1), (-1, 64)]
+)
+@pytest.mark.parametrize("sq,sk", [(200, 200), (128, 256)])
+def test_sliding_window(window, sq, sk):
+    run_case(sq, sk, window=window)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_alibi(causal):
+    run_case(160, 160, alibi=True, causal=causal, mult=2.5)
+
+
+def test_softcap():
+    run_case(128, 128, softcap=30.0, causal=True)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_dtypes(dtype):
+    run_case(128, 128, dtype=dtype, causal=True)
+
+
+def test_lse():
+    rng = np.random.default_rng(0)
+    b, s, h, d = 1, 128, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    out, lse = flash_attention(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        return_lse=True,
+    )
+    scores = jnp.einsum("bthd,bshd->bhts", q, k) / np.sqrt(d)
+    lse_ref = jax_logsumexp(scores)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref), rtol=1e-4, atol=1e-4)
+
+
+def jax_logsumexp(scores):
+    import jax
+
+    return jax.scipy.special.logsumexp(scores, axis=-1)
+
+
+def test_causal_equals_window():
+    # causal == window (-1, 0) on asymmetric lengths (bottom-right alignment)
+    run_case(96, 160, causal=True)
+    run_case(96, 160, window=(-1, 0))

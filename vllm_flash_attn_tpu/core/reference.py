@@ -99,6 +99,20 @@ def attention_ref(
     """
     if causal:
         window_size = (window_size[0], 0)
+    # Normalize one-sided windows the way the reference host layer does
+    # (/root/reference/csrc/flash_attn/flash_api.cpp:123-124,289-290): a negative
+    # bound paired with a non-negative one means "unbounded on that side".
+    _sk = k.shape[1]
+    wl, wr = window_size
+    if wl >= _sk:
+        wl = -1
+    if wr >= _sk:
+        wr = -1
+    if wl < 0 and wr >= 0:
+        wl = _sk
+    elif wl >= 0 and wr < 0:
+        wr = _sk
+    window_size = (wl, wr)
     dtype_og = q.dtype
     if upcast:
         q, k, v = q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)

@@ -142,10 +142,18 @@ def _fwd_kernel(
         l_scr[...] = l_next
 
         v = v_ref[0, 0]  # (block_k, d)
+        if seqlen_k % block_k != 0:
+            # Out-of-bounds rows of the kv remainder block are undefined; a NaN
+            # there would poison P@V even though the matching P entry is 0.
+            valid = (
+                jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) + ki * block_k
+                < seqlen_k
+            )
+            v = jnp.where(valid, v, 0)
         pv = jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
-        acc_scr[...] = acc_scr[...] * alpha[:, : acc_scr.shape[-1]] + pv
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
         @pl.when(ki == last_active)
         def _store():
@@ -268,11 +276,18 @@ def flash_attention(
     out_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0))
     ]
-    # LSE layout (b, h, sq) fp32, matching softmax_lse (flash_api.cpp:418).
-    out_shape.append(jax.ShapeDtypeStruct((b, h, sq), jnp.float32))
-    out_specs.append(
-        pl.BlockSpec((1, 1, block_q), lambda b_, h_, qi, ki: (b_, h_, qi))
-    )
+    if return_lse:
+        # LSE written with a trailing 128-lane axis (TPU tiling requires the last
+        # two block dims aligned); the wrapper slices lane 0 to give the
+        # (b, h, sq) fp32 softmax_lse convention of flash_api.cpp:418.
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, h, sq, MIN_LANES), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, block_q, MIN_LANES), lambda b_, h_, qi, ki: (b_, h_, qi, 0)
+            )
+        )
 
     scratch_shapes = [
         pltpu.VMEM(_stats_block(block_q), jnp.float32),
@@ -280,7 +295,13 @@ def flash_attention(
         pltpu.VMEM((block_q, d), jnp.float32),
     ]
 
-    out, lse = pl.pallas_call(
+    if not return_lse:
+        body = kernel
+
+        def kernel(q_r, k_r, v_r, a_r, o_r, m_s, l_s, acc_s):  # noqa: F811
+            body(q_r, k_r, v_r, a_r, o_r, None, m_s, l_s, acc_s)
+
+    results = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -293,5 +314,6 @@ def flash_attention(
         interpret=interpret,
     )(q, k, v, alibi_slopes)
     if return_lse:
-        return out, lse
-    return out
+        out, lse = results
+        return out, lse[..., 0]
+    return results[0]
