@@ -1,0 +1,113 @@
+"""Varlen kernel vs per-sequence oracle, mirroring
+test_flash_attn_varlen_output (/root/reference/tests/test_flash_attn.py:1137).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from harness import check_close
+from vllm_flash_attn_tpu.core.reference import attention_ref
+from vllm_flash_attn_tpu.kernels.flash_varlen import flash_attention_varlen
+from vllm_flash_attn_tpu.utils import generate_cu_seqlens
+
+
+def make_packed(rng, seqlens_q, seqlens_k, h, h_k, d, dtype, pad_to=None):
+    total_q, total_k = sum(seqlens_q), sum(seqlens_k)
+    if pad_to:
+        total_q = -(-total_q // pad_to) * pad_to
+        total_k = -(-total_k // pad_to) * pad_to
+    q = jnp.asarray(rng.standard_normal((h, total_q, d)), dtype)
+    k = jnp.asarray(rng.standard_normal((h_k, total_k, d)), dtype)
+    v = jnp.asarray(rng.standard_normal((h_k, total_k, d)), dtype)
+    return q, k, v
+
+
+def run_varlen_case(
+    seqlens_q,
+    seqlens_k,
+    h=4,
+    h_k=4,
+    d=64,
+    causal=False,
+    window=(-1, -1),
+    alibi=False,
+    seqused_k=None,
+    dtype=jnp.bfloat16,
+    mult=2.0,
+):
+    rng = np.random.default_rng(sum(seqlens_q) + 31 * sum(seqlens_k))
+    q, k, v = make_packed(rng, seqlens_q, seqlens_k, h, h_k, d, dtype)
+    cu_q = generate_cu_seqlens(seqlens_q)
+    cu_k = generate_cu_seqlens(seqlens_k)
+    slopes = jnp.asarray(rng.random((h,)) * 0.3, jnp.float32) if alibi else None
+
+    out = flash_attention_varlen(
+        q, k, v, cu_q, cu_k,
+        seqused_k=None if seqused_k is None else jnp.asarray(seqused_k, jnp.int32),
+        alibi_slopes=slopes,
+        causal=causal,
+        window=window,
+    )
+
+    # oracle: per-sequence dense attention
+    for i, (sq, sk) in enumerate(zip(seqlens_q, seqlens_k)):
+        sk_used = sk if seqused_k is None else min(sk, seqused_k[i])
+        q_i = q[:, int(cu_q[i]) : int(cu_q[i]) + sq].transpose(1, 0, 2)[None]
+        k_i = k[:, int(cu_k[i]) : int(cu_k[i]) + sk_used].transpose(1, 0, 2)[None]
+        v_i = v[:, int(cu_k[i]) : int(cu_k[i]) + sk_used].transpose(1, 0, 2)[None]
+        sl = None if slopes is None else slopes[None]
+        out_ref, _ = attention_ref(
+            q_i, k_i, v_i, causal=causal, window_size=window, alibi_slopes=sl,
+            upcast=True,
+        )
+        out_pt, _ = attention_ref(
+            q_i, k_i, v_i, causal=causal, window_size=window, alibi_slopes=sl,
+            upcast=False, reorder_ops=True,
+        )
+        got = out[:, int(cu_q[i]) : int(cu_q[i]) + sq].transpose(1, 0, 2)[None]
+        check_close(got, out_ref, out_pt, mult=mult, what=f"seq{i}")
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_mixed_lengths(causal):
+    run_varlen_case([37, 128, 1, 200], [37, 128, 1, 200], causal=causal)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_cross_lengths(causal):
+    # sq != sk per sequence (bottom-right alignment inside each sequence)
+    run_varlen_case([17, 64, 90], [130, 64, 13], causal=causal)
+
+
+def test_gqa():
+    run_varlen_case([100, 156], [100, 156], h=8, h_k=2, causal=True)
+
+
+def test_window():
+    run_varlen_case([200, 56], [200, 56], window=(20, 10))
+
+
+def test_alibi():
+    run_varlen_case([64, 100], [64, 100], alibi=True, causal=True, mult=2.5)
+
+
+def test_seqused_k():
+    run_varlen_case([64, 64], [128, 128], seqused_k=[100, 30], causal=True)
+
+
+def test_single_token_decode_shape():
+    # decode-like: all q lengths 1 (the GQA-swap shape, flash_api.cpp:501-508)
+    run_varlen_case([1, 1, 1], [90, 130, 7], h=8, h_k=2, causal=True)
+
+
+def test_empty_key_sequence():
+    # zero-length k: out rows must be 0 (flash_api.cpp:401-407)
+    seqlens_q, seqlens_k = [4, 8], [0, 16]
+    rng = np.random.default_rng(0)
+    q, k, v = make_packed(rng, seqlens_q, seqlens_k, 2, 2, 32, jnp.float32)
+    out = flash_attention_varlen(
+        q, k, v, generate_cu_seqlens(seqlens_q), generate_cu_seqlens(seqlens_k),
+        causal=True,
+    )
+    assert np.all(np.asarray(out)[:, :4] == 0.0)

@@ -1,0 +1,367 @@
+"""Pallas TPU varlen (packed ragged batch) flash-attention forward.
+
+TPU-native re-design of `mha_varlen_fwd`
+(/root/reference/csrc/flash_attn/flash_api.cpp:422-668). The CUDA kernel walks
+`cu_seqlens` per CTA through `BlockInfo` (src/block_info.h:11-46); XLA wants
+static shapes, so here the ragged batch is expressed as *per-token metadata
+arrays* (segment id + aligned position), a form the VPU consumes directly:
+
+- mask  = (q_seg == k_seg) & window(q_pos_aligned, k_pos)
+- causal bottom-right alignment per sequence is folded into q_pos_aligned =
+  pos_in_seq + (len_k_i - len_q_i)  (flash_attn_interface.py:1051-1061)
+- `seqused_k` (flash_api.cpp:534-540) folds into k validity + len_k_i.
+
+Work skipping: per-q-block [first,last] active kv-block bounds are precomputed
+with cheap XLA ops and read from SMEM, replacing the CUDA reverse-iteration
+early-exit. This keeps complexity O(sum_i sq_i * sk_i) instead of O(total^2).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vllm_flash_attn_tpu.config import use_interpret
+from vllm_flash_attn_tpu.kernels.flash_prefill import DEFAULT_MASK_VALUE, MIN_LANES
+
+
+def build_varlen_metadata(
+    cu_seqlens_q: jax.Array,
+    cu_seqlens_k: jax.Array,
+    total_q: int,
+    total_k: int,
+    seqused_k: Optional[jax.Array] = None,
+):
+    """Per-token metadata for the varlen kernel (all jit-friendly).
+
+    Returns:
+        q_info (2, total_q) int32: [seg_id (-1 pad), pos_aligned]
+        k_info (2, total_k) int32: [seg_id (-2 pad), pos_in_seq]
+    """
+    cu_q = cu_seqlens_q.astype(jnp.int32)
+    cu_k = cu_seqlens_k.astype(jnp.int32)
+    len_q = cu_q[1:] - cu_q[:-1]
+    len_k = cu_k[1:] - cu_k[:-1]
+    if seqused_k is not None:
+        len_k = jnp.minimum(len_k, seqused_k.astype(jnp.int32))
+
+    qi = jnp.arange(total_q, dtype=jnp.int32)
+    q_seg = jnp.searchsorted(cu_q[1:], qi, side="right").astype(jnp.int32)
+    q_valid = qi < cu_q[-1]
+    q_pos = qi - cu_q[jnp.clip(q_seg, 0, len_q.shape[0] - 1)]
+    sgc = jnp.clip(q_seg, 0, len_q.shape[0] - 1)
+    q_pos_aligned = q_pos + len_k[sgc] - len_q[sgc]
+    q_info = jnp.stack(
+        [jnp.where(q_valid, q_seg, -1), jnp.where(q_valid, q_pos_aligned, 0)]
+    )
+
+    ki = jnp.arange(total_k, dtype=jnp.int32)
+    k_seg = jnp.searchsorted(cu_k[1:], ki, side="right").astype(jnp.int32)
+    kgc = jnp.clip(k_seg, 0, len_k.shape[0] - 1)
+    k_pos = ki - cu_k[kgc]
+    k_valid = (ki < cu_k[-1]) & (k_pos < len_k[kgc])
+    k_info = jnp.stack(
+        [jnp.where(k_valid, k_seg, -2), jnp.where(k_valid, k_pos, 0)]
+    )
+    return q_info, k_info
+
+
+def build_block_bounds(
+    q_info: jax.Array,
+    cu_seqlens_k: jax.Array,
+    seqused_k: Optional[jax.Array],
+    cu_sq: jax.Array,
+    window: Tuple[int, int],
+    causal: bool,
+    block_q: int,
+    block_k: int,
+    num_k_blocks: int,
+):
+    """(nq, 2) int32 [first_active_kv_block, last_active_kv_block] per q block."""
+    total_q = q_info.shape[1]
+    nq = pl.cdiv(total_q, block_q)
+    cu_k = cu_seqlens_k.astype(jnp.int32)
+    len_k = cu_k[1:] - cu_k[:-1]
+    if seqused_k is not None:
+        len_k = jnp.minimum(len_k, seqused_k.astype(jnp.int32))
+    wl, wr = window
+    if causal:
+        wr = 0
+
+    seg = jnp.clip(q_info[0], 0, len_k.shape[0] - 1)
+    pos_al = q_info[1]
+    base = cu_k[seg]
+    if wl >= 0:
+        start_tok = base + jnp.clip(pos_al - wl, 0, None)
+    else:
+        start_tok = base
+    if wr >= 0:
+        end_tok = base + jnp.clip(pos_al + wr, 0, jnp.maximum(len_k[seg] - 1, 0))
+    else:
+        end_tok = base + jnp.maximum(len_k[seg] - 1, 0)
+    # padding rows: neutral bounds
+    pad = q_info[0] < 0
+    start_tok = jnp.where(pad, jnp.iinfo(jnp.int32).max, start_tok)
+    end_tok = jnp.where(pad, 0, end_tok)
+
+    pad_to = nq * block_q
+    start_tok = jnp.pad(
+        start_tok, (0, pad_to - total_q), constant_values=jnp.iinfo(jnp.int32).max
+    ).reshape(nq, block_q)
+    end_tok = jnp.pad(end_tok, (0, pad_to - total_q)).reshape(nq, block_q)
+    first = jnp.min(start_tok, axis=1) // block_k
+    last = jnp.max(end_tok, axis=1) // block_k
+    first = jnp.clip(first, 0, num_k_blocks - 1)
+    last = jnp.clip(last, 0, num_k_blocks - 1)
+    first = jnp.minimum(first, last)
+    return jnp.stack([first, last], axis=1).astype(jnp.int32)
+
+
+def _varlen_kernel(
+    bounds_ref,  # SMEM (nq, 2)
+    q_ref,
+    k_ref,
+    v_ref,
+    q_info_ref,  # (2, block_q)
+    k_info_ref,  # (2, block_k)
+    alibi_ref,  # SMEM (1, h)
+    o_ref,
+    lse_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    sm_scale: float,
+    causal: bool,
+    window: Tuple[int, int],
+    softcap: float,
+    block_q: int,
+    block_k: int,
+    total_k: int,
+    has_alibi: bool,
+):
+    h_ = pl.program_id(0)
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+
+    wl, wr = window
+    if causal:
+        wr = 0
+
+    first = bounds_ref[qi, 0]
+    last = bounds_ref[qi, 1]
+
+    @pl.when(jnp.logical_and(ki >= first, ki <= last))
+    def _run():
+        @pl.when(ki == first)
+        def _init():
+            m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+            l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+            acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s *= sm_scale
+        if softcap > 0.0:
+            s = jnp.tanh(s / softcap) * softcap
+
+        q_seg = q_info_ref[0, :][:, None]  # (block_q, 1)
+        q_pos = q_info_ref[1, :][:, None]
+        k_seg = k_info_ref[0, :][None, :]  # (1, block_k)
+        k_pos = k_info_ref[1, :][None, :]
+
+        mask = q_seg == k_seg
+        if total_k % block_k != 0:
+            # k_info's remainder block tail is undefined memory; guard it.
+            mask &= (
+                jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+                + ki * block_k
+                < total_k
+            )
+        if wr >= 0:
+            mask &= k_pos <= q_pos + wr
+        if wl >= 0:
+            mask &= k_pos >= q_pos - wl
+
+        if has_alibi:
+            slope = alibi_ref[0, h_]
+            s = s - slope * jnp.abs(q_pos - k_pos).astype(jnp.float32)
+
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        p = jnp.where(mask, p, 0.0)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        v = v_ref[0]
+        if total_k % block_k != 0:
+            valid = (
+                jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) + ki * block_k
+                < total_k
+            )
+            v = jnp.where(valid, v, 0)
+        pv = jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+        @pl.when(ki == last)
+        def _store():
+            l = l_scr[...][:, :1]
+            l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+            o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+            if lse_ref is not None:
+                m_fin = m_scr[...][:, :1]
+                lse = jnp.where(l == 0.0, jnp.inf, m_fin + jnp.log(l))
+                lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal",
+        "sm_scale",
+        "window",
+        "softcap",
+        "block_q",
+        "block_k",
+        "return_lse",
+        "interpret",
+    ),
+)
+def flash_attention_varlen(
+    q: jax.Array,  # (h, total_q, d)
+    k: jax.Array,  # (h_k, total_k, d)
+    v: jax.Array,
+    cu_seqlens_q: jax.Array,  # (b+1,) int32
+    cu_seqlens_k: jax.Array,
+    seqused_k: Optional[jax.Array] = None,
+    alibi_slopes: Optional[jax.Array] = None,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    window: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    block_q: int = 128,
+    block_k: int = 128,
+    return_lse: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """Varlen flash attention over head-major packed tokens.
+
+    `alibi_slopes` must be (h,) here — varlen packs the batch, so per-batch
+    slopes are not supported (matches the packed call path of the reference).
+
+    Returns out (h, total_q, d) [, lse (h, total_q) fp32].
+    """
+    h, total_q, d = q.shape
+    h_k, total_k, _ = k.shape
+    assert h % h_k == 0
+    q_per_kv = h // h_k
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    if interpret is None:
+        interpret = use_interpret()
+
+    block_q = min(block_q, max(MIN_LANES, pl.cdiv(total_q, MIN_LANES) * MIN_LANES))
+    block_k = min(block_k, max(MIN_LANES, pl.cdiv(total_k, MIN_LANES) * MIN_LANES))
+    nq = pl.cdiv(total_q, block_q)
+    nk = pl.cdiv(total_k, block_k)
+
+    q_info, k_info = build_varlen_metadata(
+        cu_seqlens_q, cu_seqlens_k, total_q, total_k, seqused_k
+    )
+    bounds = build_block_bounds(
+        q_info,
+        cu_seqlens_k,
+        seqused_k,
+        cu_seqlens_q,
+        window,
+        causal,
+        block_q,
+        block_k,
+        nk,
+    )
+
+    has_alibi = alibi_slopes is not None
+    if has_alibi:
+        alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32).reshape(1, h)
+    else:
+        alibi_slopes = jnp.zeros((1, 1), jnp.float32)
+
+    kernel = functools.partial(
+        _varlen_kernel,
+        sm_scale=float(sm_scale),
+        causal=causal,
+        window=tuple(int(w) for w in window),
+        softcap=float(softcap),
+        block_q=block_q,
+        block_k=block_k,
+        total_k=total_k,
+        has_alibi=has_alibi,
+    )
+    if not return_lse:
+        body = kernel
+
+        def kernel(b_r, q_r, k_r, v_r, qi_r, ki_r, a_r, o_r, m_s, l_s, acc_s):  # noqa: F811
+            body(b_r, q_r, k_r, v_r, qi_r, ki_r, a_r, o_r, None, m_s, l_s, acc_s)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # bounds
+        pl.BlockSpec((1, block_q, d), lambda h_, qi, ki: (h_, qi, 0)),
+        pl.BlockSpec(
+            (1, block_k, d), lambda h_, qi, ki, qpk=q_per_kv: (h_ // qpk, ki, 0)
+        ),
+        pl.BlockSpec(
+            (1, block_k, d), lambda h_, qi, ki, qpk=q_per_kv: (h_ // qpk, ki, 0)
+        ),
+        pl.BlockSpec((2, block_q), lambda h_, qi, ki: (0, qi)),
+        pl.BlockSpec((2, block_k), lambda h_, qi, ki: (0, ki)),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # alibi (1, h)
+    ]
+    out_shape = [jax.ShapeDtypeStruct((h, total_q, d), q.dtype)]
+    out_specs = [pl.BlockSpec((1, block_q, d), lambda h_, qi, ki: (h_, qi, 0))]
+    if return_lse:
+        out_shape.append(
+            jax.ShapeDtypeStruct((h, total_q, MIN_LANES), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec((1, block_q, MIN_LANES), lambda h_, qi, ki: (h_, qi, 0))
+        )
+
+    results = pl.pallas_call(
+        kernel,
+        grid=(h, nq, nk),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(bounds, q, k, v, q_info, k_info, alibi_slopes)
+    if return_lse:
+        out, lse = results
+        return out, lse[..., 0]
+    return results[0]
