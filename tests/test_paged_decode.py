@@ -1,0 +1,164 @@
+"""Paged decode kernel + cache append vs oracle, mirroring
+test_flash_attn_kvcache (/root/reference/tests/test_flash_attn.py:1861) incl.
+shuffled over-allocated block tables (:2079-2094) and exact-cache-update checks
+(:2074-2075).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from harness import check_close
+from vllm_flash_attn_tpu.core.reference import attention_ref
+from vllm_flash_attn_tpu.kernels.kv_cache import append_kv_paged, gather_kv_paged
+from vllm_flash_attn_tpu.kernels.paged_decode import paged_attention
+
+
+def make_paged_cache(rng, b, lengths, h_k, d, page_size, dtype, overalloc=3):
+    """Shuffled pages with over-allocation, like _generate_block_kvcache."""
+    max_len = max(lengths)
+    pages_per_seq = -(-max_len // page_size) + 1
+    num_pages = b * pages_per_seq * overalloc
+    perm = rng.permutation(num_pages)[: b * pages_per_seq]
+    block_tables = perm.reshape(b, pages_per_seq).astype(np.int32)
+    k_pages = rng.standard_normal((h_k, num_pages, page_size, d)).astype(np.float32)
+    v_pages = rng.standard_normal((h_k, num_pages, page_size, d)).astype(np.float32)
+    return (
+        jnp.asarray(k_pages, dtype),
+        jnp.asarray(v_pages, dtype),
+        jnp.asarray(block_tables),
+    )
+
+
+def dense_view(pages, block_tables, lengths):
+    """(h, pages, ps, d) + table -> list of (len_i, h, d) dense per-seq arrays."""
+    h, _, ps, d = pages.shape
+    out = []
+    p = np.asarray(pages)
+    bt = np.asarray(block_tables)
+    for i, L in enumerate(lengths):
+        npg = -(-L // ps) if L else 1
+        gathered = p[:, bt[i, :npg]].reshape(h, npg * ps, d)[:, :L]
+        out.append(gathered.transpose(1, 0, 2))  # (L, h, d)
+    return out
+
+
+def run_decode_case(
+    lengths,
+    h=8,
+    h_k=2,
+    d=64,
+    page_size=16,
+    window=(-1, -1),
+    alibi=False,
+    dtype=jnp.float32,
+    mult=3.0,
+):
+    rng = np.random.default_rng(sum(lengths) * 13 + h * d)
+    b = len(lengths)
+    k_pages, v_pages, bt = make_paged_cache(rng, b, lengths, h_k, d, page_size, dtype)
+    q = jnp.asarray(rng.standard_normal((b, h, d)), dtype)
+    lens = jnp.asarray(lengths, jnp.int32)
+    slopes = jnp.asarray(rng.random((h,)) * 0.3, jnp.float32) if alibi else None
+
+    out = paged_attention(
+        q, k_pages, v_pages, lens, bt, slopes, window=window,
+        pages_per_compute_block=4,
+    )
+
+    ks = dense_view(k_pages, bt, lengths)
+    vs = dense_view(v_pages, bt, lengths)
+    for i, L in enumerate(lengths):
+        if L == 0:
+            assert np.all(np.asarray(out[i]) == 0.0)
+            continue
+        q_i = q[i][None, None]  # (1, 1, h, d)
+        k_i = jnp.asarray(ks[i])[None]
+        v_i = jnp.asarray(vs[i])[None]
+        sl = None if slopes is None else slopes[None]
+        out_ref, _ = attention_ref(
+            q_i, k_i, v_i, window_size=window, alibi_slopes=sl, causal=True,
+            upcast=True,
+        )
+        out_pt, _ = attention_ref(
+            q_i, k_i, v_i, window_size=window, alibi_slopes=sl, causal=True,
+            upcast=False, reorder_ops=True,
+        )
+        check_close(out[i], out_ref[0, 0], out_pt[0, 0], mult=mult, what=f"seq{i}")
+
+
+@pytest.mark.parametrize("page_size", [16, 64, 128])
+def test_page_sizes(page_size):
+    run_decode_case([100, 37, 256], page_size=page_size)
+
+
+def test_mqa():
+    run_decode_case([333, 5], h=8, h_k=1)
+
+
+def test_mha():
+    run_decode_case([64, 128], h=4, h_k=4)
+
+
+def test_window():
+    run_decode_case([200, 450], window=(64, 0))
+
+
+def test_alibi():
+    run_decode_case([90, 130], alibi=True, mult=5.0)
+
+
+def test_bf16():
+    run_decode_case([128, 512], dtype=jnp.bfloat16, mult=3.0)
+
+
+def test_empty_and_single():
+    run_decode_case([0, 1, 17])
+
+
+def test_long_context():
+    run_decode_case([3000], h=4, h_k=1, page_size=128)
+
+
+def test_append_exactness():
+    """V cache update must be exact (torch.equal analog, test_flash_attn.py:2074)."""
+    rng = np.random.default_rng(7)
+    b, h_k, d, ps = 2, 2, 32, 16
+    lengths = [10, 37]
+    k_pages, v_pages, bt = make_paged_cache(
+        rng, b, [64, 64], h_k, d, ps, jnp.float32
+    )
+    s_new = 5
+    k_new = jnp.asarray(rng.standard_normal((b, s_new, h_k, d)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((b, s_new, h_k, d)), jnp.float32)
+    lens = jnp.asarray(lengths, jnp.int32)
+    k2, v2 = append_kv_paged(k_pages, v_pages, k_new, v_new, lens, bt)
+
+    ks = dense_view(k2, bt, [L + s_new for L in lengths])
+    for i, L in enumerate(lengths):
+        got = ks[i][L : L + s_new]  # (s_new, h_k, d)
+        np.testing.assert_array_equal(
+            got, np.asarray(k_new[i]), err_msg=f"seq{i} K append not exact"
+        )
+    # untouched slots identical
+    k0 = np.asarray(k_pages)
+    k2n = np.asarray(k2)
+    touched = set()
+    for i, L in enumerate(lengths):
+        for t in range(L, L + s_new):
+            touched.add((int(np.asarray(bt)[i, t // ps]), t % ps))
+    for pg in range(k0.shape[1]):
+        for sl in range(ps):
+            if (pg, sl) not in touched:
+                np.testing.assert_array_equal(k0[:, pg, sl], k2n[:, pg, sl])
+
+
+def test_gather_kv_paged():
+    rng = np.random.default_rng(8)
+    lengths = [20, 50]
+    k_pages, v_pages, bt = make_paged_cache(rng, 2, lengths, 2, 16, 16, jnp.float32)
+    k, v = gather_kv_paged(k_pages, v_pages, bt, 50)
+    ks = dense_view(k_pages, bt, lengths)
+    np.testing.assert_array_equal(
+        np.asarray(k[1]).transpose(1, 0, 2)[:50], ks[1][:50]
+    )
