@@ -1,0 +1,392 @@
+"""Public functional attention API.
+
+Mirrors the 7-function surface of the reference package
+(/root/reference/vllm_flash_attn/__init__.py:3-12,
+flash_attn_interface.py:658-1253) with JAX arrays. Differences forced by the
+functional model, all documented per-function:
+
+- no in-place mutation: `flash_attn_with_kvcache` *returns* the updated caches
+  when it appends (donate the cache buffers at your jit boundary to make the
+  update in-place at the XLA level).
+- `dropout_p` must be 0: this fork compiles dropout out anyway
+  (/root/reference/setup.py:204-206).
+- `deterministic` is accepted and ignored: the TPU kernels are deterministic by
+  construction (fixed reduction order).
+- `return_attn_probs` returns the fp32 LSE in place of the dropout-encoded S
+  matrix (which only existed for dropout verification,
+  flash_api.cpp:352-356).
+
+Layouts follow the reference: batch APIs take (batch, seqlen, nheads, d),
+varlen APIs take (total, nheads, d), paged caches are
+(num_blocks, page_block_size, nheads_k, d) (flash_attn_interface.py:1183-1187).
+The kernels use TPU-native head-major layouts internally; the serving path
+(vllm_flash_attn_tpu/serving) skips the transposes by using native layouts
+directly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vllm_flash_attn_tpu.kernels.flash_prefill import flash_attention
+from vllm_flash_attn_tpu.kernels.flash_varlen import flash_attention_varlen
+from vllm_flash_attn_tpu.kernels.kv_cache import append_kv_paged, gather_kv_paged
+from vllm_flash_attn_tpu.kernels.paged_decode import paged_attention
+from vllm_flash_attn_tpu.layers.rotary import apply_rotary_emb
+
+
+def _check_dropout(dropout_p):
+    if dropout_p != 0.0:
+        raise NotImplementedError(
+            "dropout_p != 0 is not supported: the reference build is forward-only "
+            "with dropout compiled out (setup.py:204-206)."
+        )
+
+
+def _bshd_to_bhsd(x):
+    return x.transpose(0, 2, 1, 3)
+
+
+def flash_attn_func(
+    q,
+    k,
+    v,
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes=None,
+    deterministic: bool = False,
+    return_attn_probs: bool = False,
+):
+    """Batch fixed-length attention (flash_attn_interface.py:793-869 semantics).
+
+    q: (b, sq, h, d); k/v: (b, sk, h_k, d), h % h_k == 0.
+    Returns out (b, sq, h, d); with return_attn_probs, (out, lse, None).
+    """
+    _check_dropout(dropout_p)
+    out = flash_attention(
+        _bshd_to_bhsd(q),
+        _bshd_to_bhsd(k),
+        _bshd_to_bhsd(v),
+        alibi_slopes,
+        causal=causal,
+        sm_scale=softmax_scale,
+        window=tuple(window_size),
+        softcap=softcap,
+        return_lse=return_attn_probs,
+    )
+    if return_attn_probs:
+        o, lse = out
+        return _bshd_to_bhsd(o), lse, None
+    return _bshd_to_bhsd(out)
+
+
+def flash_attn_qkvpacked_func(
+    qkv,
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes=None,
+    deterministic: bool = False,
+    return_attn_probs: bool = False,
+):
+    """qkv: (b, s, 3, h, d) (flash_attn_interface.py:658-715)."""
+    return flash_attn_func(
+        qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
+        dropout_p, softmax_scale, causal, window_size, softcap,
+        alibi_slopes, deterministic, return_attn_probs,
+    )
+
+
+def flash_attn_kvpacked_func(
+    q,
+    kv,
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes=None,
+    deterministic: bool = False,
+    return_attn_probs: bool = False,
+):
+    """kv: (b, s, 2, h_k, d) (flash_attn_interface.py:716-792)."""
+    return flash_attn_func(
+        q, kv[:, :, 0], kv[:, :, 1],
+        dropout_p, softmax_scale, causal, window_size, softcap,
+        alibi_slopes, deterministic, return_attn_probs,
+    )
+
+
+def _thd_to_htd(x):
+    return x.transpose(1, 0, 2)
+
+
+def flash_attn_varlen_func(
+    q,
+    k,
+    v,
+    cu_seqlens_q,
+    cu_seqlens_k,
+    max_seqlen_q: int,
+    max_seqlen_k: int,
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes=None,
+    deterministic: bool = False,
+    return_attn_probs: bool = False,
+    block_table=None,
+    seqused_k=None,
+):
+    """Packed ragged-batch attention (flash_attn_interface.py:1026-1118).
+
+    q: (total_q, h, d). Without `block_table`, k/v: (total_k, h_k, d) packed by
+    `cu_seqlens_k`. With `block_table` (b, max_pages), k/v are paged caches
+    (num_blocks, page_block_size, h_k, d) and per-sequence key counts come from
+    `seqused_k` (or cu_seqlens_k deltas), matching mha_varlen_fwd
+    (flash_api.cpp:467-540).
+    """
+    _check_dropout(dropout_p)
+    cu_q = jnp.asarray(cu_seqlens_q, jnp.int32)
+    cu_k = jnp.asarray(cu_seqlens_k, jnp.int32)
+
+    if block_table is not None:
+        # paged prefill: gather pages into a strided packed stream with
+        # per-sequence gaps, then reuse the varlen kernel via seqused_k.
+        b = block_table.shape[0]
+        nb_, ps, h_k, d = k.shape
+        k_pages = k.transpose(2, 0, 1, 3)  # (h_k, num_blocks, ps, d)
+        v_pages = v.transpose(2, 0, 1, 3)
+        lens = (
+            jnp.asarray(seqused_k, jnp.int32)
+            if seqused_k is not None
+            else cu_k[1:] - cu_k[:-1]
+        )
+        kd, vd = gather_kv_paged(k_pages, v_pages, block_table, max_seqlen_k)
+        k_stream = kd.transpose(1, 0, 2, 3).reshape(kd.shape[1], -1, d)
+        v_stream = vd.transpose(1, 0, 2, 3).reshape(vd.shape[1], -1, d)
+        cu_k_stream = jnp.arange(b + 1, dtype=jnp.int32) * max_seqlen_k
+        out = flash_attention_varlen(
+            _thd_to_htd(q), k_stream, v_stream,
+            cu_q, cu_k_stream, seqused_k=lens, alibi_slopes=alibi_slopes,
+            causal=causal, sm_scale=softmax_scale, window=tuple(window_size),
+            softcap=softcap, return_lse=return_attn_probs,
+        )
+    else:
+        out = flash_attention_varlen(
+            _thd_to_htd(q), _thd_to_htd(k), _thd_to_htd(v),
+            cu_q, cu_k, seqused_k=seqused_k, alibi_slopes=alibi_slopes,
+            causal=causal, sm_scale=softmax_scale, window=tuple(window_size),
+            softcap=softcap, return_lse=return_attn_probs,
+        )
+    if return_attn_probs:
+        o, lse = out
+        return _thd_to_htd(o), lse, None
+    return _thd_to_htd(out)
+
+
+def flash_attn_varlen_qkvpacked_func(
+    qkv,
+    cu_seqlens,
+    max_seqlen: int,
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes=None,
+    deterministic: bool = False,
+    return_attn_probs: bool = False,
+):
+    """qkv: (total, 3, h, d) (flash_attn_interface.py:870-934)."""
+    return flash_attn_varlen_func(
+        qkv[:, 0], qkv[:, 1], qkv[:, 2], cu_seqlens, cu_seqlens,
+        max_seqlen, max_seqlen, dropout_p, softmax_scale, causal,
+        window_size, softcap, alibi_slopes, deterministic, return_attn_probs,
+    )
+
+
+def flash_attn_varlen_kvpacked_func(
+    q,
+    kv,
+    cu_seqlens_q,
+    cu_seqlens_k,
+    max_seqlen_q: int,
+    max_seqlen_k: int,
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes=None,
+    deterministic: bool = False,
+    return_attn_probs: bool = False,
+):
+    """kv: (total_k, 2, h_k, d) (flash_attn_interface.py:935-1025)."""
+    return flash_attn_varlen_func(
+        q, kv[:, 0], kv[:, 1], cu_seqlens_q, cu_seqlens_k,
+        max_seqlen_q, max_seqlen_k, dropout_p, softmax_scale, causal,
+        window_size, softcap, alibi_slopes, deterministic, return_attn_probs,
+    )
+
+
+def _pick_page_view(s_max: int) -> int:
+    for ps in (512, 256, 128, 64, 32, 16, 8):
+        if s_max % ps == 0:
+            return ps
+    return s_max
+
+
+def flash_attn_with_kvcache(
+    q,
+    k_cache,
+    v_cache,
+    k=None,
+    v=None,
+    rotary_cos=None,
+    rotary_sin=None,
+    cache_seqlens=None,
+    cache_batch_idx=None,
+    block_table=None,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    rotary_interleaved: bool = False,
+    alibi_slopes=None,
+    num_splits: int = 0,
+    return_softmax_lse: bool = False,
+):
+    """Decode/incremental attention over a KV cache
+    (flash_attn_interface.py:1119-1253, mha_fwd_kvcache flash_api.cpp:671-936).
+
+    q: (b, sq, h, d). Paged: k_cache (num_blocks, page_block_size, h_k, d) +
+    block_table (b, max_pages). Contiguous: k_cache (b_c, s_max, h_k, d) with
+    optional cache_batch_idx (mutually exclusive with block_table,
+    flash_api.cpp:719). k/v: optional (b, s_new, h_k, d) appended at
+    cache_seqlens offsets; rotary_cos/sin (max_s, rotary_dim/2) are fused onto
+    q and the appended k.
+
+    Functional-JAX divergence: when k/v are given the updated caches are
+    RETURNED — `(out, (k_cache, v_cache))` (+lse first if requested) — instead
+    of mutated. `num_splits` is accepted for signature parity; the TPU kernel's
+    DMA pipeline replaces the split-KV occupancy heuristic
+    (flash_api.cpp:154-192).
+    """
+    b, sq, h, d = q.shape
+    paged = block_table is not None
+    if paged:
+        assert cache_batch_idx is None, "paged cache excludes cache_batch_idx"
+        nb_, ps, h_k, _ = k_cache.shape
+        k_pages = k_cache.transpose(2, 0, 1, 3)  # native head-major
+        v_pages = v_cache.transpose(2, 0, 1, 3)
+        tables = jnp.asarray(block_table, jnp.int32)
+    else:
+        b_c, s_max, h_k, _ = k_cache.shape
+        ps = _pick_page_view(s_max)
+        npg = s_max // ps
+        k_pages = k_cache.reshape(b_c, npg, ps, h_k, d).transpose(3, 0, 1, 2, 4)
+        k_pages = k_pages.reshape(h_k, b_c * npg, ps, d)
+        v_pages = v_cache.reshape(b_c, npg, ps, h_k, d).transpose(3, 0, 1, 2, 4)
+        v_pages = v_pages.reshape(h_k, b_c * npg, ps, d)
+        idx = (
+            jnp.asarray(cache_batch_idx, jnp.int32)
+            if cache_batch_idx is not None
+            else jnp.arange(b, dtype=jnp.int32)
+        )
+        tables = idx[:, None] * npg + jnp.arange(npg, dtype=jnp.int32)[None]
+
+    if cache_seqlens is None:
+        lens = jnp.zeros((b,), jnp.int32)
+    elif jnp.ndim(cache_seqlens) == 0:
+        lens = jnp.full((b,), cache_seqlens, jnp.int32)
+    else:
+        lens = jnp.asarray(cache_seqlens, jnp.int32)
+
+    # --- fused rotary on q and appended k (flash_api.cpp:881-905) ---
+    if rotary_cos is not None:
+        if causal or window_size[1] >= 0 or sq == 1:
+            q_pos = lens[:, None] + jnp.arange(sq, dtype=jnp.int32)[None]
+        else:
+            q_pos = jnp.broadcast_to(lens[:, None], (b, sq))
+        q = apply_rotary_emb(
+            q, rotary_cos, rotary_sin, interleaved=rotary_interleaved,
+            positions=q_pos,
+        )
+        if k is not None:
+            k_pos = lens[:, None] + jnp.arange(k.shape[1], dtype=jnp.int32)[None]
+            k = apply_rotary_emb(
+                k, rotary_cos, rotary_sin, interleaved=rotary_interleaved,
+                positions=k_pos,
+            )
+
+    # --- append (flash_api.cpp:830-868) ---
+    appended = k is not None
+    if appended:
+        assert v is not None
+        k_pages, v_pages = append_kv_paged(k_pages, v_pages, k, v, lens, tables)
+        total_lens = lens + k.shape[1]
+    else:
+        total_lens = lens
+
+    # --- attention ---
+    if sq == 1:
+        out = paged_attention(
+            q[:, 0], k_pages, v_pages, total_lens, tables, alibi_slopes,
+            sm_scale=softmax_scale, window=tuple(window_size), softcap=softcap,
+            return_lse=return_softmax_lse,
+        )
+        if return_softmax_lse:
+            out, lse = out
+            lse = lse[:, None, :].transpose(0, 2, 1)  # (b, h, sq=1)
+        out = out[:, None]  # (b, 1, h, d)
+    else:
+        # multi-token query (speculative verify / chunked prefill): gather the
+        # cache and run the varlen kernel with per-sequence key counts.
+        max_len = k_pages.shape[1] // b * ps if paged else s_max
+        max_len = min(max_len, tables.shape[1] * ps)
+        kd, vd = gather_kv_paged(k_pages, v_pages, tables, max_len)
+        k_stream = kd.transpose(1, 0, 2, 3).reshape(h_k, -1, d)
+        v_stream = vd.transpose(1, 0, 2, 3).reshape(h_k, -1, d)
+        cu_q = jnp.arange(b + 1, dtype=jnp.int32) * sq
+        cu_k = jnp.arange(b + 1, dtype=jnp.int32) * max_len
+        q_stream = q.reshape(b * sq, h, d).transpose(1, 0, 2)
+        res = flash_attention_varlen(
+            q_stream, k_stream, v_stream, cu_q, cu_k, seqused_k=total_lens,
+            alibi_slopes=alibi_slopes, causal=causal,
+            sm_scale=softmax_scale, window=tuple(window_size), softcap=softcap,
+            return_lse=return_softmax_lse,
+        )
+        if return_softmax_lse:
+            o, lse_flat = res
+            lse = lse_flat.reshape(h, b, sq).transpose(1, 0, 2)
+        else:
+            o = res
+        out = o.transpose(1, 0, 2).reshape(b, sq, h, d)
+
+    results = [out]
+    if return_softmax_lse:
+        results = [out, lse]
+    if appended:
+        if paged:
+            k_ret = k_pages.transpose(1, 2, 0, 3)
+            v_ret = v_pages.transpose(1, 2, 0, 3)
+        else:
+            k_ret = (
+                k_pages.reshape(h_k, b_c, npg * ps, d).transpose(1, 2, 0, 3)
+            )
+            v_ret = (
+                v_pages.reshape(h_k, b_c, npg * ps, d).transpose(1, 2, 0, 3)
+            )
+        results.append((k_ret, v_ret))
+    return tuple(results) if len(results) > 1 else results[0]
