@@ -100,17 +100,23 @@ class RotaryEmbedding:
         self._tables: Tuple[int, Optional[jax.Array], Optional[jax.Array]] = (0, None, None)
 
     def tables(self, seqlen: int, dtype=jnp.float32):
+        # computed in numpy so cached tables are trace-safe constants
+        import numpy as np
+
         cached_len, cos, sin = self._tables
         if cached_len < seqlen:
             inv_freq = 1.0 / (
                 self.base
-                ** (jnp.arange(0, self.dim, 2, dtype=jnp.float32) / self.dim)
+                ** (np.arange(0, self.dim, 2, dtype=np.float32) / self.dim)
             )
-            t = jnp.arange(seqlen, dtype=jnp.float32)
-            freqs = jnp.outer(t, inv_freq)
-            cos, sin = jnp.cos(freqs), jnp.sin(freqs)
+            t = np.arange(seqlen, dtype=np.float32)
+            freqs = np.outer(t, inv_freq)
+            cos, sin = np.cos(freqs), np.sin(freqs)
             self._tables = (seqlen, cos, sin)
-        return self._tables[1][:seqlen], self._tables[2][:seqlen]
+        return (
+            jnp.asarray(self._tables[1][:seqlen]),
+            jnp.asarray(self._tables[2][:seqlen]),
+        )
 
     def __call__(self, qkv: jax.Array, seqlen_offset=0):
         """Rotate q and k of a packed (b, s, 3, h, d) qkv tensor."""

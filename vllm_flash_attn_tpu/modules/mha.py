@@ -1,0 +1,220 @@
+"""Multi-head attention modules (the `flash_attn.modules.mha` surface:
+MHA / ParallelMHA, pinned by /root/reference/tests/modules/test_mha_parallel.py).
+
+Functional param-dict style: `init(key)` builds the parameter pytree,
+`apply(params, x, ...)` runs the module. ParallelMHA is written for use inside
+`shard_map` with an explicit tensor-parallel axis name: Wqkv is head-sharded
+(column-parallel), out_proj is row-parallel with a trailing psum — the
+Megatron layout (SURVEY.md §2.7), with GQA KV heads co-located with their query
+group so attention itself needs zero communication.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vllm_flash_attn_tpu.api.interface import flash_attn_func, flash_attn_with_kvcache
+from vllm_flash_attn_tpu.kernels.flash_prefill import flash_attention
+from vllm_flash_attn_tpu.layers.rotary import RotaryEmbedding, apply_rotary_emb
+
+
+@dataclasses.dataclass
+class MHA:
+    embed_dim: int
+    num_heads: int
+    num_heads_kv: Optional[int] = None
+    head_dim: Optional[int] = None
+    qkv_proj_bias: bool = True
+    out_proj_bias: bool = True
+    causal: bool = True
+    softmax_scale: Optional[float] = None
+    window_size: Tuple[int, int] = (-1, -1)
+    rotary_emb_dim: int = 0
+    rotary_base: float = 10000.0
+    rotary_interleaved: bool = False
+    layer_idx: Optional[int] = None
+
+    def __post_init__(self):
+        self.h_kv = self.num_heads_kv or self.num_heads
+        self.dh = self.head_dim or self.embed_dim // self.num_heads
+        self.qkv_out = (self.num_heads + 2 * self.h_kv) * self.dh
+        self.rotary = (
+            RotaryEmbedding(
+                self.rotary_emb_dim, self.rotary_base, self.rotary_interleaved
+            )
+            if self.rotary_emb_dim > 0
+            else None
+        )
+
+    def init(self, key, dtype=jnp.float32):
+        k1, k2 = jax.random.split(key)
+        std = 1.0 / math.sqrt(self.embed_dim)
+        p = {
+            "Wqkv": {
+                "weight": jax.random.normal(
+                    k1, (self.qkv_out, self.embed_dim), dtype
+                )
+                * std
+            },
+            "out_proj": {
+                "weight": jax.random.normal(
+                    k2, (self.embed_dim, self.num_heads * self.dh), dtype
+                )
+                * std
+            },
+        }
+        if self.qkv_proj_bias:
+            p["Wqkv"]["bias"] = jnp.zeros((self.qkv_out,), dtype)
+        if self.out_proj_bias:
+            p["out_proj"]["bias"] = jnp.zeros((self.embed_dim,), dtype)
+        return p
+
+    def _split_qkv(self, qkv, b, s):
+        h, hk, dh = self.num_heads, self.h_kv, self.dh
+        q = qkv[..., : h * dh].reshape(b, s, h, dh)
+        k = qkv[..., h * dh : (h + hk) * dh].reshape(b, s, hk, dh)
+        v = qkv[..., (h + hk) * dh :].reshape(b, s, hk, dh)
+        return q, k, v
+
+    def apply(self, params, x, inference_params=None, alibi_slopes=None):
+        """x: (b, s, embed_dim). With inference_params (utils.generation
+        .InferenceParams), runs the kv-cache decode path."""
+        b, s, _ = x.shape
+        qkv = jnp.einsum("bsd,od->bso", x, params["Wqkv"]["weight"])
+        if "bias" in params["Wqkv"]:
+            qkv = qkv + params["Wqkv"]["bias"]
+        q, k, v = self._split_qkv(qkv, b, s)
+
+        if inference_params is None:
+            if self.rotary is not None:
+                cos, sin = self.rotary.tables(s)
+                q = apply_rotary_emb(q, cos, sin, self.rotary_interleaved)
+                k = apply_rotary_emb(k, cos, sin, self.rotary_interleaved)
+            ctx = flash_attn_func(
+                q, k, v, causal=self.causal, softmax_scale=self.softmax_scale,
+                window_size=self.window_size, alibi_slopes=alibi_slopes,
+            )
+        else:
+            kc, vc, lens = inference_params.layer_cache(self.layer_idx)
+            if self.rotary is not None:
+                cos, sin = self.rotary.tables(inference_params.max_seqlen)
+            else:
+                cos = sin = None
+            ctx, (kc2, vc2) = flash_attn_with_kvcache(
+                q, kc, vc, k, v,
+                rotary_cos=cos, rotary_sin=sin,
+                cache_seqlens=lens, causal=self.causal,
+                softmax_scale=self.softmax_scale, window_size=self.window_size,
+                rotary_interleaved=self.rotary_interleaved,
+                alibi_slopes=alibi_slopes,
+            )
+            inference_params.update_layer_cache(self.layer_idx, kc2, vc2)
+
+        ctx = ctx.reshape(b, s, self.num_heads * self.dh)
+        out = jnp.einsum("bso,do->bsd", ctx, params["out_proj"]["weight"])
+        if "bias" in params["out_proj"]:
+            out = out + params["out_proj"]["bias"]
+        return out
+
+
+@dataclasses.dataclass
+class ParallelMHA(MHA):
+    """Tensor-parallel MHA for shard_map bodies (Megatron ParallelMHA analog).
+
+    Params hold this shard's slice: Wqkv rows for `num_heads/axis_size` query
+    heads (+ their KV heads), out_proj columns likewise. sequence_parallel
+    all-gathers the seq-sharded input and reduce-scatters the output
+    (tests/modules/test_mha_parallel.py:20,49-56 semantics).
+    """
+
+    axis_name: str = "model"
+    sequence_parallel: bool = False
+
+    def shard_params(self, params, axis_size: int, index: int):
+        """Slice full params to this shard (shard_state_dict_tp analog)."""
+        h, hk, dh = self.num_heads, self.h_kv, self.dh
+        assert h % axis_size == 0 and hk % axis_size == 0
+        hl, hkl = h // axis_size, hk // axis_size
+        w = params["Wqkv"]["weight"]
+        qw = w[: h * dh].reshape(h, dh, -1)[index * hl : (index + 1) * hl]
+        kw = w[h * dh : (h + hk) * dh].reshape(hk, dh, -1)[
+            index * hkl : (index + 1) * hkl
+        ]
+        vw = w[(h + hk) * dh :].reshape(hk, dh, -1)[
+            index * hkl : (index + 1) * hkl
+        ]
+        out = {
+            "Wqkv": {
+                "weight": jnp.concatenate(
+                    [
+                        qw.reshape(hl * dh, -1),
+                        kw.reshape(hkl * dh, -1),
+                        vw.reshape(hkl * dh, -1),
+                    ]
+                )
+            },
+            "out_proj": {
+                "weight": params["out_proj"]["weight"]
+                .reshape(-1, h, dh)[:, index * hl : (index + 1) * hl]
+                .reshape(-1, hl * dh)
+            },
+        }
+        if "bias" in params["Wqkv"]:
+            bias = params["Wqkv"]["bias"]
+            qb = bias[: h * dh].reshape(h, dh)[index * hl : (index + 1) * hl]
+            kb = bias[h * dh : (h + hk) * dh].reshape(hk, dh)[
+                index * hkl : (index + 1) * hkl
+            ]
+            vb = bias[(h + hk) * dh :].reshape(hk, dh)[
+                index * hkl : (index + 1) * hkl
+            ]
+            out["Wqkv"]["bias"] = jnp.concatenate(
+                [qb.reshape(-1), kb.reshape(-1), vb.reshape(-1)]
+            )
+        if "bias" in params["out_proj"]:
+            out["out_proj"]["bias"] = params["out_proj"]["bias"]
+        return out
+
+    def apply(self, params, x, inference_params=None, alibi_slopes=None):
+        axis_size = jax.lax.psum(1, self.axis_name)
+        if self.sequence_parallel:
+            x = jax.lax.all_gather(x, self.axis_name, axis=1, tiled=True)
+        b, s, _ = x.shape
+        hl = self.num_heads // axis_size
+        hkl = self.h_kv // axis_size
+        qkv = jnp.einsum("bsd,od->bso", x, params["Wqkv"]["weight"])
+        if "bias" in params["Wqkv"]:
+            qkv = qkv + params["Wqkv"]["bias"]
+        dh = self.dh
+        q = qkv[..., : hl * dh].reshape(b, s, hl, dh)
+        k = qkv[..., hl * dh : (hl + hkl) * dh].reshape(b, s, hkl, dh)
+        v = qkv[..., (hl + hkl) * dh :].reshape(b, s, hkl, dh)
+        if self.rotary is not None:
+            cos, sin = self.rotary.tables(s)
+            q = apply_rotary_emb(q, cos, sin, self.rotary_interleaved)
+            k = apply_rotary_emb(k, cos, sin, self.rotary_interleaved)
+        ctx = flash_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            alibi_slopes,
+            causal=self.causal,
+            sm_scale=self.softmax_scale,
+            window=self.window_size,
+        ).transpose(0, 2, 1, 3)
+        ctx = ctx.reshape(b, s, hl * dh)
+        partial = jnp.einsum("bso,do->bsd", ctx, params["out_proj"]["weight"])
+        if self.sequence_parallel:
+            out = jax.lax.psum_scatter(
+                partial, self.axis_name, scatter_dimension=1, tiled=True
+            )
+        else:
+            out = jax.lax.psum(partial, self.axis_name)
+        if "bias" in params["out_proj"]:
+            out = out + params["out_proj"]["bias"]
+        return out
