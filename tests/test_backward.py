@@ -1,0 +1,90 @@
+"""Attention backward vs dense-autodiff oracle.
+
+The reference fork ships no attention backward at all (setup.py:285-286); our
+custom_vjp (kernels/flash_backward.py) must match jax.grad through the dense
+reference within the usual 2x error budget.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from harness import check_close
+from vllm_flash_attn_tpu.core.reference import attention_ref
+from vllm_flash_attn_tpu.kernels.flash_prefill import flash_attention
+
+
+def grads_of(fn, q, k, v):
+    def loss(q, k, v):
+        out = fn(q, k, v)
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape) * 0.1))
+
+    return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("h,h_k", [(4, 4), (8, 2)])
+@pytest.mark.parametrize("sq,sk", [(128, 128), (130, 254)])
+def test_grads_match_dense(causal, h, h_k, sq, sk):
+    rng = np.random.default_rng(sq + sk + h)
+    d = 64
+    dtype = jnp.float32
+    q = jnp.asarray(rng.standard_normal((2, h, sq, d)), dtype)
+    k = jnp.asarray(rng.standard_normal((2, h_k, sk, d)), dtype)
+    v = jnp.asarray(rng.standard_normal((2, h_k, sk, d)), dtype)
+
+    def kernel_fn(q, k, v):
+        return flash_attention(q, k, v, causal=causal)
+
+    def dense_fn(q, k, v):
+        out, _ = attention_ref(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            causal=causal,
+            upcast=True,
+        )
+        return out.transpose(0, 2, 1, 3)
+
+    def dense_reordered(q, k, v):
+        out, _ = attention_ref(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            causal=causal,
+            upcast=False,
+            reorder_ops=True,
+        )
+        return out.transpose(0, 2, 1, 3)
+
+    g = grads_of(kernel_fn, q, k, v)
+    g_ref = grads_of(dense_fn, q, k, v)
+    g_pt = grads_of(dense_reordered, q, k, v)
+    for name, a, b, c in zip("qkv", g, g_ref, g_pt):
+        check_close(a, b, c, mult=2.0, abs_floor=1e-4, what=f"d{name}")
+
+
+def test_grads_window_softcap():
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((1, 2, 160, 32)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 2, 160, 32)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 2, 160, 32)), jnp.float32)
+
+    def kernel_fn(q, k, v):
+        return flash_attention(q, k, v, window=(32, 8), softcap=20.0)
+
+    def dense_fn(q, k, v):
+        out, _ = attention_ref(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), window_size=(32, 8), softcap=20.0,
+            upcast=True,
+        )
+        return out.transpose(0, 2, 1, 3)
+
+    g = grads_of(kernel_fn, q, k, v)
+    g_ref = grads_of(dense_fn, q, k, v)
+    for name, a, b in zip("qkv", g, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3, err_msg=f"d{name}"
+        )

@@ -172,20 +172,7 @@ def _round_block(n: int, b: int) -> int:
     return min(b, max(MIN_LANES, pl.cdiv(n, MIN_LANES) * MIN_LANES)) if n else b
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "causal",
-        "sm_scale",
-        "window",
-        "softcap",
-        "block_q",
-        "block_k",
-        "return_lse",
-        "interpret",
-    ),
-)
-def flash_attention(
+def _flash_attention_impl(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
@@ -317,3 +304,104 @@ def flash_attention(
         out, lse = results
         return out, lse[..., 0]
     return results[0]
+
+
+# --------------------------------------------------------------- custom VJP
+# The reference fork is forward-only (setup.py:285-286); training here is
+# first-class via a linear-memory XLA backward (kernels/flash_backward.py).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def _flash_attention_vjp(
+    q, k, v, alibi_slopes, causal, sm_scale, window, softcap, block_q, block_k,
+    interpret,
+):
+    return _flash_attention_impl(
+        q, k, v, alibi_slopes if alibi_slopes.size else None,
+        causal=causal, sm_scale=sm_scale, window=window,
+        softcap=softcap, block_q=block_q, block_k=block_k, return_lse=False,
+        interpret=interpret,
+    )
+
+
+def _vjp_fwd(
+    q, k, v, alibi_slopes, causal, sm_scale, window, softcap, block_q, block_k,
+    interpret,
+):
+    out, lse = _flash_attention_impl(
+        q, k, v, alibi_slopes if alibi_slopes.size else None,
+        causal=causal, sm_scale=sm_scale, window=window,
+        softcap=softcap, block_q=block_q, block_k=block_k, return_lse=True,
+        interpret=interpret,
+    )
+    return out, (q, k, v, alibi_slopes, out, lse)
+
+
+def _vjp_bwd(
+    causal, sm_scale, window, softcap, block_q, block_k, interpret, res, g
+):
+    from vllm_flash_attn_tpu.kernels.flash_backward import mha_backward
+
+    q, k, v, alibi_slopes, out, lse = res
+    dq, dk, dv = mha_backward(
+        q, k, v, out, lse, g,
+        alibi_slopes if alibi_slopes.size else None,
+        causal=causal, sm_scale=sm_scale, window=window, softcap=softcap,
+    )
+    return dq, dk, dv, jnp.zeros_like(alibi_slopes)
+
+
+_flash_attention_vjp.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal", "sm_scale", "window", "softcap", "block_q", "block_k",
+        "return_lse", "interpret",
+    ),
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    alibi_slopes: Optional[jax.Array] = None,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    window: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    block_q: int = 128,
+    block_k: int = 128,
+    return_lse: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """Flash attention forward (differentiable when return_lse=False).
+
+    q: (b, h, sq, d); k/v: (b, h_kv, sk, d), h %% h_kv == 0 (GQA broadcast,
+    flash_attn_interface.py:1046-1049). Causal is bottom-right aligned;
+    window is the inclusive (left, right) sliding window, -1 = unbounded.
+    Returns out (b, h, sq, d) [, fp32 lse (b, h, sq)].
+    """
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    if interpret is None:
+        interpret = use_interpret()
+    if return_lse:
+        return _flash_attention_impl(
+            q, k, v, alibi_slopes, causal=causal, sm_scale=sm_scale,
+            window=window, softcap=softcap, block_q=block_q, block_k=block_k,
+            return_lse=True, interpret=interpret,
+        )
+    if alibi_slopes is None:
+        alibi_norm = jnp.zeros((0, 0), jnp.float32)
+    elif alibi_slopes.ndim == 1:
+        alibi_norm = jnp.broadcast_to(
+            jnp.asarray(alibi_slopes, jnp.float32)[None], (q.shape[0], q.shape[1])
+        )
+    else:
+        alibi_norm = jnp.asarray(alibi_slopes, jnp.float32)
+    return _flash_attention_vjp(
+        q, k, v, alibi_norm, causal, float(sm_scale), tuple(window),
+        float(softcap), block_q, block_k, interpret,
+    )

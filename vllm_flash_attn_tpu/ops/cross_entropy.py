@@ -38,9 +38,10 @@ def cross_entropy_loss(
     logits = logits.astype(jnp.float32) * logit_scale
     vocab = logits.shape[-1]
 
-    m = jnp.max(logits, axis=-1, keepdims=True)
+    # stability max: constant w.r.t. gradients (and pmax has no JVP rule)
+    m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
     if axis_name is not None:
-        m = jax.lax.pmax(m, axis_name)
+        m = jax.lax.stop_gradient(jax.lax.pmax(m, axis_name))
     sumexp = jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True)
     if axis_name is not None:
         sumexp = jax.lax.psum(sumexp, axis_name)
