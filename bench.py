@@ -86,7 +86,7 @@ def bench_prefill(s=4096, b=1, h=32, d=128):
     v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
 
     def step(q, k, v):
-        return flash_attention(q, k, v, causal=True, block_q=512, block_k=512)
+        return flash_attention(q, k, v, causal=True)
 
     dt = timed(step, q0, k, v, n_iter=20)
     flops = 4 * b * s * s * h * d / 2  # causal convention, benchmarks/benchmark_flash_attention.py:27-30

@@ -60,6 +60,7 @@ def _fwd_kernel(
     softcap: float,
     block_q: int,
     block_k: int,
+    inner_k: int,
     seqlen_q: int,
     seqlen_k: int,
     has_alibi: bool,
@@ -75,17 +76,12 @@ def _fwd_kernel(
         wr = 0
 
     # --- block-range skipping (replaces the CUDA reverse-iteration early-exit,
-    # flash_fwd_kernel.h:109-111) ---
-    min_row = qi * block_q
-    max_row = jnp.minimum(min_row + block_q, seqlen_q) - 1
-    if wr >= 0:
-        last_active = jnp.clip((max_row + offset + wr) // block_k, 0, nk - 1)
-    else:
-        last_active = nk - 1
-    if wl >= 0:
-        first_active = jnp.clip((min_row + offset - wl) // block_k, 0, last_active)
-    else:
-        first_active = 0
+    # flash_fwd_kernel.h:109-111). The kv-fetch index map applies the same
+    # clamp, so skipped steps re-point at an already-resident block and the
+    # pipeline elides their DMAs entirely. ---
+    first_active, last_active = _active_range(
+        qi, nk, block_q, block_k, seqlen_q, offset, wl, wr
+    )
 
     @pl.when(jnp.logical_and(ki >= first_active, ki <= last_active))
     def _run():
@@ -95,65 +91,104 @@ def _fwd_kernel(
             l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
             acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
+        min_row = qi * block_q
+        max_row = jnp.minimum(min_row + block_q, seqlen_q) - 1
         q = q_ref[0, 0]  # (block_q, d)
-        k = k_ref[0, 0]  # (block_k, d)
-        s = jax.lax.dot_general(
-            q,
-            k,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (block_q, block_k)
-        s *= sm_scale
-        if softcap > 0.0:
-            s = jnp.tanh(s / softcap) * softcap
 
-        row = (
-            jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-            + min_row
-        )
-        col = (
-            jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-            + ki * block_k
-        )
+        # Two-level kv tiling: the fetched block_k tile is processed in
+        # inner_k-sized chunks so Mosaic overlaps chunk i's softmax (VPU) with
+        # chunk i+1's QK^T (MXU) — at head_dim 128 the softmax passes cost
+        # about as much as the matmuls, so this overlap is worth ~2x.
+        n_chunks = max(1, block_k // inner_k) if inner_k else 1
+        ik = block_k // n_chunks
 
-        if has_alibi:
-            slope = alibi_ref[0, 0]
-            s = s - slope * jnp.abs(row + offset - col).astype(jnp.float32)
+        for c in range(n_chunks):
+            k = k_ref[0, 0, c * ik : (c + 1) * ik]  # (ik, d)
+            col_base = ki * block_k + c * ik
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (block_q, ik)
+            s *= sm_scale
+            if softcap > 0.0:
+                s = jnp.tanh(s / softcap) * softcap
 
-        mask = col < seqlen_k  # guard kv remainder block
-        if wr >= 0:
-            mask &= col <= row + offset + wr
-        if wl >= 0:
-            mask &= col >= row + offset - wl
-        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+            if has_alibi:
+                row = (
+                    jax.lax.broadcasted_iota(jnp.int32, (block_q, ik), 0)
+                    + min_row
+                )
+                col = (
+                    jax.lax.broadcasted_iota(jnp.int32, (block_q, ik), 1)
+                    + col_base
+                )
+                slope = alibi_ref[0, 0]
+                s = s - slope * jnp.abs(row + offset - col).astype(jnp.float32)
 
-        m_prev = m_scr[...]  # (block_q, 128)
-        l_prev = l_scr[...]
-        m_cur = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
-        m_next = jnp.maximum(m_prev, m_cur)  # broadcast to (block_q, 128)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
-        # Padded/masked columns contribute exp(MASK - m); with m >= MASK the
-        # contribution underflows to 0 except the degenerate all-masked row,
-        # where p == 1 on masked cols — force those to 0 via the mask.
-        p = jnp.where(mask, p, 0.0)
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_scr[...] = m_next
-        l_scr[...] = l_next
+            def online_update(s, masked: bool, col_base=col_base, ik=ik):
+                if masked:
+                    row = (
+                        jax.lax.broadcasted_iota(jnp.int32, (block_q, ik), 0)
+                        + min_row
+                    )
+                    col = (
+                        jax.lax.broadcasted_iota(jnp.int32, (block_q, ik), 1)
+                        + col_base
+                    )
+                    mask = col < seqlen_k
+                    if wr >= 0:
+                        mask &= col <= row + offset + wr
+                    if wl >= 0:
+                        mask &= col >= row + offset - wl
+                    s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+                m_prev = m_scr[...]  # (block_q, 128)
+                l_prev = l_scr[...]
+                m_cur = jnp.max(s, axis=1, keepdims=True)
+                m_next = jnp.maximum(m_prev, m_cur)
+                alpha = jnp.exp(m_prev - m_next)
+                p = jnp.exp(s - m_next[:, :1])
+                if masked:
+                    # all-masked rows would hold exp(MASK-MASK)=1 everywhere
+                    p = jnp.where(mask, p, 0.0)
+                l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+                m_scr[...] = m_next
+                l_scr[...] = l_next
+                v = v_ref[0, 0, c * ik : (c + 1) * ik]
+                if masked and seqlen_k % MIN_LANES != 0:
+                    # OOB rows of the kv remainder are undefined; NaN there
+                    # would poison P@V even though the matching P entry is 0.
+                    valid = (
+                        jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+                        + col_base
+                        < seqlen_k
+                    )
+                    v = jnp.where(valid, v, 0)
+                pv = jax.lax.dot(
+                    p.astype(v.dtype), v, preferred_element_type=jnp.float32
+                )
+                acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
-        v = v_ref[0, 0]  # (block_k, d)
-        if seqlen_k % block_k != 0:
-            # Out-of-bounds rows of the kv remainder block are undefined; a NaN
-            # there would poison P@V even though the matching P entry is 0.
-            valid = (
-                jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) + ki * block_k
-                < seqlen_k
-            )
-            v = jnp.where(valid, v, 0)
-        pv = jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        )
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+            any_mask = (wl >= 0) or (wr >= 0) or (seqlen_k % ik != 0)
+            if any_mask:
+                needs = col_base + ik > seqlen_k
+                if wr >= 0:
+                    needs |= col_base + ik - 1 > min_row + offset + wr
+                if wl >= 0:
+                    needs |= col_base < max_row + offset - wl
+                # chunks fully outside the active range can be skipped too
+                inside = col_base <= max_row + offset + (wr if wr >= 0 else seqlen_k)
+                if wl >= 0:
+                    inside &= col_base + ik - 1 >= min_row + offset - wl
+
+                @pl.when(inside)
+                def _():
+                    jax.lax.cond(
+                        needs,
+                        lambda: online_update(s, True),
+                        lambda: online_update(s, False),
+                    )
+            else:
+                online_update(s, False)
 
         @pl.when(ki == last_active)
         def _store():
@@ -166,6 +201,21 @@ def _fwd_kernel(
                     l == 0.0, jnp.inf, m_fin + jnp.log(l)
                 )  # fully-masked rows: +inf (flash_api.cpp:401-407)
                 lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+def _active_range(qi, nk, block_q, block_k, seqlen_q, offset, wl, wr):
+    """[first, last] kv blocks this q block attends to (scalar int32)."""
+    min_row = qi * block_q
+    max_row = jnp.minimum(min_row + block_q, seqlen_q) - 1
+    if wr >= 0:
+        last = jnp.clip((max_row + offset + wr) // block_k, 0, nk - 1)
+    else:
+        last = nk - 1
+    if wl >= 0:
+        first = jnp.clip((min_row + offset - wl) // block_k, 0, last)
+    else:
+        first = 0
+    return first, last
 
 
 def _round_block(n: int, b: int) -> int:
@@ -182,8 +232,9 @@ def _flash_attention_impl(
     sm_scale: Optional[float] = None,
     window: Tuple[int, int] = (-1, -1),
     softcap: float = 0.0,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 1024,
+    block_k: int = 1024,
+    inner_k: int = 0,  # 0 = single chunk (measured best on v5e)
     return_lse: bool = False,
     interpret: Optional[bool] = None,
 ):
@@ -235,22 +286,30 @@ def _flash_attention_impl(
         softcap=float(softcap),
         block_q=block_q,
         block_k=block_k,
+        inner_k=inner_k,
         seqlen_q=sq,
         seqlen_k=sk,
         has_alibi=has_alibi,
         return_lse=return_lse,
     )
 
+    # kv fetch clamp: out-of-range steps re-point at the first/last active
+    # block; Pallas elides the DMA when consecutive index tuples repeat, so
+    # causal/windowed runs never fetch blocks they will not compute on.
+    _wl, _wr = int(window[0]), (0 if causal else int(window[1]))
+
+    def kv_index(b_, h_, qi, ki, qpk=q_per_kv):
+        if _wl >= 0 or _wr >= 0:
+            first, last = _active_range(
+                qi, nk, block_q, block_k, sq, sk - sq, _wl, _wr
+            )
+            ki = jnp.clip(ki, first, last)
+        return (b_, h_ // qpk, ki, 0)
+
     in_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
-        pl.BlockSpec(
-            (1, 1, block_k, d),
-            lambda b_, h_, qi, ki, qpk=q_per_kv: (b_, h_ // qpk, ki, 0),
-        ),
-        pl.BlockSpec(
-            (1, 1, block_k, d),
-            lambda b_, h_, qi, ki, qpk=q_per_kv: (b_, h_ // qpk, ki, 0),
-        ),
+        pl.BlockSpec((1, 1, block_k, d), kv_index),
+        pl.BlockSpec((1, 1, block_k, d), kv_index),
         pl.BlockSpec(
             (1, 1),
             (lambda b_, h_, qi, ki: (b_, h_))
@@ -311,34 +370,35 @@ def _flash_attention_impl(
 # first-class via a linear-memory XLA backward (kernels/flash_backward.py).
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def _flash_attention_vjp(
     q, k, v, alibi_slopes, causal, sm_scale, window, softcap, block_q, block_k,
-    interpret,
+    inner_k, interpret,
 ):
     return _flash_attention_impl(
         q, k, v, alibi_slopes if alibi_slopes.size else None,
         causal=causal, sm_scale=sm_scale, window=window,
-        softcap=softcap, block_q=block_q, block_k=block_k, return_lse=False,
-        interpret=interpret,
+        softcap=softcap, block_q=block_q, block_k=block_k, inner_k=inner_k,
+        return_lse=False, interpret=interpret,
     )
 
 
 def _vjp_fwd(
     q, k, v, alibi_slopes, causal, sm_scale, window, softcap, block_q, block_k,
-    interpret,
+    inner_k, interpret,
 ):
     out, lse = _flash_attention_impl(
         q, k, v, alibi_slopes if alibi_slopes.size else None,
         causal=causal, sm_scale=sm_scale, window=window,
-        softcap=softcap, block_q=block_q, block_k=block_k, return_lse=True,
-        interpret=interpret,
+        softcap=softcap, block_q=block_q, block_k=block_k, inner_k=inner_k,
+        return_lse=True, interpret=interpret,
     )
     return out, (q, k, v, alibi_slopes, out, lse)
 
 
 def _vjp_bwd(
-    causal, sm_scale, window, softcap, block_q, block_k, interpret, res, g
+    causal, sm_scale, window, softcap, block_q, block_k, inner_k, interpret,
+    res, g
 ):
     from vllm_flash_attn_tpu.kernels.flash_backward import mha_backward
 
@@ -358,7 +418,7 @@ _flash_attention_vjp.defvjp(_vjp_fwd, _vjp_bwd)
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "window", "softcap", "block_q", "block_k",
-        "return_lse", "interpret",
+        "inner_k", "return_lse", "interpret",
     ),
 )
 def flash_attention(
@@ -371,8 +431,9 @@ def flash_attention(
     sm_scale: Optional[float] = None,
     window: Tuple[int, int] = (-1, -1),
     softcap: float = 0.0,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 1024,
+    block_k: int = 1024,
+    inner_k: int = 0,  # 0 = single chunk (measured best on v5e)
     return_lse: bool = False,
     interpret: Optional[bool] = None,
 ):
@@ -391,7 +452,7 @@ def flash_attention(
         return _flash_attention_impl(
             q, k, v, alibi_slopes, causal=causal, sm_scale=sm_scale,
             window=window, softcap=softcap, block_q=block_q, block_k=block_k,
-            return_lse=True, interpret=interpret,
+            inner_k=inner_k, return_lse=True, interpret=interpret,
         )
     if alibi_slopes is None:
         alibi_norm = jnp.zeros((0, 0), jnp.float32)
@@ -403,5 +464,5 @@ def flash_attention(
         alibi_norm = jnp.asarray(alibi_slopes, jnp.float32)
     return _flash_attention_vjp(
         q, k, v, alibi_norm, causal, float(sm_scale), tuple(window),
-        float(softcap), block_q, block_k, interpret,
+        float(softcap), block_q, block_k, inner_k, interpret,
     )
