@@ -54,10 +54,10 @@ def bench_decode(ctx=2048, batch=8, h=32, h_k=32, d=128, page_size=16):
     pages_per_seq = ctx // page_size
     num_pages = batch * pages_per_seq
     kp = jnp.asarray(
-        rng.standard_normal((h_k, num_pages, page_size, d)), jnp.bfloat16
+        rng.standard_normal((num_pages, page_size, h_k, d)), jnp.bfloat16
     )
     vp = jnp.asarray(
-        rng.standard_normal((h_k, num_pages, page_size, d)), jnp.bfloat16
+        rng.standard_normal((num_pages, page_size, h_k, d)), jnp.bfloat16
     )
     bt = jnp.asarray(
         rng.permutation(num_pages).reshape(batch, pages_per_seq).astype(np.int32)

@@ -21,8 +21,8 @@ def make_paged_cache(rng, b, lengths, h_k, d, page_size, dtype, overalloc=3):
     num_pages = b * pages_per_seq * overalloc
     perm = rng.permutation(num_pages)[: b * pages_per_seq]
     block_tables = perm.reshape(b, pages_per_seq).astype(np.int32)
-    k_pages = rng.standard_normal((h_k, num_pages, page_size, d)).astype(np.float32)
-    v_pages = rng.standard_normal((h_k, num_pages, page_size, d)).astype(np.float32)
+    k_pages = rng.standard_normal((num_pages, page_size, h_k, d)).astype(np.float32)
+    v_pages = rng.standard_normal((num_pages, page_size, h_k, d)).astype(np.float32)
     return (
         jnp.asarray(k_pages, dtype),
         jnp.asarray(v_pages, dtype),
@@ -31,15 +31,15 @@ def make_paged_cache(rng, b, lengths, h_k, d, page_size, dtype, overalloc=3):
 
 
 def dense_view(pages, block_tables, lengths):
-    """(h, pages, ps, d) + table -> list of (len_i, h, d) dense per-seq arrays."""
-    h, _, ps, d = pages.shape
+    """(pages, ps, h, d) + table -> list of (len_i, h, d) dense per-seq arrays."""
+    _, ps, h, d = pages.shape
     out = []
     p = np.asarray(pages)
     bt = np.asarray(block_tables)
     for i, L in enumerate(lengths):
         npg = -(-L // ps) if L else 1
-        gathered = p[:, bt[i, :npg]].reshape(h, npg * ps, d)[:, :L]
-        out.append(gathered.transpose(1, 0, 2))  # (L, h, d)
+        gathered = p[bt[i, :npg]].reshape(npg * ps, h, d)[:L]
+        out.append(gathered)  # (L, h, d)
     return out
 
 
@@ -147,10 +147,10 @@ def test_append_exactness():
     for i, L in enumerate(lengths):
         for t in range(L, L + s_new):
             touched.add((int(np.asarray(bt)[i, t // ps]), t % ps))
-    for pg in range(k0.shape[1]):
+    for pg in range(k0.shape[0]):
         for sl in range(ps):
             if (pg, sl) not in touched:
-                np.testing.assert_array_equal(k0[:, pg, sl], k2n[:, pg, sl])
+                np.testing.assert_array_equal(k0[pg, sl], k2n[pg, sl])
 
 
 def test_gather_kv_paged():

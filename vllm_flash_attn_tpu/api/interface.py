@@ -19,9 +19,8 @@ functional model, all documented per-function:
 Layouts follow the reference: batch APIs take (batch, seqlen, nheads, d),
 varlen APIs take (total, nheads, d), paged caches are
 (num_blocks, page_block_size, nheads_k, d) (flash_attn_interface.py:1183-1187).
-The kernels use TPU-native head-major layouts internally; the serving path
-(vllm_flash_attn_tpu/serving) skips the transposes by using native layouts
-directly.
+The paged cache layout is shared verbatim with the kernels (a page is one
+contiguous DMA covering all kv heads), so the kvcache path is zero-copy.
 """
 
 from __future__ import annotations
@@ -165,16 +164,15 @@ def flash_attn_varlen_func(
         # per-sequence gaps, then reuse the varlen kernel via seqused_k.
         b = block_table.shape[0]
         nb_, ps, h_k, d = k.shape
-        k_pages = k.transpose(2, 0, 1, 3)  # (h_k, num_blocks, ps, d)
-        v_pages = v.transpose(2, 0, 1, 3)
         lens = (
             jnp.asarray(seqused_k, jnp.int32)
             if seqused_k is not None
             else cu_k[1:] - cu_k[:-1]
         )
-        kd, vd = gather_kv_paged(k_pages, v_pages, block_table, max_seqlen_k)
-        k_stream = kd.transpose(1, 0, 2, 3).reshape(kd.shape[1], -1, d)
-        v_stream = vd.transpose(1, 0, 2, 3).reshape(vd.shape[1], -1, d)
+        kd, vd = gather_kv_paged(k, v, block_table, max_seqlen_k)
+        # (b, h_k, len, d) -> head-major packed stream (h_k, b*len, d)
+        k_stream = kd.transpose(1, 0, 2, 3).reshape(h_k, -1, d)
+        v_stream = vd.transpose(1, 0, 2, 3).reshape(h_k, -1, d)
         cu_k_stream = jnp.arange(b + 1, dtype=jnp.int32) * max_seqlen_k
         out = flash_attention_varlen(
             _thd_to_htd(q), k_stream, v_stream,
@@ -288,17 +286,17 @@ def flash_attn_with_kvcache(
     if paged:
         assert cache_batch_idx is None, "paged cache excludes cache_batch_idx"
         nb_, ps, h_k, _ = k_cache.shape
-        k_pages = k_cache.transpose(2, 0, 1, 3)  # native head-major
-        v_pages = v_cache.transpose(2, 0, 1, 3)
+        k_pages = k_cache  # reference layout IS the kernel layout — zero copy
+        v_pages = v_cache
         tables = jnp.asarray(block_table, jnp.int32)
     else:
+        # contiguous cache (b_c, s_max, h_k, d): a pure reshape makes it a
+        # paged cache with implicit per-row tables — zero copy.
         b_c, s_max, h_k, _ = k_cache.shape
         ps = _pick_page_view(s_max)
         npg = s_max // ps
-        k_pages = k_cache.reshape(b_c, npg, ps, h_k, d).transpose(3, 0, 1, 2, 4)
-        k_pages = k_pages.reshape(h_k, b_c * npg, ps, d)
-        v_pages = v_cache.reshape(b_c, npg, ps, h_k, d).transpose(3, 0, 1, 2, 4)
-        v_pages = v_pages.reshape(h_k, b_c * npg, ps, d)
+        k_pages = k_cache.reshape(b_c * npg, ps, h_k, d)
+        v_pages = v_cache.reshape(b_c * npg, ps, h_k, d)
         idx = (
             jnp.asarray(cache_batch_idx, jnp.int32)
             if cache_batch_idx is not None
@@ -353,8 +351,7 @@ def flash_attn_with_kvcache(
     else:
         # multi-token query (speculative verify / chunked prefill): gather the
         # cache and run the varlen kernel with per-sequence key counts.
-        max_len = k_pages.shape[1] // b * ps if paged else s_max
-        max_len = min(max_len, tables.shape[1] * ps)
+        max_len = min(tables.shape[1] * ps, k_pages.shape[0] * ps)
         kd, vd = gather_kv_paged(k_pages, v_pages, tables, max_len)
         k_stream = kd.transpose(1, 0, 2, 3).reshape(h_k, -1, d)
         v_stream = vd.transpose(1, 0, 2, 3).reshape(h_k, -1, d)
@@ -379,14 +376,12 @@ def flash_attn_with_kvcache(
         results = [out, lse]
     if appended:
         if paged:
-            k_ret = k_pages.transpose(1, 2, 0, 3)
-            v_ret = v_pages.transpose(1, 2, 0, 3)
+            results.append((k_pages, v_pages))
         else:
-            k_ret = (
-                k_pages.reshape(h_k, b_c, npg * ps, d).transpose(1, 2, 0, 3)
+            results.append(
+                (
+                    k_pages.reshape(b_c, s_max, h_k, d),
+                    v_pages.reshape(b_c, s_max, h_k, d),
+                )
             )
-            v_ret = (
-                v_pages.reshape(h_k, b_c, npg * ps, d).transpose(1, 2, 0, 3)
-            )
-        results.append((k_ret, v_ret))
     return tuple(results) if len(results) > 1 else results[0]

@@ -4,17 +4,21 @@ TPU-native re-design of the reference split-KV decode path
 (/root/reference/csrc/flash_attn/flash_api.cpp:671-936,
 csrc/flash_attn/src/flash_fwd_kernel.h:475-1055):
 
-- per-thread page-slice resolution (utils.h:412-428)  -> one async DMA per page,
-  all started concurrently, double-buffered against compute
-- CUDA split-KV + combine kernel                      -> sequential kv-block walk
-  per (batch, kv_head) with online softmax in VMEM; parallelism comes from the
-  (batch x kv_head x megacore) grid, and the DMA pipeline hides HBM latency
-- GQA ngroups<->seqlen_q swap (flash_api.cpp:298-305) -> the q-head group IS the
-  matmul row dimension: q arrives as (b, h_kv, q_per_kv, d)
-
-Cache layout is head-major `(num_kv_heads, num_pages, page_size, head_dim)` so a
-page DMA is one contiguous HBM stream (the reference's (num_blocks, page,
-h_k, d) layout interleaves heads; see flash_attn_interface.py:1183-1187).
+- per-thread page-slice resolution (utils.h:412-428)  -> one async DMA per page
+  fetching ALL kv heads at once (cache layout (num_pages, page_size, h_k, d) —
+  the reference's own layout, flash_attn_interface.py:1183-1187, which on TPU
+  makes each page one contiguous page_size*h_k*d stream), double-buffered
+  against compute
+- CUDA split-KV + combine kernel                      -> sequential kv-block
+  walk per batch row with online softmax in VMEM; the DMA pipeline keeps HBM
+  saturated, which is what the split-KV occupancy heuristic
+  (flash_api.cpp:154-192) buys on GPU
+- decode matvec shape                                 -> VPU broadcast-multiply
+  + axis reductions in a token-major (block_k, num_q_heads) layout: per-head
+  MXU matmuls would waste 128x on M/N padding, while the VPU form costs ~2
+  passes over the KV block and stays under the DMA time (bandwidth-bound)
+- GQA ngroups<->seqlen_q swap (flash_api.cpp:298-305) -> all q heads live in
+  the lane dimension; K/V rows are repeated across each query group in VMEM
 
 Supports: per-sequence lengths, sliding window, ALiBi, softcap, any
 page_size >= 8 (the fork's small-page support, flash_api.cpp:491).
@@ -35,59 +39,31 @@ from vllm_flash_attn_tpu.config import use_interpret
 from vllm_flash_attn_tpu.kernels.flash_prefill import DEFAULT_MASK_VALUE, MIN_LANES
 
 
-class _PageGather:
-    """Issue one async copy per KV page of a compute block (pages are
-    non-contiguous in HBM, so one strided DMA cannot fetch them)."""
-
-    def __init__(self, pages_hbm_ref, vmem_buf, sem, block_tables_ref, h, b,
-                 start_page, num_pages):
-        self._copies = []
-        for i in range(num_pages):
-            page_idx = block_tables_ref[b, start_page + i]
-            self._copies.append(
-                pltpu.make_async_copy(
-                    pages_hbm_ref.at[h, page_idx],
-                    vmem_buf.at[i],
-                    sem,
-                )
-            )
-
-    def start(self):
-        for c in self._copies:
-            c.start()
-
-    def wait(self):
-        for c in self._copies:
-            c.wait()
-
-
 def _decode_kernel(
     # scalar prefetch
     lengths_ref,  # (b,)
     block_tables_ref,  # (b, max_pages)
     # inputs
-    q_ref,  # (1, 1, q_rows, d) VMEM
-    k_pages_ref,  # (h_kv, num_pages, page_size, d) ANY/HBM
+    q_ref,  # (1, hq, d) VMEM
+    k_pages_ref,  # (num_pages, page_size, h_k, d) ANY/HBM
     v_pages_ref,
-    alibi_ref,  # SMEM (1, h_q)
+    alibi_ref,  # SMEM (1, hq) or (1, 1)
     # outputs
-    o_ref,  # (1, 1, q_rows, d)
-    lse_ref,  # (1, 1, q_rows, MIN_LANES) or None
+    o_ref,  # (1, hq, d)
+    lse_ref,  # (1, hq, MIN_LANES) or None
     # scratch
-    k_buf,  # (2, ppb, page_size, d)
+    k_buf,  # (2, ppb, page_size, h_k, d)
     v_buf,
     sems,  # DMA (2, 2)
-    m_scr,
-    l_scr,
-    acc_scr,
+    m_scr,  # (1, hq)
+    l_scr,  # (1, hq)
+    acc_scr,  # (1, hq, d)
     buf_idx_ref,  # SMEM (1,)
     *,
     batch: int,
-    num_kv_heads: int,
-    q_per_kv: int,
     page_size: int,
     pages_per_block: int,
-    num_blocks_grid: int,
+    q_per_kv: int,
     sm_scale: float,
     window: Tuple[int, int],
     has_alibi: bool,
@@ -97,59 +73,47 @@ def _decode_kernel(
     core = pl.program_id(0)
     ncores = pl.num_programs(0)
     b = pl.program_id(1) * ncores + core
-    h = pl.program_id(2)
-    i = pl.program_id(3)
+    i = pl.program_id(2)
     bk = page_size * pages_per_block
 
+    def num_blocks(b_):
+        len_ = jnp.where(b_ < batch, lengths_ref[jnp.minimum(b_, batch - 1)], 0)
+        return jnp.maximum(pl.cdiv(len_, bk), 1)  # empty seq: 1 masked block
+
     length = jnp.where(b < batch, lengths_ref[jnp.minimum(b, batch - 1)], 0)
-    nb = jnp.maximum(pl.cdiv(length, bk), 1)  # empty seq still runs 1 masked block
+    nb = num_blocks(b)
 
-    def next_indices(b_, h_, i_):
-        # grid order: b outer, h middle, i inner; advance past invalid i
-        len_n = jnp.where(
-            b_ < batch, lengths_ref[jnp.minimum(b_, batch - 1)], 0
-        )
-        nb_n = jnp.maximum(pl.cdiv(len_n, bk), 1)
-        roll_i = i_ >= nb_n
-        h2 = jnp.where(roll_i, h_ + 1, h_)
-        i2 = jnp.where(roll_i, 0, i_)
-        roll_h = h2 >= num_kv_heads
-        b2 = jnp.where(roll_h, b_ + ncores, b_)
-        h3 = jnp.where(roll_h, 0, h2)
-        return b2, h3, i2
+    def next_indices(b_, i_):
+        roll = i_ >= num_blocks(b_)
+        return jnp.where(roll, b_ + ncores, b_), jnp.where(roll, 0, i_)
 
-    def start_fetch(b_, h_, i_, slot):
+    def start_fetch(b_, i_, slot):
         @pl.when(b_ < batch)
         def _():
-            start_page = i_ * pages_per_block
-            _PageGather(
-                k_pages_ref, k_buf.at[slot], sems.at[slot, 0],
-                block_tables_ref, h_, b_, start_page, pages_per_block,
-            ).start()
-            _PageGather(
-                v_pages_ref, v_buf.at[slot], sems.at[slot, 1],
-                block_tables_ref, h_, b_, start_page, pages_per_block,
-            ).start()
+            for p in range(pages_per_block):
+                page_idx = block_tables_ref[b_, i_ * pages_per_block + p]
+                pltpu.make_async_copy(
+                    k_pages_ref.at[page_idx], k_buf.at[slot, p], sems.at[slot, 0]
+                ).start()
+                pltpu.make_async_copy(
+                    v_pages_ref.at[page_idx], v_buf.at[slot, p], sems.at[slot, 1]
+                ).start()
 
-    is_first_step = jnp.logical_and(
-        jnp.logical_and(pl.program_id(1) == 0, h == 0), i == 0
-    )
+    is_first_step = jnp.logical_and(pl.program_id(1) == 0, i == 0)
 
     @pl.when(jnp.logical_and(i < nb, b < batch))
     def _run():
         @pl.when(is_first_step)
         def _prefetch_first():
             buf_idx_ref[0] = 0
-            start_fetch(b, h, i, 0)
+            start_fetch(b, i, 0)
 
         slot = buf_idx_ref[0]
+        nxt_b, nxt_i = next_indices(b, i + 1)
 
-        # prefetch next valid block into the other buffer
-        nb_, nh, ni = next_indices(b, h, i + 1)
-
-        @pl.when(nb_ < batch)
+        @pl.when(nxt_b < batch)
         def _prefetch_next():
-            start_fetch(nb_, nh, ni, 1 - slot)
+            start_fetch(nxt_b, nxt_i, 1 - slot)
 
         buf_idx_ref[0] = 1 - slot
 
@@ -159,70 +123,72 @@ def _decode_kernel(
             l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
             acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
-        # wait for all K page DMAs (each wait matches one page-sized copy)
-        for pg in range(pages_per_block):
+        for p in range(pages_per_block):
             pltpu.make_async_copy(
-                k_pages_ref.at[h, 0], k_buf.at[slot, pg], sems.at[slot, 0]
+                k_pages_ref.at[0], k_buf.at[slot, p], sems.at[slot, 0]
             ).wait()
-        k = k_buf[slot].reshape(bk, k_buf.shape[-1])  # (bk, d)
+        k = k_buf[slot].reshape(bk, k_buf.shape[-2], k_buf.shape[-1])
+        if q_per_kv > 1:
+            k = pltpu.repeat(k, q_per_kv, axis=1)  # (bk, hq, d)
 
-        q = q_ref[0, 0]  # (q_rows, d)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (q_rows, bk)
+        q = q_ref[0]  # (hq, d)
+        s = jnp.sum(
+            k.astype(jnp.float32) * q[None].astype(jnp.float32), axis=-1
+        )  # (bk, hq)
         s *= sm_scale
         if softcap > 0.0:
             s = jnp.tanh(s / softcap) * softcap
 
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * bk
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * bk
         mask = col < length
         wl, wr = window
-        # decode row position is length-1 (single new token per sequence)
+        # decode query position is length-1 (one new token per sequence)
         if wl >= 0:
             mask &= col >= length - 1 - wl
         if wr >= 0:
             mask &= col <= length - 1 + wr
 
         if has_alibi:
-            # slope per q head: rows are the q heads of this kv-head group
-            slopes = alibi_ref[0, pl.ds(h * q_per_kv, q_per_kv)]
+            slopes = alibi_ref[...]  # (1, hq)
             dist = jnp.abs((length - 1) - col).astype(jnp.float32)
-            s = s - slopes[:, None] * dist
+            s = s - slopes * dist
 
         s = jnp.where(mask, s, mask_value)
 
-        m_prev = m_scr[...]
+        m_prev = m_scr[...]  # (1, hq)
         l_prev = l_scr[...]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_cur = jnp.max(s, axis=0, keepdims=True)
         m_next = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
+        p = jnp.exp(s - m_next)
         p = jnp.where(mask, p, 0.0)
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        l_next = alpha * l_prev + jnp.sum(p, axis=0, keepdims=True)
         m_scr[...] = m_next
         l_scr[...] = l_next
 
-        # wait V, compute PV
         for pg in range(pages_per_block):
             pltpu.make_async_copy(
-                v_pages_ref.at[h, 0], v_buf.at[slot, pg], sems.at[slot, 1]
+                v_pages_ref.at[0], v_buf.at[slot, pg], sems.at[slot, 1]
             ).wait()
-        v = v_buf[slot].reshape(bk, v_buf.shape[-1])
-        pv = jax.lax.dot(
-            p.astype(jnp.float32), v.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        )
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+        v = v_buf[slot].reshape(bk, v_buf.shape[-2], v_buf.shape[-1])
+        if q_per_kv > 1:
+            v = pltpu.repeat(v, q_per_kv, axis=1)
+        pv = jnp.sum(
+            p[:, :, None] * v.astype(jnp.float32), axis=0, keepdims=True
+        )  # (1, hq, d)
+        acc_scr[...] = acc_scr[...] * alpha[0][:, None] + pv[0]
 
         @pl.when(i == nb - 1)
         def _store():
-            l = l_scr[...][:, :1]
+            l = l_scr[...]  # (1, hq)
             l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-            o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+            o_ref[...] = (acc_scr[...] * l_inv[0][:, None]).astype(o_ref.dtype)
             if lse_ref is not None:
-                m_fin = m_scr[...][:, :1]
+                m_fin = m_scr[...]
                 lse = jnp.where(l == 0.0, jnp.inf, m_fin + jnp.log(l))
-                lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+                lse_ref[...] = jnp.broadcast_to(
+                    lse[0][:, None], lse_ref.shape
+                )
 
 
 @functools.partial(
@@ -238,7 +204,7 @@ def _decode_kernel(
 )
 def paged_attention(
     q: jax.Array,  # (batch, num_q_heads, head_dim)
-    k_pages: jax.Array,  # (num_kv_heads, num_pages, page_size, head_dim)
+    k_pages: jax.Array,  # (num_pages, page_size, num_kv_heads, head_dim)
     v_pages: jax.Array,
     lengths: jax.Array,  # (batch,) int32 — keys in cache per sequence
     block_tables: jax.Array,  # (batch, max_pages_per_seq) int32
@@ -251,12 +217,12 @@ def paged_attention(
     return_lse: bool = False,
     interpret: Optional[bool] = None,
 ):
-    """Single-token decode over a paged KV cache.
+    """Single-token decode over a paged KV cache (reference cache layout).
 
     Returns out (batch, num_q_heads, head_dim) [, lse (batch, num_q_heads)].
     """
     batch, h_q, d = q.shape
-    h_kv, num_pages, page_size, _ = k_pages.shape
+    num_pages, page_size, h_kv, _ = k_pages.shape
     assert h_q % h_kv == 0
     q_per_kv = h_q // h_kv
     max_pages = block_tables.shape[1]
@@ -265,29 +231,35 @@ def paged_attention(
     if interpret is None:
         interpret = use_interpret()
     if pages_per_compute_block is None:
-        # target ~512-token compute blocks
         pages_per_compute_block = max(1, min(max_pages, 512 // page_size))
-    ppb = pages_per_compute_block
+    ppb = min(pages_per_compute_block, max_pages)
     num_blocks_grid = pl.cdiv(max_pages, ppb)
     lengths = lengths.astype(jnp.int32)
     block_tables = block_tables.astype(jnp.int32)
 
+    # pltpu.repeat tiles ([k0..kh, k0..kh]) rather than element-repeating, so
+    # q head g*qpk+r is placed at lane r*h_kv+g: lane j then pairs with kv
+    # head j % h_kv, matching the tiled K/V rows inside the kernel.
+    if q_per_kv > 1:
+        q = q.reshape(batch, h_kv, q_per_kv, d).swapaxes(1, 2).reshape(
+            batch, h_q, d
+        )
     has_alibi = alibi_slopes is not None
     if has_alibi:
         alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32).reshape(1, h_q)
+        if q_per_kv > 1:
+            alibi_slopes = (
+                alibi_slopes.reshape(h_kv, q_per_kv).swapaxes(0, 1).reshape(1, h_q)
+            )
     else:
         alibi_slopes = jnp.zeros((1, 1), jnp.float32)
-
-    q4 = q.reshape(batch, h_kv, q_per_kv, d)
 
     kernel = functools.partial(
         _decode_kernel,
         batch=batch,
-        num_kv_heads=h_kv,
-        q_per_kv=q_per_kv,
         page_size=page_size,
         pages_per_block=ppb,
-        num_blocks_grid=num_blocks_grid,
+        q_per_kv=q_per_kv,
         sm_scale=float(sm_scale),
         window=tuple(int(w) for w in window),
         has_alibi=has_alibi,
@@ -300,23 +272,22 @@ def paged_attention(
             body(l_r, bt_r, q_r, k_r, v_r, a_r, o_r, None, *scr)
 
     ncores = 1  # megacore split reserved (v5e has a single TensorCore)
-    grid = (ncores, batch, h_kv, num_blocks_grid)
+    grid = (ncores, batch, num_blocks_grid)
 
-    out_shape = [jax.ShapeDtypeStruct((batch, h_kv, q_per_kv, d), q.dtype)]
+    out_shape = [jax.ShapeDtypeStruct((batch, h_q, d), q.dtype)]
     out_specs = [
         pl.BlockSpec(
-            (1, 1, q_per_kv, d),
-            lambda c, b, h, i, *refs, nc=ncores: (b * nc + c, h, 0, 0),
+            (1, h_q, d), lambda c, b, i, *refs, nc=ncores: (b * nc + c, 0, 0)
         )
     ]
     if return_lse:
         out_shape.append(
-            jax.ShapeDtypeStruct((batch, h_kv, q_per_kv, MIN_LANES), jnp.float32)
+            jax.ShapeDtypeStruct((batch, h_q, MIN_LANES), jnp.float32)
         )
         out_specs.append(
             pl.BlockSpec(
-                (1, 1, q_per_kv, MIN_LANES),
-                lambda c, b, h, i, *refs, nc=ncores: (b * nc + c, h, 0, 0),
+                (1, h_q, MIN_LANES),
+                lambda c, b, i, *refs, nc=ncores: (b * nc + c, 0, 0),
             )
         )
 
@@ -325,8 +296,7 @@ def paged_attention(
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, 1, q_per_kv, d),
-                lambda c, b, h, i, *refs, nc=ncores: (b * nc + c, h, 0, 0),
+                (1, h_q, d), lambda c, b, i, *refs, nc=ncores: (b * nc + c, 0, 0)
             ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -334,12 +304,12 @@ def paged_attention(
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, ppb, page_size, d), k_pages.dtype),
-            pltpu.VMEM((2, ppb, page_size, d), v_pages.dtype),
+            pltpu.VMEM((2, ppb, page_size, h_kv, d), k_pages.dtype),
+            pltpu.VMEM((2, ppb, page_size, h_kv, d), v_pages.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.VMEM((q_per_kv, MIN_LANES), jnp.float32),
-            pltpu.VMEM((q_per_kv, MIN_LANES), jnp.float32),
-            pltpu.VMEM((q_per_kv, d), jnp.float32),
+            pltpu.VMEM((1, h_q), jnp.float32),
+            pltpu.VMEM((1, h_q), jnp.float32),
+            pltpu.VMEM((1, h_q, d), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
         ],
     )
@@ -349,12 +319,22 @@ def paged_attention(
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(lengths, block_tables, q4, k_pages, v_pages, alibi_slopes)
+    )(lengths, block_tables, q, k_pages, v_pages, alibi_slopes)
+
+    def unshuffle(x):
+        if q_per_kv > 1:
+            return (
+                x.reshape(batch, q_per_kv, h_kv, *x.shape[2:])
+                .swapaxes(1, 2)
+                .reshape(batch, h_q, *x.shape[2:])
+            )
+        return x
 
     if return_lse:
         out, lse = results
-        return out.reshape(batch, h_q, d), lse[..., 0].reshape(batch, h_q)
-    return results[0].reshape(batch, h_q, d)
+        return unshuffle(out), unshuffle(lse[..., 0:1])[..., 0]
+    return unshuffle(results[0])

@@ -74,8 +74,8 @@ def sharded_paged_attention(
             mesh=mesh,
             in_specs=(
                 P(data_axis, model_axis, None),       # q (b, h, d)
-                P(model_axis, None, None, None),      # k_pages (h_kv, ...)
-                P(model_axis, None, None, None),      # v_pages
+                P(None, None, model_axis, None),      # k_pages (pages, ps, h_kv, d)
+                P(None, None, model_axis, None),      # v_pages
                 P(data_axis),                         # lengths
                 P(data_axis, None),                   # block_tables
             ),
