@@ -82,13 +82,17 @@ class MHA:
         return q, k, v
 
     def apply(self, params, x, inference_params=None, alibi_slopes=None):
-        """x: (b, s, embed_dim). With inference_params (utils.generation
-        .InferenceParams), runs the kv-cache decode path."""
+        """x: (b, s, embed_dim). inference_params: either
+        utils.generation.InferenceParams (contiguous cache) or
+        serving.cache.PagedState (paged continuous-batching cache)."""
         b, s, _ = x.shape
         qkv = jnp.einsum("bsd,od->bso", x, params["Wqkv"]["weight"])
         if "bias" in params["Wqkv"]:
             qkv = qkv + params["Wqkv"]["bias"]
         q, k, v = self._split_qkv(qkv, b, s)
+
+        if inference_params is not None and hasattr(inference_params, "k_pages"):
+            return self._apply_paged(params, q, k, v, inference_params, b, s)
 
         if inference_params is None:
             if self.rotary is not None:
@@ -115,6 +119,64 @@ class MHA:
             )
             inference_params.update_layer_cache(self.layer_idx, kc2, vc2)
 
+        ctx = ctx.reshape(b, s, self.num_heads * self.dh)
+        out = jnp.einsum("bso,do->bsd", ctx, params["out_proj"]["weight"])
+        if "bias" in params["out_proj"]:
+            out = out + params["out_proj"]["bias"]
+        return out
+
+    def _apply_paged(self, params, q, k, v, state, b, s):
+        """Continuous-batching paged path (serving.cache.PagedState).
+
+        decode: fused RoPE at position length, append one token, paged kernel.
+        prefill: RoPE over the prompt, bulk-append (padded tail masked via
+        num_new), causal flash attention over the prompt itself — the cache
+        starts empty for the admitted sequence, so no cache read is needed.
+        """
+        from vllm_flash_attn_tpu.kernels.flash_prefill import flash_attention
+        from vllm_flash_attn_tpu.kernels.kv_cache import append_kv_paged
+        from vllm_flash_attn_tpu.kernels.paged_decode import paged_attention
+
+        li = self.layer_idx
+        if self.rotary is not None:
+            cos, sin = self.rotary.tables(state.max_seqlen)
+            pos = state.lengths[:, None] + jnp.arange(s, dtype=jnp.int32)[None]
+            q = apply_rotary_emb(
+                q, cos, sin, self.rotary_interleaved, positions=pos
+            )
+            k = apply_rotary_emb(
+                k, cos, sin, self.rotary_interleaved, positions=pos
+            )
+
+        kp, vp = append_kv_paged(
+            state.k_pages[li], state.v_pages[li], k, v,
+            state.lengths, state.block_tables, num_new=state.num_new,
+        )
+        state.k_pages = jax.lax.dynamic_update_index_in_dim(
+            state.k_pages, kp, li, 0
+        )
+        state.v_pages = jax.lax.dynamic_update_index_in_dim(
+            state.v_pages, vp, li, 0
+        )
+
+        if state.mode == "decode":
+            ctx = paged_attention(
+                q[:, 0], kp, vp, state.lengths + state.num_new,
+                state.block_tables, sm_scale=self.softmax_scale,
+                window=self.window_size,
+            )[:, None]  # (b, 1, h, d)
+        else:
+            # prefill over the prompt itself (padded tail rows are discarded
+            # by the engine; under causal masking they cannot affect earlier
+            # rows)
+            ctx = flash_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                causal=self.causal,
+                sm_scale=self.softmax_scale,
+                window=self.window_size,
+            ).transpose(0, 2, 1, 3)
         ctx = ctx.reshape(b, s, self.num_heads * self.dh)
         out = jnp.einsum("bso,do->bsd", ctx, params["out_proj"]["weight"])
         if "bias" in params["out_proj"]:

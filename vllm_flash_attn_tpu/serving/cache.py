@@ -1,0 +1,55 @@
+"""Paged KV-cache container threaded through jitted serving steps.
+
+The device-side half of the continuous-batching runtime: per-layer page pools
+stacked into single arrays (n_layer, num_pages, page_size, h_kv, head_dim) so
+a whole-model step is one pytree in / one pytree out, with the cache buffers
+donated for in-place XLA updates. Host-side page accounting lives in
+serving/page_allocator.py (C++).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class PagedState:
+    """Per-step view of the paged cache (a jax pytree; `mode` is static).
+
+    mode: "decode" (one new token per active sequence) or "prefill"
+    (multi-token; `num_new` masks padded tail tokens out of the append).
+    """
+
+    k_pages: jax.Array  # (n_layer, num_pages, page_size, h_kv, d)
+    v_pages: jax.Array
+    lengths: jax.Array  # (b,) int32 — tokens in cache BEFORE this step
+    block_tables: jax.Array  # (b, max_pages) int32
+    num_new: jax.Array  # (b,) int32 — tokens this step appends per sequence
+    mode: str = "decode"
+
+    @property
+    def max_seqlen(self) -> int:
+        return self.block_tables.shape[1] * self.k_pages.shape[2]
+
+    @staticmethod
+    def allocate(
+        n_layer: int,
+        num_pages: int,
+        page_size: int,
+        n_heads_kv: int,
+        head_dim: int,
+        dtype=jnp.bfloat16,
+    ):
+        shape = (n_layer, num_pages, page_size, n_heads_kv, head_dim)
+        return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+jax.tree_util.register_dataclass(
+    PagedState,
+    data_fields=["k_pages", "v_pages", "lengths", "block_tables", "num_new"],
+    meta_fields=["mode"],
+)

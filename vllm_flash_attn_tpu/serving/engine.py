@@ -1,0 +1,242 @@
+"""Continuous-batching serving engine (paged KV cache).
+
+The reference stops at the kernel API — vLLM supplies the serving loop above
+it. Here the loop is part of the framework (SURVEY.md §7 layer 6): a
+C++ page allocator handles the host-side scheduling tick
+(serving/page_allocator.py), two jitted device programs handle compute:
+
+- prefill: one admitted request at a time, prompt padded to a shape bucket
+  (recompile cap), K/V bulk-appended into its pages, causal flash attention
+- decode: ALL slots every step in one fixed-shape program (inactive slots ride
+  along with length 0 — paged_attention outputs zeros for them), caches
+  donated so XLA updates pages in place
+
+Preemption: if a decode-step page allocation fails, the youngest sequence is
+evicted and its request requeued from scratch (restart-on-preempt, the
+simple half of vLLM's recompute policy).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_flash_attn_tpu.serving.cache import PagedState
+from vllm_flash_attn_tpu.serving.page_allocator import PageAllocator
+
+
+@dataclasses.dataclass
+class Request:
+    request_id: int
+    prompt_tokens: List[int]
+    max_new_tokens: int = 64
+    eos_token_id: Optional[int] = None
+    output_tokens: List[int] = dataclasses.field(default_factory=list)
+    finished: bool = False
+
+
+def _bucket(n: int, buckets=(32, 64, 128, 256, 512, 1024, 2048, 4096)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return -(-n // 1024) * 1024
+
+
+class LLMEngine:
+    def __init__(
+        self,
+        model,
+        params,
+        *,
+        page_size: int = 16,
+        num_pages: int = 4096,
+        max_seqs: int = 8,
+        max_pages_per_seq: int = 256,
+        cache_dtype=None,
+    ):
+        self.model = model
+        self.params = params
+        c = model.config
+        self.h_kv = c.n_head_kv or c.n_head
+        self.dh = c.n_embd // c.n_head
+        self.vocab = c.vocab_size
+        self.page_size = page_size
+        self.max_seqs = max_seqs
+        self.max_pages_per_seq = max_pages_per_seq
+        if cache_dtype is None:
+            cache_dtype = jax.tree_util.tree_leaves(params)[0].dtype
+        self.k_pages, self.v_pages = PagedState.allocate(
+            c.n_layer, num_pages, page_size, self.h_kv, self.dh, cache_dtype
+        )
+        self.allocator = PageAllocator(
+            num_pages, max_seqs, max_pages_per_seq, page_size
+        )
+        self.pending: List[Request] = []
+        self.active: Dict[int, Request] = {}  # slot -> request
+        self._admit_order: List[int] = []
+        self._last_token = np.zeros((max_seqs,), np.int32)
+        self._decode_fn = None
+        self._prefill_fns = {}
+
+    # ------------------------------------------------------------- device fns
+
+    def _build_decode(self):
+        model, vocab = self.model, self.vocab
+
+        def step(params, tokens, kc, vc, lengths, tables, num_new):
+            state = PagedState(kc, vc, lengths, tables, num_new, "decode")
+            logits = model.apply(
+                params, tokens, inference_params=state, num_last_tokens=1
+            )
+            return logits[:, 0, :vocab], state.k_pages, state.v_pages
+
+        return jax.jit(step, donate_argnums=(2, 3))
+
+    def _build_prefill(self, padded_len):
+        model, vocab = self.model, self.vocab
+
+        def step(params, ids, kc, vc, tables, true_len):
+            lengths = jnp.zeros((1,), jnp.int32)
+            num_new = true_len[None]
+            state = PagedState(kc, vc, lengths, tables, num_new, "prefill")
+            logits = model.apply(params, ids, inference_params=state)
+            last = logits[0, true_len - 1, :vocab]
+            return last, state.k_pages, state.v_pages
+
+        return jax.jit(step, donate_argnums=(2, 3))
+
+    # -------------------------------------------------------------- scheduling
+
+    def add_request(self, req: Request):
+        self.pending.append(req)
+
+    def _admit_one(self) -> bool:
+        if not self.pending:
+            return False
+        req = self.pending[0]
+        L = len(req.prompt_tokens)
+        need_pages = -(-L // self.page_size) + 1
+        if self.allocator.num_free_pages() < need_pages:
+            return False
+        slot = self.allocator.alloc_seq()
+        if slot < 0:
+            return False
+        self.pending.pop(0)
+        assert self.allocator.extend(slot, L) == L
+        tables, _ = self.allocator.gather([slot])
+
+        padded = _bucket(L)
+        if padded not in self._prefill_fns:
+            self._prefill_fns[padded] = self._build_prefill(padded)
+        ids = np.zeros((1, padded), np.int32)
+        ids[0, :L] = req.prompt_tokens
+        last_logits, self.k_pages, self.v_pages = self._prefill_fns[padded](
+            self.params,
+            jnp.asarray(ids),
+            self.k_pages,
+            self.v_pages,
+            jnp.asarray(tables),
+            jnp.asarray(L, jnp.int32),
+        )
+        tok = int(np.argmax(np.asarray(last_logits)))
+        req.output_tokens.append(tok)
+        self._last_token[slot] = tok
+        self.active[slot] = req
+        self._admit_order.append(slot)
+        self._maybe_finish(slot)
+        return True
+
+    def _maybe_finish(self, slot: int):
+        req = self.active.get(slot)
+        if req is None:
+            return
+        done = len(req.output_tokens) >= req.max_new_tokens or (
+            req.eos_token_id is not None
+            and req.output_tokens
+            and req.output_tokens[-1] == req.eos_token_id
+        )
+        if done:
+            req.finished = True
+            self.allocator.free_seq(slot)
+            del self.active[slot]
+            self._admit_order.remove(slot)
+
+    def _preempt_youngest(self):
+        slot = self._admit_order[-1]
+        req = self.active.pop(slot)
+        self._admit_order.remove(slot)
+        self.allocator.free_seq(slot)
+        req.output_tokens = []  # restart-on-preempt
+        self.pending.insert(0, req)
+
+    def step(self) -> List[Request]:
+        """One scheduling tick: admit then decode. Returns finished requests."""
+        finished: List[Request] = []
+        while len(self.active) < self.max_seqs and self._admit_one():
+            pass
+        for req in list(self.active.values()):
+            if req.finished:
+                finished.append(req)
+
+        if not self.active:
+            return finished
+
+        # reserve one token per active sequence (preempt on OOM)
+        while True:
+            ok = True
+            grown = []
+            for slot in list(self.active.keys()):
+                if self.allocator.extend(slot, 1) < 0:
+                    for g in grown:  # roll back this tick's growth
+                        pass  # pages already counted in lengths; preempt instead
+                    ok = False
+                    break
+                grown.append(slot)
+            if ok:
+                break
+            self._preempt_youngest()
+            if not self.active:
+                return finished
+
+        slots = np.arange(self.max_seqs, dtype=np.int32)
+        tables, lens_after = self.allocator.gather(slots)
+        active_mask = np.zeros((self.max_seqs,), bool)
+        for slot in self.active:
+            active_mask[slot] = True
+        num_new = active_mask.astype(np.int32)
+        lens_before = np.maximum(lens_after - num_new, 0)
+
+        if self._decode_fn is None:
+            self._decode_fn = self._build_decode()
+        tokens = jnp.asarray(self._last_token[:, None])
+        logits, self.k_pages, self.v_pages = self._decode_fn(
+            self.params,
+            tokens,
+            self.k_pages,
+            self.v_pages,
+            jnp.asarray(lens_before),
+            jnp.asarray(tables),
+            jnp.asarray(num_new),
+        )
+        next_tokens = np.argmax(np.asarray(logits), axis=-1)
+        for slot, req in list(self.active.items()):
+            tok = int(next_tokens[slot])
+            req.output_tokens.append(tok)
+            self._last_token[slot] = tok
+            self._maybe_finish(slot)
+            if req.finished:
+                finished.append(req)
+        return finished
+
+    def run(self, requests: List[Request]) -> List[Request]:
+        """Blocking helper: run all requests to completion."""
+        for r in requests:
+            self.add_request(r)
+        done: List[Request] = []
+        while self.pending or self.active:
+            done.extend(self.step())
+        return done
