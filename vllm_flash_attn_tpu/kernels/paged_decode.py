@@ -47,6 +47,8 @@ def _decode_kernel(
     q_ref,  # (1, hq, d) VMEM
     k_pages_ref,  # (num_pages, page_size, h_k, d) ANY/HBM
     v_pages_ref,
+    k_scales_ref,  # (num_pages, page_size, h_k) ANY/HBM or None
+    v_scales_ref,
     alibi_ref,  # SMEM (1, hq) or (1, 1)
     # outputs
     o_ref,  # (1, hq, d)
@@ -54,7 +56,9 @@ def _decode_kernel(
     # scratch
     k_buf,  # (2, ppb, page_size, h_k, d)
     v_buf,
-    sems,  # DMA (2, 2)
+    ks_buf,  # (2, ppb, page_size, h_k) fp32 or None
+    vs_buf,
+    sems,  # DMA (2, 4)
     m_scr,  # (1, hq)
     l_scr,  # (1, hq)
     acc_scr,  # (1, hq, d)
@@ -68,6 +72,7 @@ def _decode_kernel(
     window: Tuple[int, int],
     has_alibi: bool,
     softcap: float,
+    quantized: bool = False,
     mask_value: float = DEFAULT_MASK_VALUE,
 ):
     core = pl.program_id(0)
@@ -98,6 +103,15 @@ def _decode_kernel(
                 pltpu.make_async_copy(
                     v_pages_ref.at[page_idx], v_buf.at[slot, p], sems.at[slot, 1]
                 ).start()
+                if quantized:
+                    pltpu.make_async_copy(
+                        k_scales_ref.at[page_idx], ks_buf.at[slot, p],
+                        sems.at[slot, 2],
+                    ).start()
+                    pltpu.make_async_copy(
+                        v_scales_ref.at[page_idx], vs_buf.at[slot, p],
+                        sems.at[slot, 3],
+                    ).start()
 
     is_first_step = jnp.logical_and(pl.program_id(1) == 0, i == 0)
 
@@ -135,6 +149,17 @@ def _decode_kernel(
         s = jnp.sum(
             k.astype(jnp.float32) * q[None].astype(jnp.float32), axis=-1
         )  # (bk, hq)
+        if quantized:
+            # dequant folds in AFTER the d-reduction: one (bk, hq) multiply
+            for p in range(pages_per_block):
+                pltpu.make_async_copy(
+                    k_scales_ref.at[0], ks_buf.at[slot, p], sems.at[slot, 2]
+                ).wait()
+            h_kv = k_buf.shape[-2]
+            sk = ks_buf[slot].reshape(bk, ks_buf.shape[-1])[:, :h_kv]
+            if q_per_kv > 1:
+                sk = pltpu.repeat(sk, q_per_kv, axis=1)
+            s *= sk
         s *= sm_scale
         if softcap > 0.0:
             s = jnp.tanh(s / softcap) * softcap
@@ -173,6 +198,16 @@ def _decode_kernel(
         v = v_buf[slot].reshape(bk, v_buf.shape[-2], v_buf.shape[-1])
         if q_per_kv > 1:
             v = pltpu.repeat(v, q_per_kv, axis=1)
+        if quantized:
+            for pg in range(pages_per_block):
+                pltpu.make_async_copy(
+                    v_scales_ref.at[0], vs_buf.at[slot, pg], sems.at[slot, 3]
+                ).wait()
+            h_kv = v_buf.shape[-2]
+            sv = vs_buf[slot].reshape(bk, vs_buf.shape[-1])[:, :h_kv]
+            if q_per_kv > 1:
+                sv = pltpu.repeat(sv, q_per_kv, axis=1)
+            p = p * sv  # dequant folds INTO p before the PV reduction
         pv = jnp.sum(
             p[:, :, None] * v.astype(jnp.float32), axis=0, keepdims=True
         )  # (1, hq, d)
@@ -221,6 +256,15 @@ def paged_attention(
 
     Returns out (batch, num_q_heads, head_dim) [, lse (batch, num_q_heads)].
     """
+    from vllm_flash_attn_tpu.kernels.kv_quant import QuantizedPages
+
+    quantized = isinstance(k_pages, QuantizedPages)
+    if quantized:
+        k_scales, v_scales = k_pages.scales, v_pages.scales
+        k_pages, v_pages = k_pages.data, v_pages.data
+    else:
+        k_scales = v_scales = jnp.zeros((1, 1, 1), jnp.float32)
+
     batch, h_q, d = q.shape
     num_pages, page_size, h_kv, _ = k_pages.shape
     assert h_q % h_kv == 0
@@ -264,12 +308,13 @@ def paged_attention(
         window=tuple(int(w) for w in window),
         has_alibi=has_alibi,
         softcap=float(softcap),
+        quantized=quantized,
     )
     if not return_lse:
         body = kernel
 
-        def kernel(l_r, bt_r, q_r, k_r, v_r, a_r, o_r, *scr):  # noqa: F811
-            body(l_r, bt_r, q_r, k_r, v_r, a_r, o_r, None, *scr)
+        def kernel(l_r, bt_r, q_r, k_r, v_r, ks_r, vs_r, a_r, o_r, *scr):  # noqa: F811
+            body(l_r, bt_r, q_r, k_r, v_r, ks_r, vs_r, a_r, o_r, None, *scr)
 
     ncores = 1  # megacore split reserved (v5e has a single TensorCore)
     grid = (ncores, batch, num_blocks_grid)
@@ -300,13 +345,23 @@ def paged_attention(
             ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),  # k_scales
+            pl.BlockSpec(memory_space=pl.ANY),  # v_scales
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, ppb, page_size, h_kv, d), k_pages.dtype),
             pltpu.VMEM((2, ppb, page_size, h_kv, d), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM(
+                (2, ppb, page_size, 128) if quantized else (1, 1, 1, 1),
+                jnp.float32,
+            ),
+            pltpu.VMEM(
+                (2, ppb, page_size, 128) if quantized else (1, 1, 1, 1),
+                jnp.float32,
+            ),
+            pltpu.SemaphoreType.DMA((2, 4)),
             pltpu.VMEM((1, h_q), jnp.float32),
             pltpu.VMEM((1, h_q), jnp.float32),
             pltpu.VMEM((1, h_q, d), jnp.float32),
@@ -323,7 +378,7 @@ def paged_attention(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(lengths, block_tables, q, k_pages, v_pages, alibi_slopes)
+    )(lengths, block_tables, q, k_pages, v_pages, k_scales, v_scales, alibi_slopes)
 
     def unshuffle(x):
         if q_per_kv > 1:
