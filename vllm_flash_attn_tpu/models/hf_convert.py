@@ -1,0 +1,359 @@
+"""HF config converters + weight remappers for the supported model families.
+
+The reference pins one converter per family via tests/models/*
+(/root/reference/tests/models/test_{llama,falcon,gpt_neox,gptj,opt,bigcode,
+baichuan,btlm}.py, e.g. `remap_state_dict_hf_gpt2` in flash_attn.models.gpt).
+Here every family maps onto the single knob-driven GPTConfig
+(models/gpt.py); the remappers translate HuggingFace state dicts (torch or
+numpy tensors) into our param pytree.
+
+Weight layout notes:
+- our linears store (out, in) like torch.nn.Linear; HF gpt2 uses Conv1D
+  (in, out) so gpt2 weights are transposed on the way in.
+- Wqkv is [q; k; v] rows (q heads, then kv heads); families that interleave
+  per-head qkv (gpt_neox) or pack MQA tails (falcon, bigcode) are de-interleaved.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_flash_attn_tpu.models.gpt import GPTConfig
+
+
+_ACT_MAP = {
+    "gelu_new": "gelu_approx", "gelu_pytorch_tanh": "gelu_approx",
+    "gelu_fast": "gelu_approx", "gelu": "gelu", "relu": "relu", "silu": "silu",
+}
+
+
+def _act(name: str) -> str:
+    return _ACT_MAP.get(name, "gelu_approx")
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+# ------------------------------------------------------------------ configs
+
+
+def config_from_hf(hf_config) -> GPTConfig:
+    """Map a HuggingFace config object to GPTConfig by model_type."""
+    mt = hf_config.model_type
+    if mt == "gpt2":
+        return GPTConfig(
+            vocab_size=hf_config.vocab_size,
+            n_positions=hf_config.n_positions,
+            n_embd=hf_config.n_embd,
+            n_layer=hf_config.n_layer,
+            n_head=hf_config.n_head,
+            n_inner=hf_config.n_inner or 4 * hf_config.n_embd,
+            activation_function=_act(hf_config.activation_function),
+            layer_norm_epsilon=hf_config.layer_norm_epsilon,
+        )
+    if mt == "llama":
+        return GPTConfig(
+            vocab_size=hf_config.vocab_size,
+            n_positions=0,
+            n_embd=hf_config.hidden_size,
+            n_layer=hf_config.num_hidden_layers,
+            n_head=hf_config.num_attention_heads,
+            n_head_kv=getattr(
+                hf_config, "num_key_value_heads", hf_config.num_attention_heads
+            ),
+            n_inner=hf_config.intermediate_size,
+            activation_function="silu",
+            gated_mlp=True,
+            rms_norm=True,
+            layer_norm_epsilon=hf_config.rms_norm_eps,
+            rotary_emb_dim=hf_config.hidden_size // hf_config.num_attention_heads,
+            rotary_base=getattr(hf_config, "rope_theta", 10000.0),
+            qkv_proj_bias=False,
+            out_proj_bias=False,
+            mlp_fc1_bias=False,
+            mlp_fc2_bias=False,
+            tie_word_embeddings=getattr(hf_config, "tie_word_embeddings", False),
+        )
+    if mt == "gpt_neox":
+        return GPTConfig(
+            vocab_size=hf_config.vocab_size,
+            n_positions=0,
+            n_embd=hf_config.hidden_size,
+            n_layer=hf_config.num_hidden_layers,
+            n_head=hf_config.num_attention_heads,
+            n_inner=hf_config.intermediate_size,
+            activation_function=_act(hf_config.hidden_act),
+            layer_norm_epsilon=hf_config.layer_norm_eps,
+            rotary_emb_dim=int(
+                hf_config.rotary_pct
+                * (hf_config.hidden_size // hf_config.num_attention_heads)
+            ),
+            rotary_base=hf_config.rotary_emb_base,
+            parallel_block=hf_config.use_parallel_residual,
+            tie_word_embeddings=False,
+        )
+    if mt == "gptj":
+        return GPTConfig(
+            vocab_size=hf_config.vocab_size,
+            n_positions=0,
+            n_embd=hf_config.n_embd,
+            n_layer=hf_config.n_layer,
+            n_head=hf_config.n_head,
+            n_inner=hf_config.n_inner or 4 * hf_config.n_embd,
+            activation_function="gelu_approx",
+            layer_norm_epsilon=hf_config.layer_norm_epsilon,
+            rotary_emb_dim=hf_config.rotary_dim,
+            rotary_interleaved=True,
+            parallel_block=True,
+            tie_word_embeddings=False,
+        )
+    if mt == "opt":
+        return GPTConfig(
+            vocab_size=hf_config.vocab_size,
+            n_positions=hf_config.max_position_embeddings,
+            n_embd=hf_config.hidden_size,
+            n_layer=hf_config.num_hidden_layers,
+            n_head=hf_config.num_attention_heads,
+            n_inner=hf_config.ffn_dim,
+            activation_function="relu",
+        )
+    if mt == "falcon":
+        return GPTConfig(
+            vocab_size=hf_config.vocab_size,
+            n_positions=0,
+            n_embd=hf_config.hidden_size,
+            n_layer=hf_config.num_hidden_layers,
+            n_head=hf_config.num_attention_heads,
+            n_head_kv=(
+                hf_config.num_kv_heads
+                if getattr(hf_config, "new_decoder_architecture", False)
+                else (1 if getattr(hf_config, "multi_query", True) else None)
+            ),
+            n_inner=4 * hf_config.hidden_size,
+            activation_function="gelu_approx",
+            layer_norm_epsilon=hf_config.layer_norm_epsilon,
+            rotary_emb_dim=hf_config.hidden_size // hf_config.num_attention_heads,
+            parallel_block=getattr(hf_config, "parallel_attn", True),
+            qkv_proj_bias=getattr(hf_config, "bias", False),
+            out_proj_bias=getattr(hf_config, "bias", False),
+            mlp_fc1_bias=getattr(hf_config, "bias", False),
+            mlp_fc2_bias=getattr(hf_config, "bias", False),
+        )
+    if mt == "gpt_bigcode":
+        return GPTConfig(
+            vocab_size=hf_config.vocab_size,
+            n_positions=hf_config.n_positions,
+            n_embd=hf_config.n_embd,
+            n_layer=hf_config.n_layer,
+            n_head=hf_config.n_head,
+            n_head_kv=1 if hf_config.multi_query else None,
+            n_inner=hf_config.n_inner or 4 * hf_config.n_embd,
+            activation_function="gelu_approx",
+            layer_norm_epsilon=hf_config.layer_norm_epsilon,
+        )
+    raise NotImplementedError(f"model_type {mt}")
+
+
+# ------------------------------------------------------------------ remappers
+
+
+def _pad_vocab(w: np.ndarray, padded: int) -> np.ndarray:
+    if w.shape[0] == padded:
+        return w
+    return np.pad(w, ((0, padded - w.shape[0]),) + ((0, 0),) * (w.ndim - 1))
+
+
+def remap_state_dict_hf_gpt2(sd: Dict[str, Any], config: GPTConfig):
+    """HF gpt2 -> param pytree (flash_attn.models.gpt.remap_state_dict_hf_gpt2
+    analog). HF gpt2 Conv1D stores (in, out): transpose."""
+    p: Dict[str, Any] = {
+        "embeddings": {
+            "word_embeddings": jnp.asarray(
+                _pad_vocab(_np(sd["transformer.wte.weight"]), config.padded_vocab)
+            ),
+            "position_embeddings": jnp.asarray(_np(sd["transformer.wpe.weight"])),
+        },
+        "layers": [],
+        "ln_f": {
+            "weight": jnp.asarray(_np(sd["transformer.ln_f.weight"])),
+            "bias": jnp.asarray(_np(sd["transformer.ln_f.bias"])),
+        },
+    }
+    for i in range(config.n_layer):
+        pre = f"transformer.h.{i}."
+        layer = {
+            "mixer": {
+                "Wqkv": {
+                    "weight": jnp.asarray(_np(sd[pre + "attn.c_attn.weight"]).T),
+                    "bias": jnp.asarray(_np(sd[pre + "attn.c_attn.bias"])),
+                },
+                "out_proj": {
+                    "weight": jnp.asarray(_np(sd[pre + "attn.c_proj.weight"]).T),
+                    "bias": jnp.asarray(_np(sd[pre + "attn.c_proj.bias"])),
+                },
+            },
+            "mlp": {
+                "fc1": {
+                    "weight": jnp.asarray(_np(sd[pre + "mlp.c_fc.weight"]).T),
+                    "bias": jnp.asarray(_np(sd[pre + "mlp.c_fc.bias"])),
+                },
+                "fc2": {
+                    "weight": jnp.asarray(_np(sd[pre + "mlp.c_proj.weight"]).T),
+                    "bias": jnp.asarray(_np(sd[pre + "mlp.c_proj.bias"])),
+                },
+            },
+            "norm1": {
+                "weight": jnp.asarray(_np(sd[pre + "ln_1.weight"])),
+                "bias": jnp.asarray(_np(sd[pre + "ln_1.bias"])),
+            },
+            "norm2": {
+                "weight": jnp.asarray(_np(sd[pre + "ln_2.weight"])),
+                "bias": jnp.asarray(_np(sd[pre + "ln_2.bias"])),
+            },
+        }
+        p["layers"].append(layer)
+    return p
+
+
+def remap_state_dict_hf_llama(sd: Dict[str, Any], config: GPTConfig):
+    """HF llama -> param pytree (flash_attn.models.llama analog)."""
+    p: Dict[str, Any] = {
+        "embeddings": {
+            "word_embeddings": jnp.asarray(
+                _pad_vocab(
+                    _np(sd["model.embed_tokens.weight"]), config.padded_vocab
+                )
+            )
+        },
+        "layers": [],
+        "ln_f": {"weight": jnp.asarray(_np(sd["model.norm.weight"]))},
+    }
+    for i in range(config.n_layer):
+        pre = f"model.layers.{i}."
+        qw = _np(sd[pre + "self_attn.q_proj.weight"])
+        kw = _np(sd[pre + "self_attn.k_proj.weight"])
+        vw = _np(sd[pre + "self_attn.v_proj.weight"])
+        gate = _np(sd[pre + "mlp.gate_proj.weight"])
+        up = _np(sd[pre + "mlp.up_proj.weight"])
+        layer = {
+            "mixer": {
+                "Wqkv": {"weight": jnp.asarray(np.concatenate([qw, kw, vw]))},
+                "out_proj": {
+                    "weight": jnp.asarray(_np(sd[pre + "self_attn.o_proj.weight"]))
+                },
+            },
+            "mlp": {
+                "fc1": {"weight": jnp.asarray(np.concatenate([gate, up]))},
+                "fc2": {
+                    "weight": jnp.asarray(_np(sd[pre + "mlp.down_proj.weight"]))
+                },
+            },
+            "norm1": {
+                "weight": jnp.asarray(_np(sd[pre + "input_layernorm.weight"]))
+            },
+            "norm2": {
+                "weight": jnp.asarray(
+                    _np(sd[pre + "post_attention_layernorm.weight"])
+                )
+            },
+        }
+        p["layers"].append(layer)
+    if not config.tie_word_embeddings:
+        p["lm_head"] = {
+            "weight": jnp.asarray(
+                _pad_vocab(_np(sd["lm_head.weight"]), config.padded_vocab)
+            )
+        }
+    return p
+
+
+def remap_state_dict_hf_gpt_neox(sd: Dict[str, Any], config: GPTConfig):
+    """HF gpt_neox -> param pytree. NeoX packs qkv per-head interleaved:
+    (h, 3, dh, in) -> de-interleave into [q; k; v]."""
+    h, dh = config.n_head, config.n_embd // config.n_head
+    p: Dict[str, Any] = {
+        "embeddings": {
+            "word_embeddings": jnp.asarray(
+                _pad_vocab(_np(sd["gpt_neox.embed_in.weight"]), config.padded_vocab)
+            )
+        },
+        "layers": [],
+        "ln_f": {
+            "weight": jnp.asarray(_np(sd["gpt_neox.final_layer_norm.weight"])),
+            "bias": jnp.asarray(_np(sd["gpt_neox.final_layer_norm.bias"])),
+        },
+        "lm_head": {
+            "weight": jnp.asarray(
+                _pad_vocab(_np(sd["embed_out.weight"]), config.padded_vocab)
+            )
+        },
+    }
+    for i in range(config.n_layer):
+        pre = f"gpt_neox.layers.{i}."
+        w = _np(sd[pre + "attention.query_key_value.weight"])  # (3*h*dh, in)
+        b = _np(sd[pre + "attention.query_key_value.bias"])
+        w = w.reshape(h, 3, dh, -1)
+        b = b.reshape(h, 3, dh)
+        qw, kw, vw = (w[:, j].reshape(h * dh, -1) for j in range(3))
+        qb, kb, vb = (b[:, j].reshape(h * dh) for j in range(3))
+        layer = {
+            "mixer": {
+                "Wqkv": {
+                    "weight": jnp.asarray(np.concatenate([qw, kw, vw])),
+                    "bias": jnp.asarray(np.concatenate([qb, kb, vb])),
+                },
+                "out_proj": {
+                    "weight": jnp.asarray(_np(sd[pre + "attention.dense.weight"])),
+                    "bias": jnp.asarray(_np(sd[pre + "attention.dense.bias"])),
+                },
+            },
+            "mlp": {
+                "fc1": {
+                    "weight": jnp.asarray(
+                        _np(sd[pre + "mlp.dense_h_to_4h.weight"])
+                    ),
+                    "bias": jnp.asarray(_np(sd[pre + "mlp.dense_h_to_4h.bias"])),
+                },
+                "fc2": {
+                    "weight": jnp.asarray(
+                        _np(sd[pre + "mlp.dense_4h_to_h.weight"])
+                    ),
+                    "bias": jnp.asarray(_np(sd[pre + "mlp.dense_4h_to_h.bias"])),
+                },
+            },
+            "norm1": {
+                "weight": jnp.asarray(_np(sd[pre + "input_layernorm.weight"])),
+                "bias": jnp.asarray(_np(sd[pre + "input_layernorm.bias"])),
+            },
+            "norm2": {
+                "weight": jnp.asarray(
+                    _np(sd[pre + "post_attention_layernorm.weight"])
+                ),
+                "bias": jnp.asarray(
+                    _np(sd[pre + "post_attention_layernorm.bias"])
+                ),
+            },
+        }
+        p["layers"].append(layer)
+    return p
+
+
+REMAPPERS = {
+    "gpt2": remap_state_dict_hf_gpt2,
+    "llama": remap_state_dict_hf_llama,
+    "gpt_neox": remap_state_dict_hf_gpt_neox,
+}
+
+
+def from_hf(hf_model):
+    """(GPTConfig, params) from an in-memory HF model (any supported family)."""
+    config = config_from_hf(hf_model.config)
+    remap = REMAPPERS[hf_model.config.model_type]
+    sd = hf_model.state_dict()
+    return config, remap(sd, config)

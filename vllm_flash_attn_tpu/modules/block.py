@@ -61,17 +61,24 @@ class Block:
         r2 = rngs[1] if rngs is not None else None
 
         if self.parallel_block:
-            normed, residual = dropout_add_layer_norm(
-                hidden_states, residual,
+            # GPT-J/NeoX: two norms read the SAME residual stream
+            # (ln_api.cpp:484-651 parallel-residual semantics)
+            from vllm_flash_attn_tpu.ops.layer_norm import (
+                dropout_add_layer_norm_parallel_residual,
+            )
+
+            normed1, normed2, residual = dropout_add_layer_norm_parallel_residual(
+                hidden_states, None, residual,
                 params["norm1"]["weight"], params["norm1"].get("bias"),
+                params["norm2"]["weight"], params["norm2"].get("bias"),
                 dropout_p=dp1, epsilon=self.norm_epsilon, prenorm=True,
                 residual_in_fp32=self.residual_in_fp32,
                 is_rms_norm=self.rms_norm, rng=r1,
             )
             attn_out = self.mha.apply(
-                params["mixer"], normed, inference_params=inference_params
+                params["mixer"], normed1, inference_params=inference_params
             )
-            mlp_out = self.mlp.apply(params["mlp"], normed)
+            mlp_out = self.mlp.apply(params["mlp"], normed2)
             return attn_out + mlp_out, residual
 
         normed, residual = dropout_add_layer_norm(
