@@ -85,8 +85,8 @@ def test_parallel_loss_matches_serial():
 
     loss_serial = float(
         cross_entropy_loss(
-            base.apply(params, ids)[:, :-1].reshape(-1, CFG.padded_vocab),
-            labels[:, 1:].reshape(-1),
+            base.apply(params, ids).reshape(-1, CFG.padded_vocab),
+            labels.reshape(-1),
         )
     )
     pmodel = ParallelGPTLMHeadModel(CFG)

@@ -1,0 +1,138 @@
+"""Training framework tests: data pipeline, fault-tolerant resume, the full
+Trainer loop on the virtual mesh, checkpoint round trip, crash autosave."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from vllm_flash_attn_tpu.models.gpt import GPTConfig
+from vllm_flash_attn_tpu.training.callbacks import EMA, NumTokens, Perplexity
+from vllm_flash_attn_tpu.training.data import (
+    FaultTolerantSampler,
+    LMDataLoader,
+    LMDataset,
+    build_token_cache,
+    synthetic_tokens,
+)
+from vllm_flash_attn_tpu.training.trainer import TrainConfig, Trainer
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+TINY = GPTConfig(
+    vocab_size=256,
+    n_positions=0,
+    n_embd=64,
+    n_layer=2,
+    n_head=8,
+    n_head_kv=4,
+    rotary_emb_dim=8,
+    gated_mlp=True,
+    rms_norm=True,
+    qkv_proj_bias=False,
+    out_proj_bias=False,
+    mlp_fc1_bias=False,
+    mlp_fc2_bias=False,
+    activation_function="silu",
+    n_inner=128,
+)
+
+
+def test_token_cache_roundtrip(tmp_path):
+    texts = ["hello world", "foo bar baz"]
+    tok = lambda t: [ord(c) % 250 for c in t]
+    cache = build_token_cache(texts, tok, str(tmp_path / "cache.npy"), 256)
+    assert cache.dtype == np.uint16
+    assert len(cache) == len("hello world") + len("foo bar baz") + 2
+
+
+def test_dataset_windows():
+    ds = LMDataset(np.arange(100, dtype=np.uint16), seq_len=10)
+    assert len(ds) == 9
+    np.testing.assert_array_equal(ds[0], np.arange(11))
+    np.testing.assert_array_equal(ds[3], np.arange(30, 41))
+
+
+def test_sampler_exact_resume():
+    s1 = FaultTolerantSampler(17, seed=3)
+    it1 = iter(s1)
+    first = [next(it1) for _ in range(10)]
+    state = s1.state_dict()
+
+    s2 = FaultTolerantSampler(17, seed=0)
+    s2.load_state_dict(state)
+    it2 = iter(s2)
+    rest2 = [next(it2) for _ in range(10)]
+    rest1 = [next(it1) for _ in range(10)]
+    assert rest1 == rest2  # resume continues the exact stream
+    # one epoch covers every sample exactly once
+    seen = sorted(first + rest1[:7])
+    assert seen == list(range(17))
+
+
+def test_loader_sharding():
+    ds = LMDataset(np.arange(1000, dtype=np.uint16), seq_len=10)
+    l0 = LMDataLoader(ds, 4, FaultTolerantSampler(len(ds), shuffle=False),
+                      shard_id=0, num_shards=2)
+    l1 = LMDataLoader(ds, 4, FaultTolerantSampler(len(ds), shuffle=False),
+                      shard_id=1, num_shards=2)
+    b0 = next(iter(l0))
+    b1 = next(iter(l1))
+    assert b0.shape == (4, 11)
+    assert not np.intersect1d(b0[:, 0], b1[:, 0]).size
+
+
+def test_trainer_loss_descends_and_checkpoints(tmp_path):
+    cfg = TrainConfig(
+        model=TINY, seq_len=64, global_batch_size=4, max_steps=8,
+        lr=1e-2, warmup_steps=0, tp=4, sequence_parallel=True,
+        ckpt_dir=str(tmp_path / "ckpt"), ckpt_every=5, log_every=2,
+        ema_decay=0.99,
+    )
+    tokens = synthetic_tokens(256, 50_000, 0)
+    tr = Trainer(cfg, tokens)
+    assert not tr.try_resume()
+    final = tr.fit()
+    assert np.isfinite(final["loss"])
+    losses = [h["loss"] for h in tr.history]
+    assert losses[-1] < losses[0] + 0.5  # descending-ish on random data
+
+    # resume round trip: newest must be "last"; state restores bit-exact
+    tr2 = Trainer(cfg, tokens)
+    assert tr2.try_resume()
+    assert int(tr2.state.step) == 8
+    a = jax.tree_util.tree_leaves(tr.state.params)
+    b = jax.tree_util.tree_leaves(tr2.state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # evaluate runs
+    ppl = tr2.evaluate(synthetic_tokens(256, 20_000, 1), max_batches=2)
+    assert np.isfinite(ppl)
+
+
+def test_crash_autosave(tmp_path):
+    cfg = TrainConfig(
+        model=TINY, seq_len=64, global_batch_size=4, max_steps=100,
+        tp=4, ckpt_dir=str(tmp_path / "ckpt"),
+    )
+    tokens = synthetic_tokens(256, 50_000, 0)
+    tr = Trainer(cfg, tokens)
+
+    with pytest.raises(RuntimeError):
+        with tr.ckpt.autosave_on_crash(lambda: tr.state, tr._extra):
+            raise RuntimeError("boom")
+    assert tr.ckpt.newest() == "auto_save"
+    tr2 = Trainer(cfg, tokens)
+    assert tr2.try_resume()
+
+
+def test_metrics():
+    p = Perplexity()
+    p.update(np.log(4.0), 10)
+    assert abs(p.compute() - 4.0) < 1e-6
+    n = NumTokens()
+    n.update(5)
+    n.load_state_dict(n.state_dict())
+    assert n.count == 5

@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Training entry point (the reference's `python run.py experiment=...` analog,
+/root/reference/training/run.py:33-66).
+
+Config = dataclass defaults + YAML experiment file + `key=value` CLI overrides
+(dotted paths reach into the model config), replacing the Hydra compose stack:
+
+    python training_run.py experiment=configs/experiments/gpt2-small.yaml \\
+        model.n_layer=4 max_steps=200 tp=4 sequence_parallel=true
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _coerce(val: str):
+    for cast in (int, float):
+        try:
+            return cast(val)
+        except ValueError:
+            pass
+    if val.lower() in ("true", "false"):
+        return val.lower() == "true"
+    if val.lower() in ("none", "null"):
+        return None
+    return val
+
+
+def parse_overrides(argv):
+    exp, overrides = None, {}
+    for arg in argv:
+        key, _, val = arg.partition("=")
+        if key == "experiment":
+            exp = val
+        else:
+            overrides[key] = _coerce(val)
+    return exp, overrides
+
+
+def apply_overrides(cfg, overrides):
+    for key, val in overrides.items():
+        obj = cfg
+        parts = key.split(".")
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        if not hasattr(obj, parts[-1]):
+            raise KeyError(f"unknown config key: {key}")
+        setattr(obj, parts[-1], val)
+
+
+def load_experiment(cfg, path: str):
+    import yaml  # pyyaml ships with the base image via transformers deps
+
+    data = yaml.safe_load(Path(path).read_text()) or {}
+    model = data.pop("model", {})
+    for k, v in model.items():
+        setattr(cfg.model, k, v)
+    for k, v in data.items():
+        setattr(cfg, k, v)
+
+
+def main(argv=None):
+    from vllm_flash_attn_tpu.training.data import load_token_cache, synthetic_tokens
+    from vllm_flash_attn_tpu.training.trainer import TrainConfig, Trainer
+
+    argv = argv if argv is not None else sys.argv[1:]
+    exp, overrides = parse_overrides(argv)
+    cfg = TrainConfig()
+    if exp:
+        load_experiment(cfg, exp)
+    data_path = overrides.pop("data", None)
+    apply_overrides(cfg, overrides)
+
+    if data_path:
+        tokens = load_token_cache(data_path)
+    else:
+        tokens = synthetic_tokens(
+            cfg.model.vocab_size,
+            max(cfg.seq_len * cfg.global_batch_size * 64, 1 << 16),
+            cfg.seed,
+        )
+
+    trainer = Trainer(cfg, tokens)
+    resumed = trainer.try_resume()
+    print(f"[train] resumed={resumed} mesh dp={trainer.dp} tp={trainer.tp}")
+    final = trainer.fit()
+    print(json.dumps(final))
+    return final
+
+
+if __name__ == "__main__":
+    main()

@@ -166,10 +166,11 @@ class GPTLMHeadModel:
         return jnp.einsum("bsd,vd->bsv", hidden, w)
 
     def loss(self, params, input_ids, labels, rngs=None, train: bool = True):
+        """labels are position-aligned targets (already shifted: labels[t] is
+        the next token after input_ids[t]); ignore_index=-100 masks positions."""
         logits = self.apply(params, input_ids, rngs=rngs, train=train)
         return cross_entropy_loss(
-            logits[:, :-1].reshape(-1, logits.shape[-1]),
-            labels[:, 1:].reshape(-1),
+            logits.reshape(-1, logits.shape[-1]), labels.reshape(-1)
         )
 
 

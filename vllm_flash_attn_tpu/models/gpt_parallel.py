@@ -135,14 +135,15 @@ class ParallelGPTLMHeadModel:
         return jnp.einsum("bsd,vd->bsv", hidden, w)  # vocab-sharded logits
 
     def loss(self, params, input_ids, labels):
-        """Vocab-parallel CE over the sharded logits (one psum per reduction)."""
+        """Vocab-parallel CE over the sharded logits (one psum per reduction).
+        `labels` are position-aligned (pre-shifted) targets."""
         c = self.config
         logits = self.apply(params, input_ids)
         idx = jax.lax.axis_index(self.axis_name)
         vs = c.padded_vocab // jax.lax.psum(1, self.axis_name)
         return cross_entropy_loss(
-            logits[:, :-1].reshape(-1, vs),
-            labels[:, 1:].reshape(-1),
+            logits.reshape(-1, vs),
+            labels.reshape(-1),
             axis_name=self.axis_name,
             vocab_start=idx * vs,
         )

@@ -1,0 +1,138 @@
+"""Training observability callbacks (SURVEY.md §5.1, §5.5).
+
+- SpeedMonitor: intra/inter-step ms + tokens/s, sampled on log steps only
+  (/root/reference/training/src/callbacks/speed_monitor.py:12-95)
+- NormMonitor: total param/grad norms without extra device syncs — values are
+  computed inside the jitted step and read back lazily
+  (norm_monitor.py:1-4 documents the 6-7% .item() sync tax this avoids)
+- FlopCounter: analytic model FLOPs/token + achieved MFU
+  (flop_count.py + src/utils/flops.py:20-45)
+- EMA: exponential moving average of params (src/utils/ema.py:19-280)
+- Perplexity / NumTokens metrics (src/metrics/{perplexity,num_tokens}.py)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SpeedMonitor:
+    def __init__(self, log_every: int = 10):
+        self.log_every = log_every
+        self._t_last: Optional[float] = None
+        self._t_step_start: Optional[float] = None
+        self.stats: Dict[str, float] = {}
+
+    def on_step_start(self, step: int):
+        now = time.time()
+        if self._t_last is not None and step % self.log_every == 0:
+            self.stats["time/inter_step_ms"] = (now - self._t_last) * 1e3
+        self._t_step_start = now
+
+    def on_step_end(self, step: int, tokens_in_batch: int = 0):
+        now = time.time()
+        if step % self.log_every == 0 and self._t_step_start is not None:
+            dt = now - self._t_step_start
+            self.stats["time/intra_step_ms"] = dt * 1e3
+            if tokens_in_batch:
+                self.stats["throughput/tokens_per_sec"] = tokens_in_batch / dt
+        self._t_last = now
+
+
+def model_flops_per_token(n_layer, n_embd, n_head, seq_len, vocab_size,
+                          n_inner=None, gated=False) -> float:
+    """Analytic fwd+bwd FLOPs/token (6N + attention), the reference MFU
+    convention (src/utils/flops.py:20-45; attention term uses the
+    benchmarks/benchmark_flash_attention.py:27-30 causal formula)."""
+    n_inner = n_inner or 4 * n_embd
+    mlp_mult = 3 if gated else 2
+    params_per_layer = 4 * n_embd * n_embd + mlp_mult * n_embd * n_inner
+    dense = n_layer * params_per_layer + n_embd * vocab_size
+    fwd = 2 * dense + n_layer * (2 * seq_len * n_embd)  # causal attn: s/2·4·d·2
+    return 3.0 * fwd  # fwd + 2x bwd
+
+
+class FlopCounter:
+    def __init__(self, config, seq_len: int, peak_tflops: float = 197.0):
+        c = config
+        self.flops_per_token = model_flops_per_token(
+            c.n_layer, c.n_embd, c.n_head, seq_len, c.padded_vocab,
+            c.n_inner, c.gated_mlp,
+        )
+        self.peak = peak_tflops * 1e12
+
+    def mfu(self, tokens_per_sec: float) -> float:
+        return tokens_per_sec * self.flops_per_token / self.peak
+
+
+@dataclasses.dataclass
+class EMA:
+    """Exponential moving average of params (ema.py:19-280 surface:
+    update / copy_to / store / restore)."""
+
+    decay: float = 0.999
+    shadow: Any = None
+    _backup: Any = None
+
+    def update(self, params):
+        if self.shadow is None:
+            self.shadow = jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.float32), params
+            )
+        else:
+            d = self.decay
+            self.shadow = jax.tree_util.tree_map(
+                lambda s, p: s * d + p.astype(jnp.float32) * (1 - d),
+                self.shadow, params,
+            )
+
+    def copy_to(self, params):
+        return jax.tree_util.tree_map(
+            lambda s, p: s.astype(p.dtype), self.shadow, params
+        )
+
+    def store(self, params):
+        self._backup = params
+
+    def restore(self):
+        return self._backup
+
+
+class Perplexity:
+    """exp(mean loss) reusing the step loss (src/metrics/perplexity.py)."""
+
+    def __init__(self):
+        self.total = 0.0
+        self.count = 0
+
+    def update(self, loss: float, n: int = 1):
+        self.total += float(loss) * n
+        self.count += n
+
+    def compute(self) -> float:
+        return float(np.exp(self.total / max(self.count, 1)))
+
+    def reset(self):
+        self.total, self.count = 0.0, 0
+
+
+class NumTokens:
+    """Monotone token counter surviving resume (src/metrics/num_tokens.py)."""
+
+    def __init__(self, start: int = 0):
+        self.count = int(start)
+
+    def update(self, n: int):
+        self.count += int(n)
+
+    def state_dict(self):
+        return {"count": self.count}
+
+    def load_state_dict(self, s):
+        self.count = int(s["count"])

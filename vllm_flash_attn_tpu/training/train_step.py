@@ -81,13 +81,14 @@ class AdamW:
             "nu": jax.tree_util.tree_map(z, params),
         }
 
-    def update(self, grads, state, params, step):
-        gnorm = jnp.sqrt(
-            sum(
-                jnp.sum(jnp.square(g.astype(jnp.float32)))
-                for g in jax.tree_util.tree_leaves(grads)
+    def update(self, grads, state, params, step, gnorm=None):
+        if gnorm is None:
+            gnorm = jnp.sqrt(
+                sum(
+                    jnp.sum(jnp.square(g.astype(jnp.float32)))
+                    for g in jax.tree_util.tree_leaves(grads)
+                )
             )
-        )
         scale = jnp.minimum(1.0, self.grad_clip / (gnorm + 1e-6))
         lr = self.lr_fn(step)
         t = step.astype(jnp.float32) + 1.0
@@ -238,7 +239,27 @@ def make_parallel_train_step(
                 else g,
                 grads,
             )
-        params, opt_state, gnorm = optimizer.update(grads, opt_state, params, step)
+        # GLOBAL grad norm: model-sharded leaves contribute their slice summed
+        # across the axis; replicated leaves once. A per-shard norm would give
+        # each shard a different clip scale and silently de-sync replicated
+        # params across the model axis.
+        sq_sharded = 0.0
+        sq_replicated = 0.0
+        flat_specs = jax.tree_util.tree_leaves(
+            specs, is_leaf=lambda x: isinstance(x, P)
+        )
+        for g, sp in zip(jax.tree_util.tree_leaves(grads), flat_specs):
+            ss = jnp.sum(jnp.square(g.astype(jnp.float32)))
+            if model_axis in jax.tree_util.tree_leaves(tuple(sp)):
+                sq_sharded = sq_sharded + ss
+            else:
+                sq_replicated = sq_replicated + ss
+        gnorm = jnp.sqrt(
+            jax.lax.psum(sq_sharded, model_axis) + sq_replicated
+        )
+        params, opt_state, gnorm = optimizer.update(
+            grads, opt_state, params, step, gnorm=gnorm
+        )
         return params, opt_state, step + 1, loss, gnorm
 
     stepped = shard_map(

@@ -1,0 +1,215 @@
+"""Training loop (the reference's src/train.py + tasks/seq.py analog).
+
+Wires: config -> model -> sharded train step (train_step.py) -> data loader ->
+callbacks -> checkpoint manager, with crash-autosave and exact-batch resume
+(SURVEY.md §5.3-5.4). Runs identically on the virtual CPU mesh and real TPU
+slices; multi-host only needs jax.distributed.initialize first
+(parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_flash_attn_tpu.models.gpt import GPTConfig, GPTLMHeadModel
+from vllm_flash_attn_tpu.models.gpt_parallel import ParallelGPTLMHeadModel
+from vllm_flash_attn_tpu.parallel.mesh import make_mesh
+from vllm_flash_attn_tpu.training.callbacks import (
+    EMA,
+    FlopCounter,
+    NumTokens,
+    Perplexity,
+    SpeedMonitor,
+)
+from vllm_flash_attn_tpu.training.checkpoint import CheckpointManager
+from vllm_flash_attn_tpu.training.data import (
+    FaultTolerantSampler,
+    LMDataLoader,
+    LMDataset,
+)
+from vllm_flash_attn_tpu.training.train_step import (
+    TrainState,
+    init_train_state,
+    make_optimizer,
+    make_parallel_train_step,
+)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    model: GPTConfig = dataclasses.field(default_factory=GPTConfig)
+    seq_len: int = 512
+    global_batch_size: int = 8
+    max_steps: int = 100
+    lr: float = 3e-4
+    weight_decay: float = 0.1
+    warmup_steps: int = 10
+    grad_clip: float = 1.0
+    dp: Optional[int] = None  # None = infer from mesh
+    tp: int = 1
+    sequence_parallel: bool = False
+    seed: int = 0
+    param_dtype: str = "float32"
+    ckpt_dir: Optional[str] = None
+    ckpt_every: int = 50
+    log_every: int = 10
+    ema_decay: Optional[float] = None
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig, tokens: np.ndarray):
+        self.cfg = cfg
+        n_dev = len(jax.devices())
+        tp = cfg.tp
+        dp = cfg.dp or (n_dev // tp)
+        assert dp * tp <= n_dev, (dp, tp, n_dev)
+        self.mesh = make_mesh((dp, tp), ("data", "model"))
+        self.dp, self.tp = dp, tp
+
+        base = GPTLMHeadModel(cfg.model)
+        full_params = base.init(
+            jax.random.PRNGKey(cfg.seed), getattr(jnp, cfg.param_dtype)
+        )
+        self.model = ParallelGPTLMHeadModel(
+            cfg.model, sequence_parallel=cfg.sequence_parallel
+        )
+        self.optimizer = make_optimizer(
+            lr=cfg.lr, weight_decay=cfg.weight_decay, grad_clip=cfg.grad_clip,
+            warmup_steps=cfg.warmup_steps, total_steps=cfg.max_steps,
+        )
+        self.state = init_train_state(
+            self.model, full_params, self.optimizer, self.mesh
+        )
+        self.step_fn = make_parallel_train_step(
+            self.model, self.optimizer, self.mesh,
+            sequence_parallel=cfg.sequence_parallel,
+        )
+
+        dataset = LMDataset(tokens, cfg.seq_len)
+        sampler = FaultTolerantSampler(len(dataset), seed=cfg.seed)
+        self.loader = LMDataLoader(dataset, cfg.global_batch_size, sampler)
+
+        self.speed = SpeedMonitor(cfg.log_every)
+        self.flops = FlopCounter(cfg.model, cfg.seq_len)
+        self.ppl = Perplexity()
+        self.num_tokens = NumTokens()
+        self.ema = EMA(cfg.ema_decay) if cfg.ema_decay else None
+        self.ckpt = (
+            CheckpointManager(cfg.ckpt_dir) if cfg.ckpt_dir else None
+        )
+        self.history: list = []
+
+    # ------------------------------------------------------------- checkpoint
+
+    def _extra(self) -> Dict[str, Any]:
+        return {
+            "sampler": self.loader.state_dict(),
+            "num_tokens": self.num_tokens.state_dict(),
+        }
+
+    def try_resume(self) -> bool:
+        """Resume from the newest checkpoint (autosave included)."""
+        if self.ckpt is None:
+            return False
+        tag = self.ckpt.newest()
+        if tag is None:
+            return False
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+            if hasattr(x, "sharding") else x,
+            self.state,
+        )
+        self.state, extra = self.ckpt.restore(tag, abstract)
+        if "sampler" in extra:
+            self.loader.load_state_dict(extra["sampler"])
+        if "num_tokens" in extra:
+            self.num_tokens.load_state_dict(extra["num_tokens"])
+        return True
+
+    # ------------------------------------------------------------------ train
+
+    def fit(self, max_steps: Optional[int] = None) -> Dict[str, float]:
+        cfg = self.cfg
+        max_steps = max_steps or cfg.max_steps
+        it = iter(self.loader)
+        run = (
+            self.ckpt.autosave_on_crash(lambda: self.state, self._extra)
+            if self.ckpt
+            else _null_ctx()
+        )
+        with run:
+            while int(self.state.step) < max_steps:
+                step = int(self.state.step)
+                self.speed.on_step_start(step)
+                batch = next(it)
+                ids = jnp.asarray(batch[:, :-1], jnp.int32)
+                labels = jnp.asarray(batch[:, 1:], jnp.int32)
+                self.state, metrics = self.step_fn(self.state, ids, labels)
+                loss = float(metrics["loss"])
+                ntok = ids.size
+                self.num_tokens.update(ntok)
+                self.ppl.update(loss, ntok)
+                self.speed.on_step_end(step, ntok)
+                if self.ema is not None:
+                    self.ema.update(self.state.params)
+                if step % cfg.log_every == 0:
+                    rec = {
+                        "step": step,
+                        "loss": loss,
+                        "grad_norm": float(metrics["grad_norm"]),
+                        "ppl": self.ppl.compute(),
+                        **self.speed.stats,
+                    }
+                    if "throughput/tokens_per_sec" in self.speed.stats:
+                        rec["mfu"] = self.flops.mfu(
+                            self.speed.stats["throughput/tokens_per_sec"]
+                        )
+                    self.history.append(rec)
+                if self.ckpt and step > 0 and step % cfg.ckpt_every == 0:
+                    self.ckpt.save(f"step_{step}", self.state, self._extra())
+        if self.ckpt:
+            self.ckpt.save("last", self.state, self._extra())
+        return self.history[-1] if self.history else {}
+
+    def evaluate(self, tokens: np.ndarray, max_batches: int = 10) -> float:
+        """Validation perplexity over a held-out stream (src/eval.py analog)."""
+        from vllm_flash_attn_tpu.training.train_step import param_specs
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        loss_fn = jax.jit(
+            shard_map(
+                self.model.loss,
+                mesh=self.mesh,
+                in_specs=(param_specs(self.model), P("data", None), P("data", None)),
+                out_specs=P(),
+                check_vma=False,
+            )
+        )
+        ds = LMDataset(tokens, self.cfg.seq_len)
+        loader = LMDataLoader(
+            ds, self.cfg.global_batch_size,
+            FaultTolerantSampler(len(ds), shuffle=False),
+        )
+        ppl = Perplexity()
+        for i, batch in enumerate(loader):
+            if i >= max_batches:
+                break
+            ids = jnp.asarray(batch[:, :-1], jnp.int32)
+            labels = jnp.asarray(batch[:, 1:], jnp.int32)
+            loss = float(loss_fn(self.state.params, ids, labels))
+            ppl.update(loss, ids.size)
+        return ppl.compute()
+
+
+class _null_ctx:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
