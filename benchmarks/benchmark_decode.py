@@ -5,6 +5,11 @@ counterpart of the reference's split-KV benchmarking (flash_api.cpp:154-192
 occupancy heuristic).
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

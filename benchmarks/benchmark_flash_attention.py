@@ -8,6 +8,11 @@ Run on TPU:  python benchmarks/benchmark_flash_attention.py
 
 import math
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -18,11 +18,11 @@ import jax
 class Config:
     # None = autodetect: run Pallas kernels in interpreter mode unless on TPU.
     interpret: bool | None = None
-    # Default kernel tile sizes; overridable per-call.
-    block_q: int = 128
-    block_k: int = 128
+    # Default kernel tile sizes (tuned on v5e); overridable per-call.
+    block_q: int = 1024
+    block_k: int = 1024
     # Decode kernel: kv tokens gathered per compute block.
-    decode_block_k: int = 256
+    decode_block_k: int = 512
 
 
 _config = Config()
