@@ -146,9 +146,16 @@ def _decode_kernel(
             k = pltpu.repeat(k, q_per_kv, axis=1)  # (bk, hq, d)
 
         q = q_ref[0]  # (hq, d)
-        s = jnp.sum(
-            k.astype(jnp.float32) * q[None].astype(jnp.float32), axis=-1
-        )  # (bk, hq)
+        if quantized:
+            # int8/fp8 payloads multiply in fp32 (scales fold in below)
+            s = jnp.sum(
+                k.astype(jnp.float32) * q[None].astype(jnp.float32), axis=-1
+            )
+        else:
+            # products in the cache dtype (packed VPU ops), reduction in fp32
+            s = jnp.sum(
+                (k * q[None].astype(k.dtype)).astype(jnp.float32), axis=-1
+            )  # (bk, hq)
         if quantized:
             # dequant folds in AFTER the d-reduction: one (bk, hq) multiply
             for p in range(pages_per_block):
@@ -208,9 +215,18 @@ def _decode_kernel(
             if q_per_kv > 1:
                 sv = pltpu.repeat(sv, q_per_kv, axis=1)
             p = p * sv  # dequant folds INTO p before the PV reduction
-        pv = jnp.sum(
-            p[:, :, None] * v.astype(jnp.float32), axis=0, keepdims=True
-        )  # (1, hq, d)
+        if quantized:
+            pv = jnp.sum(
+                p[:, :, None] * v.astype(jnp.float32), axis=0, keepdims=True
+            )
+        else:
+            # expand p's minor dim in fp32 (Mosaic 32-bit rule), then cast so
+            # the multiply runs packed
+            pv = jnp.sum(
+                (p[:, :, None].astype(v.dtype) * v).astype(jnp.float32),
+                axis=0,
+                keepdims=True,
+            )  # (1, hq, d)
         acc_scr[...] = acc_scr[...] * alpha[0][:, None] + pv[0]
 
         @pl.when(i == nb - 1)
