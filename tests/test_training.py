@@ -136,3 +136,69 @@ def test_metrics():
     n.update(5)
     n.load_state_dict(n.state_dict())
     assert n.count == 5
+
+
+def test_zero1_matches_replicated_optimizer():
+    """ZeRO-1 flat-sharded moments must produce numerically identical params
+    (elementwise math is the same; only the storage is sharded)."""
+    from vllm_flash_attn_tpu.models.gpt import GPTLMHeadModel
+    from vllm_flash_attn_tpu.models.gpt_parallel import ParallelGPTLMHeadModel
+    from vllm_flash_attn_tpu.parallel.mesh import make_mesh
+    from vllm_flash_attn_tpu.training.train_step import (
+        init_train_state,
+        make_optimizer,
+        make_parallel_train_step,
+    )
+    import jax.numpy as jnp
+
+    mesh = make_mesh((2, 4), ("data", "model"))
+    base = GPTLMHeadModel(TINY)
+    params = base.init(jax.random.PRNGKey(5))
+    pmodel = ParallelGPTLMHeadModel(TINY)
+    opt = make_optimizer(lr=1e-2, warmup_steps=0, total_steps=10)
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(0, 256, (4, 64)), jnp.int32)
+    labels = jnp.asarray(rng.integers(0, 256, (4, 64)), jnp.int32)
+
+    s_a = init_train_state(pmodel, params, opt, mesh, zero1=False)
+    step_a = make_parallel_train_step(pmodel, opt, mesh, zero1=False)
+    s_b = init_train_state(pmodel, params, opt, mesh, zero1=True)
+    step_b = make_parallel_train_step(pmodel, opt, mesh, zero1=True)
+    for _ in range(3):
+        s_a, m_a = step_a(s_a, ids, labels)
+        s_b, m_b = step_b(s_b, ids, labels)
+    assert abs(float(m_a["loss"]) - float(m_b["loss"])) < 1e-6
+    for x, y in zip(
+        jax.tree_util.tree_leaves(s_a.params),
+        jax.tree_util.tree_leaves(s_b.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=2e-6, rtol=2e-6
+        )
+
+
+def test_grad_compression_close_to_exact():
+    from vllm_flash_attn_tpu.models.gpt import GPTLMHeadModel
+    from vllm_flash_attn_tpu.models.gpt_parallel import ParallelGPTLMHeadModel
+    from vllm_flash_attn_tpu.parallel.mesh import make_mesh
+    from vllm_flash_attn_tpu.training.train_step import (
+        init_train_state,
+        make_optimizer,
+        make_parallel_train_step,
+    )
+    import jax.numpy as jnp
+
+    mesh = make_mesh((2, 4), ("data", "model"))
+    base = GPTLMHeadModel(TINY)
+    params = base.init(jax.random.PRNGKey(6))
+    pmodel = ParallelGPTLMHeadModel(TINY)
+    opt = make_optimizer(lr=1e-3, warmup_steps=0, total_steps=10)
+    rng = np.random.default_rng(6)
+    ids = jnp.asarray(rng.integers(0, 256, (4, 64)), jnp.int32)
+    labels = ids
+    state = init_train_state(pmodel, params, opt, mesh)
+    step = make_parallel_train_step(
+        pmodel, opt, mesh, grad_compress_dtype=jnp.bfloat16
+    )
+    state, metrics = step(state, ids, labels)
+    assert np.isfinite(float(metrics["loss"]))

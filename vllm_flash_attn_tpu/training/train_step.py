@@ -211,6 +211,17 @@ class TrainState:
     opt_state: Any
 
 
+def flat_param_size(local_param_example, dp: int) -> int:
+    """Per-model-shard flattened param count, padded to the data-axis size
+    (the ZeRO-1 shard grain). `local_param_example` is one TP shard's tree
+    (arrays or ShapeDtypeStructs)."""
+    total = sum(
+        int(l.size) if hasattr(l, "size") else int(jnp.prod(jnp.asarray(l.shape)))
+        for l in jax.tree_util.tree_leaves(local_param_example)
+    )
+    return -(-total // dp) * dp
+
+
 def make_parallel_train_step(
     model,  # ParallelGPTLMHeadModel
     optimizer: AdamW,
@@ -219,10 +230,22 @@ def make_parallel_train_step(
     data_axis: str = "data",
     model_axis: str = "model",
     zero1: bool = False,
+    grad_compress_dtype=None,
 ) -> Callable:
-    """Build jitted (state, input_ids, labels) -> (state, metrics)."""
+    """Build jitted (state, input_ids, labels) -> (state, metrics).
+
+    zero1: shard the AdamW moments over the data axis as ONE flat fp32 vector
+    per model shard (ZeRO-1 / ZeroRedundancyOptimizer, ddp_zero1.py:24-106):
+    each data rank updates its slice and the param deltas are all-gathered.
+    grad_compress_dtype: cast grads for the DP all-reduce (the fp16_compress
+    comm hook, ddp_comm_hooks.py:9-43 — use jnp.bfloat16 on TPU).
+    """
     specs = param_specs(model, model_axis)
-    opt_specs = {"mu": specs, "nu": specs}
+    opt_specs = (
+        {"mu": P(model_axis, data_axis), "nu": P(model_axis, data_axis)}
+        if zero1
+        else {"mu": specs, "nu": specs}
+    )
 
     def _is_replicated(path) -> bool:
         s = "/".join(str(getattr(p, "key", p)) for p in path)
@@ -231,7 +254,15 @@ def make_parallel_train_step(
     def step_fn(params, opt_state, step, input_ids, labels):
         loss, grads = jax.value_and_grad(model.loss)(params, input_ids, labels)
         loss = jax.lax.pmean(loss, data_axis)
-        grads = jax.lax.pmean(grads, data_axis)
+        if grad_compress_dtype is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.pmean(
+                    g.astype(grad_compress_dtype), data_axis
+                ).astype(g.dtype),
+                grads,
+            )
+        else:
+            grads = jax.lax.pmean(grads, data_axis)
         if sequence_parallel:
             grads = jax.tree_util.tree_map_with_path(
                 lambda path, g: jax.lax.psum(g, model_axis)
@@ -257,9 +288,14 @@ def make_parallel_train_step(
         gnorm = jnp.sqrt(
             jax.lax.psum(sq_sharded, model_axis) + sq_replicated
         )
-        params, opt_state, gnorm = optimizer.update(
-            grads, opt_state, params, step, gnorm=gnorm
-        )
+        if zero1:
+            params, opt_state = _zero1_update(
+                optimizer, grads, opt_state, params, step, gnorm, data_axis
+            )
+        else:
+            params, opt_state, _ = optimizer.update(
+                grads, opt_state, params, step, gnorm=gnorm
+            )
         return params, opt_state, step + 1, loss, gnorm
 
     stepped = shard_map(
@@ -283,6 +319,7 @@ def make_parallel_train_step(
 def init_train_state(
     parallel_model, full_params, optimizer: AdamW, mesh: Mesh,
     model_axis: str = "model",
+    zero1: bool = False,
 ) -> TrainState:
     """Shard full params into TP layout on the mesh and init optimizer state."""
     axis_size = mesh.shape[model_axis]
@@ -292,10 +329,83 @@ def init_train_state(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tp_params, specs,
         is_leaf=lambda x: isinstance(x, P),
     )
-    opt_state = jax.jit(optimizer.init)(tp_params)
+    if zero1:
+        opt_state = init_zero1_opt_state(parallel_model, full_params, mesh, model_axis)
+    else:
+        opt_state = jax.jit(optimizer.init)(tp_params)
     return TrainState(jnp.zeros((), jnp.int32), tp_params, opt_state)
 
 
 jax.tree_util.register_dataclass(
     TrainState, data_fields=["step", "params", "opt_state"], meta_fields=[]
 )
+
+
+def _zero1_update(optimizer, grads, opt_state, params, step, gnorm, data_axis):
+    """ZeRO-1 flat-shard AdamW: moments live as (1, chunk) slices per data
+    rank; each rank updates its slice of the flattened param vector and the
+    deltas are all-gathered (elementwise math identical to the replicated
+    optimizer)."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    g_leaves = jax.tree_util.tree_leaves(grads)
+    mask_leaves = jax.tree_util.tree_leaves(decay_mask(params))
+
+    flat_g = jnp.concatenate(
+        [g.astype(jnp.float32).reshape(-1) for g in g_leaves]
+    )
+    flat_p = jnp.concatenate(
+        [p.astype(jnp.float32).reshape(-1) for p in leaves]
+    )
+    flat_decay = jnp.concatenate(
+        [
+            jnp.full((p.size,), bool(m))
+            for p, m in zip(leaves, mask_leaves)
+        ]
+    )
+    mu = opt_state["mu"][0]  # (chunk,)
+    nu = opt_state["nu"][0]
+    chunk = mu.shape[0]
+    dp = jax.lax.psum(1, data_axis)
+    total_padded = chunk * dp
+    pad = total_padded - flat_g.shape[0]
+    flat_g = jnp.pad(flat_g, (0, pad))
+    flat_p = jnp.pad(flat_p, (0, pad))
+    flat_decay = jnp.pad(flat_decay, (0, pad))
+
+    idx = jax.lax.axis_index(data_axis)
+    g_s = jax.lax.dynamic_slice_in_dim(flat_g, idx * chunk, chunk)
+    p_s = jax.lax.dynamic_slice_in_dim(flat_p, idx * chunk, chunk)
+    d_s = jax.lax.dynamic_slice_in_dim(flat_decay, idx * chunk, chunk)
+
+    scale = jnp.minimum(1.0, optimizer.grad_clip / (gnorm + 1e-6))
+    g_s = g_s * scale
+    lr = optimizer.lr_fn(step)
+    t = step.astype(jnp.float32) + 1.0
+    bc1 = 1.0 - optimizer.b1 ** t
+    bc2 = 1.0 - optimizer.b2 ** t
+    mu = optimizer.b1 * mu + (1 - optimizer.b1) * g_s
+    nu = optimizer.b2 * nu + (1 - optimizer.b2) * jnp.square(g_s)
+    upd = (mu / bc1) / (jnp.sqrt(nu / bc2) + optimizer.eps)
+    upd = upd + jnp.where(d_s, optimizer.weight_decay * p_s, 0.0)
+    delta_s = lr * upd
+
+    delta = jax.lax.all_gather(delta_s, data_axis, axis=0, tiled=True)
+    new_flat = flat_p - delta
+    out, off = [], 0
+    for p in leaves:
+        out.append(new_flat[off : off + p.size].reshape(p.shape).astype(p.dtype))
+        off += p.size
+    new_params = jax.tree_util.tree_unflatten(treedef, out)
+    return new_params, {"mu": mu[None], "nu": nu[None]}
+
+
+def init_zero1_opt_state(model, full_params, mesh, model_axis: str = "model",
+                         data_axis: str = "data"):
+    """Global (tp, padded_total) fp32 moment arrays sharded P(model, data)."""
+    tp = mesh.shape[model_axis]
+    dp = mesh.shape[data_axis]
+    local = model.shard_params(full_params, tp, 0)
+    total = flat_param_size(local, dp)
+    z = jnp.zeros((tp, total), jnp.float32)
+    sh = NamedSharding(mesh, P(model_axis, data_axis))
+    return {"mu": jax.device_put(z, sh), "nu": jax.device_put(z, sh)}
