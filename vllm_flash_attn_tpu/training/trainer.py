@@ -59,6 +59,8 @@ class TrainConfig:
     ckpt_every: int = 50
     log_every: int = 10
     ema_decay: Optional[float] = None
+    zero1: bool = False
+    grad_compress: bool = False  # bf16 DP all-reduce (fp16_compress_hook analog)
 
 
 class Trainer:
@@ -83,11 +85,14 @@ class Trainer:
             warmup_steps=cfg.warmup_steps, total_steps=cfg.max_steps,
         )
         self.state = init_train_state(
-            self.model, full_params, self.optimizer, self.mesh
+            self.model, full_params, self.optimizer, self.mesh,
+            zero1=cfg.zero1,
         )
         self.step_fn = make_parallel_train_step(
             self.model, self.optimizer, self.mesh,
             sequence_parallel=cfg.sequence_parallel,
+            zero1=cfg.zero1,
+            grad_compress_dtype=jnp.bfloat16 if cfg.grad_compress else None,
         )
 
         dataset = LMDataset(tokens, cfg.seq_len)
