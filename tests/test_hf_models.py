@@ -74,3 +74,24 @@ def test_gpt_neox_sequential():
     torch.manual_seed(3)
     model = transformers.GPTNeoXForCausalLM(cfg)
     check_logits_match(model, _ids(96, seed=3))
+
+
+def test_opt():
+    cfg = transformers.OPTConfig(
+        vocab_size=96, hidden_size=48, num_hidden_layers=2,
+        num_attention_heads=4, ffn_dim=96, max_position_embeddings=64,
+        do_layer_norm_before=True, word_embed_proj_dim=48,
+    )
+    torch.manual_seed(4)
+    model = transformers.OPTForCausalLM(cfg)
+    check_logits_match(model, _ids(96, seed=4))
+
+
+def test_gptj():
+    cfg = transformers.GPTJConfig(
+        vocab_size=96, n_embd=64, n_layer=2, n_head=4, rotary_dim=16,
+        n_positions=64,
+    )
+    torch.manual_seed(5)
+    model = transformers.GPTJForCausalLM(cfg)
+    check_logits_match(model, _ids(96, seed=5), atol=1e-2, rtol=1e-2)

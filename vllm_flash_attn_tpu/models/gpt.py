@@ -163,7 +163,10 @@ class GPTLMHeadModel:
             if "lm_head" in params
             else params["embeddings"]["word_embeddings"]
         )
-        return jnp.einsum("bsd,vd->bsv", hidden, w)
+        logits = jnp.einsum("bsd,vd->bsv", hidden, w)
+        if "lm_head" in params and "bias" in params["lm_head"]:
+            logits = logits + params["lm_head"]["bias"]
+        return logits
 
     def loss(self, params, input_ids, labels, rngs=None, train: bool = True):
         """labels are position-aligned targets (already shifted: labels[t] is

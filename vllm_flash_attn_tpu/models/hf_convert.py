@@ -111,6 +111,8 @@ def config_from_hf(hf_config) -> GPTConfig:
             rotary_emb_dim=hf_config.rotary_dim,
             rotary_interleaved=True,
             parallel_block=True,
+            qkv_proj_bias=False,
+            out_proj_bias=False,
             tie_word_embeddings=False,
         )
     if mt == "opt":
@@ -344,10 +346,137 @@ def remap_state_dict_hf_gpt_neox(sd: Dict[str, Any], config: GPTConfig):
     return p
 
 
+def remap_state_dict_hf_opt(sd: Dict[str, Any], config: GPTConfig):
+    """HF opt -> param pytree. OPT quirk: learned positions carry a +2 offset
+    (HF OPTLearnedPositionalEmbedding), so rows 2: are the real table."""
+    pre = "model.decoder."
+    pos = _np(sd[pre + "embed_positions.weight"])[2:]
+    p: Dict[str, Any] = {
+        "embeddings": {
+            "word_embeddings": jnp.asarray(
+                _pad_vocab(_np(sd[pre + "embed_tokens.weight"]), config.padded_vocab)
+            ),
+            "position_embeddings": jnp.asarray(pos),
+        },
+        "layers": [],
+        "ln_f": {
+            "weight": jnp.asarray(_np(sd[pre + "final_layer_norm.weight"])),
+            "bias": jnp.asarray(_np(sd[pre + "final_layer_norm.bias"])),
+        },
+    }
+    for i in range(config.n_layer):
+        lp = f"{pre}layers.{i}."
+        qw = _np(sd[lp + "self_attn.q_proj.weight"])
+        kw = _np(sd[lp + "self_attn.k_proj.weight"])
+        vw = _np(sd[lp + "self_attn.v_proj.weight"])
+        qb = _np(sd[lp + "self_attn.q_proj.bias"])
+        kb = _np(sd[lp + "self_attn.k_proj.bias"])
+        vb = _np(sd[lp + "self_attn.v_proj.bias"])
+        p["layers"].append(
+            {
+                "mixer": {
+                    "Wqkv": {
+                        "weight": jnp.asarray(np.concatenate([qw, kw, vw])),
+                        "bias": jnp.asarray(np.concatenate([qb, kb, vb])),
+                    },
+                    "out_proj": {
+                        "weight": jnp.asarray(_np(sd[lp + "self_attn.out_proj.weight"])),
+                        "bias": jnp.asarray(_np(sd[lp + "self_attn.out_proj.bias"])),
+                    },
+                },
+                "mlp": {
+                    "fc1": {
+                        "weight": jnp.asarray(_np(sd[lp + "fc1.weight"])),
+                        "bias": jnp.asarray(_np(sd[lp + "fc1.bias"])),
+                    },
+                    "fc2": {
+                        "weight": jnp.asarray(_np(sd[lp + "fc2.weight"])),
+                        "bias": jnp.asarray(_np(sd[lp + "fc2.bias"])),
+                    },
+                },
+                "norm1": {
+                    "weight": jnp.asarray(_np(sd[lp + "self_attn_layer_norm.weight"])),
+                    "bias": jnp.asarray(_np(sd[lp + "self_attn_layer_norm.bias"])),
+                },
+                "norm2": {
+                    "weight": jnp.asarray(_np(sd[lp + "final_layer_norm.weight"])),
+                    "bias": jnp.asarray(_np(sd[lp + "final_layer_norm.bias"])),
+                },
+            }
+        )
+    return p
+
+
+def remap_state_dict_hf_gptj(sd: Dict[str, Any], config: GPTConfig):
+    """HF gptj -> param pytree (parallel block, interleaved rotary, separate
+    lm_head with bias folded away — our lm_head is bias-free like the matmul)."""
+    p: Dict[str, Any] = {
+        "embeddings": {
+            "word_embeddings": jnp.asarray(
+                _pad_vocab(_np(sd["transformer.wte.weight"]), config.padded_vocab)
+            )
+        },
+        "layers": [],
+        "ln_f": {
+            "weight": jnp.asarray(_np(sd["transformer.ln_f.weight"])),
+            "bias": jnp.asarray(_np(sd["transformer.ln_f.bias"])),
+        },
+        "lm_head": {
+            "weight": jnp.asarray(
+                _pad_vocab(_np(sd["lm_head.weight"]), config.padded_vocab)
+            ),
+            "bias": jnp.asarray(
+                np.pad(
+                    _np(sd["lm_head.bias"]),
+                    (0, config.padded_vocab - config.vocab_size),
+                )
+            ),
+        },
+    }
+    for i in range(config.n_layer):
+        pre = f"transformer.h.{i}."
+        qw = _np(sd[pre + "attn.q_proj.weight"])
+        kw = _np(sd[pre + "attn.k_proj.weight"])
+        vw = _np(sd[pre + "attn.v_proj.weight"])
+        p["layers"].append(
+            {
+                "mixer": {
+                    "Wqkv": {"weight": jnp.asarray(np.concatenate([qw, kw, vw]))},
+                    "out_proj": {
+                        "weight": jnp.asarray(_np(sd[pre + "attn.out_proj.weight"]))
+                    },
+                },
+                "mlp": {
+                    "fc1": {
+                        "weight": jnp.asarray(_np(sd[pre + "mlp.fc_in.weight"])),
+                        "bias": jnp.asarray(_np(sd[pre + "mlp.fc_in.bias"])),
+                    },
+                    "fc2": {
+                        "weight": jnp.asarray(_np(sd[pre + "mlp.fc_out.weight"])),
+                        "bias": jnp.asarray(_np(sd[pre + "mlp.fc_out.bias"])),
+                    },
+                },
+                # gptj parallel block: one LayerNorm feeds both branches; our
+                # parallel Block has norm1/norm2 — duplicate the weights
+                "norm1": {
+                    "weight": jnp.asarray(_np(sd[pre + "ln_1.weight"])),
+                    "bias": jnp.asarray(_np(sd[pre + "ln_1.bias"])),
+                },
+                "norm2": {
+                    "weight": jnp.asarray(_np(sd[pre + "ln_1.weight"])),
+                    "bias": jnp.asarray(_np(sd[pre + "ln_1.bias"])),
+                },
+            }
+        )
+    return p
+
+
 REMAPPERS = {
     "gpt2": remap_state_dict_hf_gpt2,
     "llama": remap_state_dict_hf_llama,
     "gpt_neox": remap_state_dict_hf_gpt_neox,
+    "opt": remap_state_dict_hf_opt,
+    "gptj": remap_state_dict_hf_gptj,
 }
 
 
