@@ -65,15 +65,17 @@ int32_t pa_alloc_seq(void* h) {
 }
 
 // Grow slot `s` by num_tokens; allocates pages as needed.
-// Returns new length, or -1 on OOM / overflow (state unchanged on failure).
+// Returns new length, -1 on pool OOM (preemption can recover), or -2 when the
+// sequence would exceed max_pages_per_seq (preemption can NOT recover — the
+// caller must finish/reject the sequence). State unchanged on failure.
 int32_t pa_extend(void* h, int32_t s, int32_t num_tokens) {
   auto* a = static_cast<Allocator*>(h);
-  if (s < 0 || s >= a->max_seqs || !a->used[s]) return -1;
+  if (s < 0 || s >= a->max_seqs || !a->used[s]) return -2;
   int64_t new_len = (int64_t)a->lengths[s] + num_tokens;
   int32_t need_pages =
       (int32_t)((new_len + a->page_size - 1) / a->page_size) -
       (int32_t)a->seqs[s].size();
-  if ((int32_t)a->seqs[s].size() + need_pages > a->max_pages_per_seq) return -1;
+  if ((int32_t)a->seqs[s].size() + need_pages > a->max_pages_per_seq) return -2;
   if (need_pages > (int32_t)a->free_stack.size()) return -1;
   for (int32_t i = 0; i < need_pages; ++i) {
     a->seqs[s].push_back(a->free_stack.back());
@@ -81,6 +83,22 @@ int32_t pa_extend(void* h, int32_t s, int32_t num_tokens) {
   }
   a->lengths[s] = (int32_t)new_len;
   return a->lengths[s];
+}
+
+// Shrink slot `s` by num_tokens, returning now-unused pages to the pool.
+// Returns the new length (clamped at 0), or -2 for an invalid slot.
+int32_t pa_shrink(void* h, int32_t s, int32_t num_tokens) {
+  auto* a = static_cast<Allocator*>(h);
+  if (s < 0 || s >= a->max_seqs || !a->used[s]) return -2;
+  int32_t new_len = a->lengths[s] - num_tokens;
+  if (new_len < 0) new_len = 0;
+  int32_t keep_pages = (new_len + a->page_size - 1) / a->page_size;
+  while ((int32_t)a->seqs[s].size() > keep_pages) {
+    a->free_stack.push_back(a->seqs[s].back());
+    a->seqs[s].pop_back();
+  }
+  a->lengths[s] = new_len;
+  return new_len;
 }
 
 void pa_free_seq(void* h, int32_t s) {

@@ -49,8 +49,8 @@ def test_page_allocator(force_python):
     tables, lens = pa.gather([s0, s1, 3])
     assert lens.tolist() == [13, 4, 0]
     assert len(set(tables[0][:4]) | set(tables[1][:1])) == 5  # distinct pages
-    # OOM behavior: request more than free
-    assert pa.extend(s1, 16 * 4) == -1
+    # growth past the per-seq page cap: unrecoverable error code
+    assert pa.extend(s1, 16 * 4) == -2
     assert pa.seq_length(s1) == 4  # unchanged on failure
     pa.free_seq(s0)
     assert pa.num_free_pages() == 15
@@ -90,6 +90,97 @@ def test_engine_matches_contiguous_generate():
         assert r.output_tokens == expected[r.request_id], (
             f"req {r.request_id}: {r.output_tokens} != {expected[r.request_id]}"
         )
+
+
+def test_allocator_extend_error_codes_and_shrink():
+    pa = PageAllocator(6, 2, 4, 4)
+    s0 = pa.alloc_seq()
+    assert pa.extend(s0, 15) == 15  # 4 pages = per-seq cap
+    assert pa.extend(s0, 2) == -2  # cap exceeded: unrecoverable code
+    assert pa.extend(s0, 1) == 16  # still fits the last page
+    s1 = pa.alloc_seq()
+    assert pa.extend(s1, 13) == -1  # needs 4 pages, pool has 2: OOM code
+    assert pa.seq_length(s1) == 0  # unchanged on failure
+    assert pa.shrink(s0, 9) == 7  # 16 -> 7 tokens, 4 -> 2 pages
+    assert pa.num_free_pages() == 4
+    assert pa.extend(s1, 13) == 13
+    assert pa.shrink(s1, 100) == 0  # clamped at zero, all pages returned
+    assert pa.num_free_pages() == 4
+
+
+def test_engine_mid_tick_preemption_keeps_tokens_exact():
+    """Forces extend() to fail mid-tick AFTER other slots already grew: the
+    survivors must not be double-extended (that desyncs allocator lengths
+    from cache contents and silently corrupts every later token)."""
+    model = GPTLMHeadModel(CFG)
+    params = model.init(jax.random.PRNGKey(2))
+    rng = np.random.default_rng(7)
+    # page_size 4; prompts of 8/8/7 tokens -> 6 pages at admission with 7 in
+    # the pool. First decode tick: slot0 (len 8) takes the last free page,
+    # slot1 (len 8) hits pool OOM with slot0 already grown -> preempt slot2.
+    prompts = [
+        rng.integers(0, CFG.vocab_size, (n,)).tolist() for n in (8, 8, 7)
+    ]
+    max_new = 6
+    expected = []
+    for p in prompts:
+        out = generate(
+            model, params, jnp.asarray([p], jnp.int32), max_new_tokens=max_new
+        )
+        expected.append(np.asarray(out)[0, len(p):].tolist())
+
+    engine = LLMEngine(
+        model, params, page_size=4, num_pages=7, max_seqs=3,
+        max_pages_per_seq=8,
+    )
+    done = engine.run(
+        [Request(i, p, max_new_tokens=max_new) for i, p in enumerate(prompts)]
+    )
+    assert len(done) == 3
+    for r in sorted(done, key=lambda r: r.request_id):
+        assert r.error is None
+        assert r.output_tokens == expected[r.request_id], (
+            f"req {r.request_id}: {r.output_tokens} != {expected[r.request_id]}"
+        )
+
+
+def test_engine_finishes_requests_that_complete_during_admission():
+    model = GPTLMHeadModel(CFG)
+    params = model.init(jax.random.PRNGKey(3))
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, CFG.vocab_size, (5,)).tolist() for _ in range(2)]
+    engine = LLMEngine(model, params, page_size=16, num_pages=32, max_seqs=2)
+    # max_new_tokens=1: the single output token comes from the prefill logits,
+    # so the request finishes inside _admit_one() and must still be returned
+    done = engine.run([Request(i, p, max_new_tokens=1) for i, p in enumerate(prompts)])
+    assert sorted(r.request_id for r in done) == [0, 1]
+    assert all(len(r.output_tokens) == 1 and r.finished for r in done)
+
+
+def test_engine_caps_and_rejections_do_not_livelock():
+    model = GPTLMHeadModel(CFG)
+    params = model.init(jax.random.PRNGKey(4))
+    rng = np.random.default_rng(4)
+    engine = LLMEngine(
+        model, params, page_size=4, num_pages=32, max_seqs=2,
+        max_pages_per_seq=2,  # 8-token cap per sequence
+    )
+    ok_prompt = rng.integers(0, CFG.vocab_size, (4,)).tolist()
+    big_prompt = rng.integers(0, CFG.vocab_size, (20,)).tolist()
+    done = engine.run(
+        [
+            Request(0, ok_prompt, max_new_tokens=16),  # wants past the cap
+            Request(1, big_prompt, max_new_tokens=4),  # can never be admitted
+        ]
+    )
+    by_id = {r.request_id: r for r in done}
+    assert len(done) == 2
+    # req 0: 4-token prompt, cap 8 -> decode grows 4..8 then -2: truncated
+    # with the prefill token + 4 decode tokens generated
+    assert by_id[0].error == "truncated"
+    assert len(by_id[0].output_tokens) == 5
+    assert by_id[1].error == "rejected"
+    assert by_id[1].output_tokens == []
 
 
 def test_engine_preemption_under_page_pressure():

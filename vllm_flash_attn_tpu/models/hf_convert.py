@@ -116,6 +116,20 @@ def config_from_hf(hf_config) -> GPTConfig:
             tie_word_embeddings=False,
         )
     if mt == "opt":
+        # OPT-350m-style checkpoints (post-LN, word_embed_proj_dim !=
+        # hidden_size via project_in/out) would convert to a structurally
+        # wrong model — refuse loudly rather than silently mis-map.
+        if not getattr(hf_config, "do_layer_norm_before", True):
+            raise NotImplementedError(
+                "OPT with do_layer_norm_before=False (post-LN, e.g. OPT-350m) "
+                "is not supported"
+            )
+        wepd = getattr(hf_config, "word_embed_proj_dim", hf_config.hidden_size)
+        if wepd != hf_config.hidden_size:
+            raise NotImplementedError(
+                "OPT with word_embed_proj_dim != hidden_size (project_in/out, "
+                "e.g. OPT-350m) is not supported"
+            )
         return GPTConfig(
             vocab_size=hf_config.vocab_size,
             n_positions=hf_config.max_position_embeddings,
@@ -123,7 +137,7 @@ def config_from_hf(hf_config) -> GPTConfig:
             n_layer=hf_config.num_hidden_layers,
             n_head=hf_config.num_attention_heads,
             n_inner=hf_config.ffn_dim,
-            activation_function="relu",
+            activation_function=_act(hf_config.activation_function),
         )
     if mt == "falcon":
         return GPTConfig(

@@ -37,6 +37,10 @@ class Request:
     eos_token_id: Optional[int] = None
     output_tokens: List[int] = dataclasses.field(default_factory=list)
     finished: bool = False
+    # set when the request could not run to completion: "rejected" (prompt can
+    # never fit max_pages_per_seq) or "truncated" (hit the per-seq page cap
+    # mid-decode; output_tokens holds what was generated up to the cap)
+    error: Optional[str] = None
 
 
 def _bucket(n: int, buckets=(32, 64, 128, 256, 512, 1024, 2048, 4096)) -> int:
@@ -77,6 +81,7 @@ class LLMEngine:
         )
         self.pending: List[Request] = []
         self.active: Dict[int, Request] = {}  # slot -> request
+        self._finished: List[Request] = []  # drained by step()
         self._admit_order: List[int] = []
         self._last_token = np.zeros((max_seqs,), np.int32)
         self._decode_fn = None
@@ -120,6 +125,13 @@ class LLMEngine:
         req = self.pending[0]
         L = len(req.prompt_tokens)
         need_pages = -(-L // self.page_size) + 1
+        if need_pages > self.max_pages_per_seq:
+            # can never fit — reject instead of stalling the queue forever
+            self.pending.pop(0)
+            req.finished = True
+            req.error = "rejected"
+            self._finished.append(req)
+            return True
         if self.allocator.num_free_pages() < need_pages:
             return False
         slot = self.allocator.alloc_seq()
@@ -164,6 +176,17 @@ class LLMEngine:
             self.allocator.free_seq(slot)
             del self.active[slot]
             self._admit_order.remove(slot)
+            self._finished.append(req)
+
+    def _finish_truncated(self, slot: int):
+        """Sequence hit max_pages_per_seq — preemption cannot free per-seq
+        headroom, so finish it (truncated) rather than livelocking the tick."""
+        req = self.active.pop(slot)
+        self._admit_order.remove(slot)
+        self.allocator.free_seq(slot)
+        req.finished = True
+        req.error = "truncated"
+        self._finished.append(req)
 
     def _preempt_youngest(self):
         slot = self._admit_order[-1]
@@ -172,35 +195,45 @@ class LLMEngine:
         self.allocator.free_seq(slot)
         req.output_tokens = []  # restart-on-preempt
         self.pending.insert(0, req)
+        return slot
 
     def step(self) -> List[Request]:
         """One scheduling tick: admit then decode. Returns finished requests."""
-        finished: List[Request] = []
         while len(self.active) < self.max_seqs and self._admit_one():
             pass
-        for req in list(self.active.values()):
-            if req.finished:
-                finished.append(req)
 
         if not self.active:
-            return finished
+            out, self._finished = self._finished, []
+            return out
 
-        # reserve one token per active sequence (preempt on OOM)
+        # Reserve one token per active sequence. `grown` persists across
+        # preemption retries so a slot is never extended twice in one tick
+        # (a double extend desyncs allocator lengths from cache contents).
+        grown = set()
         while True:
             ok = True
-            grown = []
             for slot in list(self.active.keys()):
-                if self.allocator.extend(slot, 1) < 0:
-                    for g in grown:  # roll back this tick's growth
-                        pass  # pages already counted in lengths; preempt instead
+                if slot in grown:
+                    continue
+                r = self.allocator.extend(slot, 1)
+                if r == -2:  # per-seq cap: unrecoverable by preemption
+                    self._finish_truncated(slot)
+                    continue
+                if r < 0:  # pool OOM: preempt and retry
                     ok = False
                     break
-                grown.append(slot)
+                grown.add(slot)
             if ok:
                 break
-            self._preempt_youngest()
+            victim = self._preempt_youngest()
+            grown.discard(victim)  # its pages were freed with the sequence
             if not self.active:
-                return finished
+                out, self._finished = self._finished, []
+                return out
+
+        if not self.active:
+            out, self._finished = self._finished, []
+            return out
 
         slots = np.arange(self.max_seqs, dtype=np.int32)
         tables, lens_after = self.allocator.gather(slots)
@@ -228,9 +261,8 @@ class LLMEngine:
             req.output_tokens.append(tok)
             self._last_token[slot] = tok
             self._maybe_finish(slot)
-            if req.finished:
-                finished.append(req)
-        return finished
+        out, self._finished = self._finished, []
+        return out
 
     def run(self, requests: List[Request]) -> List[Request]:
         """Blocking helper: run all requests to completion."""

@@ -51,6 +51,8 @@ def _build_lib() -> ctypes.CDLL | None:
     lib.pa_alloc_seq.argtypes = [ctypes.c_void_p]
     lib.pa_extend.restype = ctypes.c_int32
     lib.pa_extend.argtypes = [ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]
+    lib.pa_shrink.restype = ctypes.c_int32
+    lib.pa_shrink.argtypes = [ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]
     lib.pa_free_seq.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     lib.pa_seq_length.restype = ctypes.c_int32
     lib.pa_seq_length.argtypes = [ctypes.c_void_p, ctypes.c_int32]
@@ -122,19 +124,36 @@ class PageAllocator:
         return -1
 
     def extend(self, slot: int, num_tokens: int) -> int:
-        """Grow a sequence; returns new length or -1 on OOM (no change)."""
+        """Grow a sequence. Returns the new length, -1 on pool OOM (preemption
+        can free pages), or -2 when the per-sequence page cap would be
+        exceeded (unrecoverable — caller must finish/reject the sequence).
+        State is unchanged on failure."""
         if self._lib:
             return self._lib.pa_extend(self._h, slot, num_tokens)
         if not (0 <= slot < self.max_seqs) or not self._used[slot]:
-            return -1
+            return -2
         new_len = self._lens[slot] + num_tokens
         need = -(-new_len // self.page_size) - len(self._seqs[slot])
         if len(self._seqs[slot]) + need > self.max_pages_per_seq:
-            return -1
+            return -2
         if need > len(self._free):
             return -1
         for _ in range(need):
             self._seqs[slot].append(self._free.pop())
+        self._lens[slot] = new_len
+        return new_len
+
+    def shrink(self, slot: int, num_tokens: int) -> int:
+        """Shrink a sequence, returning now-unused pages to the pool.
+        Returns the new length (clamped at 0), or -2 for an invalid slot."""
+        if self._lib:
+            return self._lib.pa_shrink(self._h, slot, num_tokens)
+        if not (0 <= slot < self.max_seqs) or not self._used[slot]:
+            return -2
+        new_len = max(0, self._lens[slot] - num_tokens)
+        keep = -(-new_len // self.page_size)
+        while len(self._seqs[slot]) > keep:
+            self._free.append(self._seqs[slot].pop())
         self._lens[slot] = new_len
         return new_len
 

@@ -187,9 +187,15 @@ class Trainer:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
+        def _sharded_loss(params, ids, labels):
+            # model.loss only psums over 'model' (vocab-parallel CE); each data
+            # rank sees a different batch shard, so the P() out_spec is only
+            # honest after averaging over 'data' (mirrors the train step).
+            return jax.lax.pmean(self.model.loss(params, ids, labels), "data")
+
         loss_fn = jax.jit(
             shard_map(
-                self.model.loss,
+                _sharded_loss,
                 mesh=self.mesh,
                 in_specs=(param_specs(self.model), P("data", None), P("data", None)),
                 out_specs=P(),
