@@ -177,6 +177,48 @@ def test_zero1_matches_replicated_optimizer():
         )
 
 
+def test_zero2_matches_replicated_optimizer():
+    """ZeRO-2 (psum_scatter-sharded grads + flat-sharded moments) must stay
+    numerically indistinguishable from the replicated AdamW path — the grad
+    average is reassociated (scatter-reduce vs tree pmean) so allow fp32
+    reorder noise (ddp_zero2.py:27-146 parity)."""
+    from vllm_flash_attn_tpu.models.gpt import GPTLMHeadModel
+    from vllm_flash_attn_tpu.models.gpt_parallel import ParallelGPTLMHeadModel
+    from vllm_flash_attn_tpu.parallel.mesh import make_mesh
+    from vllm_flash_attn_tpu.training.train_step import (
+        init_train_state,
+        make_optimizer,
+        make_parallel_train_step,
+    )
+    import jax.numpy as jnp
+
+    mesh = make_mesh((2, 4), ("data", "model"))
+    base = GPTLMHeadModel(TINY)
+    params = base.init(jax.random.PRNGKey(6))
+    pmodel = ParallelGPTLMHeadModel(TINY)
+    opt = make_optimizer(lr=1e-2, warmup_steps=0, total_steps=10)
+    rng = np.random.default_rng(6)
+    ids = jnp.asarray(rng.integers(0, 256, (4, 64)), jnp.int32)
+    labels = jnp.asarray(rng.integers(0, 256, (4, 64)), jnp.int32)
+
+    s_a = init_train_state(pmodel, params, opt, mesh, zero1=False)
+    step_a = make_parallel_train_step(pmodel, opt, mesh, zero1=False)
+    s_b = init_train_state(pmodel, params, opt, mesh, zero1=True)
+    step_b = make_parallel_train_step(pmodel, opt, mesh, zero2=True)
+    for _ in range(5):
+        s_a, m_a = step_a(s_a, ids, labels)
+        s_b, m_b = step_b(s_b, ids, labels)
+    assert abs(float(m_a["loss"]) - float(m_b["loss"])) < 1e-5
+    assert abs(float(m_a["grad_norm"]) - float(m_b["grad_norm"])) < 1e-4
+    for x, y in zip(
+        jax.tree_util.tree_leaves(s_a.params),
+        jax.tree_util.tree_leaves(s_b.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=1e-5, rtol=1e-5
+        )
+
+
 def test_grad_compression_close_to_exact():
     from vllm_flash_attn_tpu.models.gpt import GPTLMHeadModel
     from vllm_flash_attn_tpu.models.gpt_parallel import ParallelGPTLMHeadModel

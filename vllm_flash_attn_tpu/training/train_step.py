@@ -230,6 +230,7 @@ def make_parallel_train_step(
     data_axis: str = "data",
     model_axis: str = "model",
     zero1: bool = False,
+    zero2: bool = False,
     grad_compress_dtype=None,
 ) -> Callable:
     """Build jitted (state, input_ids, labels) -> (state, metrics).
@@ -237,9 +238,14 @@ def make_parallel_train_step(
     zero1: shard the AdamW moments over the data axis as ONE flat fp32 vector
     per model shard (ZeRO-1 / ZeroRedundancyOptimizer, ddp_zero1.py:24-106):
     each data rank updates its slice and the param deltas are all-gathered.
-    grad_compress_dtype: cast grads for the DP all-reduce (the fp16_compress
+    zero2: additionally shard the GRADIENTS over the data axis — the DP
+    all-reduce becomes a psum_scatter, so no rank materializes the full
+    averaged gradient (DistributedFusedAdam, ddp_zero2.py:27-146). Implies
+    the flat-sharded optimizer state.
+    grad_compress_dtype: cast grads for the DP collective (the fp16_compress
     comm hook, ddp_comm_hooks.py:9-43 — use jnp.bfloat16 on TPU).
     """
+    zero1 = zero1 or zero2
     specs = param_specs(model, model_axis)
     opt_specs = (
         {"mu": P(model_axis, data_axis), "nu": P(model_axis, data_axis)}
@@ -251,18 +257,26 @@ def make_parallel_train_step(
         s = "/".join(str(getattr(p, "key", p)) for p in path)
         return "norm" in s or "ln_f" in s or "position_embeddings" in s
 
+    flat_specs = jax.tree_util.tree_leaves(
+        specs, is_leaf=lambda x: isinstance(x, P)
+    )
+    sharded_leaf_flags = [
+        model_axis in jax.tree_util.tree_leaves(tuple(sp)) for sp in flat_specs
+    ]
+
     def step_fn(params, opt_state, step, input_ids, labels):
         loss, grads = jax.value_and_grad(model.loss)(params, input_ids, labels)
         loss = jax.lax.pmean(loss, data_axis)
-        if grad_compress_dtype is not None:
-            grads = jax.tree_util.tree_map(
-                lambda g: jax.lax.pmean(
-                    g.astype(grad_compress_dtype), data_axis
-                ).astype(g.dtype),
-                grads,
-            )
-        else:
-            grads = jax.lax.pmean(grads, data_axis)
+        if not zero2:
+            if grad_compress_dtype is not None:
+                grads = jax.tree_util.tree_map(
+                    lambda g: jax.lax.pmean(
+                        g.astype(grad_compress_dtype), data_axis
+                    ).astype(g.dtype),
+                    grads,
+                )
+            else:
+                grads = jax.lax.pmean(grads, data_axis)
         if sequence_parallel:
             grads = jax.tree_util.tree_map_with_path(
                 lambda path, g: jax.lax.psum(g, model_axis)
@@ -270,18 +284,30 @@ def make_parallel_train_step(
                 else g,
                 grads,
             )
+        if zero2:
+            # grads stay local: the reduce happens fused with the shard
+            # inside _zero_flat_update (psum_scatter), which also computes
+            # the global grad norm from the owned chunks
+            if grad_compress_dtype is not None:
+                grads = jax.tree_util.tree_map(
+                    lambda g: g.astype(grad_compress_dtype), grads
+                )
+            params, opt_state, gnorm = _zero_flat_update(
+                optimizer, grads, opt_state, params, step, None, data_axis,
+                model_axis, zero2=True, sharded_leaf_flags=sharded_leaf_flags,
+            )
+            return params, opt_state, step + 1, loss, gnorm
         # GLOBAL grad norm: model-sharded leaves contribute their slice summed
         # across the axis; replicated leaves once. A per-shard norm would give
         # each shard a different clip scale and silently de-sync replicated
         # params across the model axis.
         sq_sharded = 0.0
         sq_replicated = 0.0
-        flat_specs = jax.tree_util.tree_leaves(
-            specs, is_leaf=lambda x: isinstance(x, P)
-        )
-        for g, sp in zip(jax.tree_util.tree_leaves(grads), flat_specs):
+        for g, sharded in zip(
+            jax.tree_util.tree_leaves(grads), sharded_leaf_flags
+        ):
             ss = jnp.sum(jnp.square(g.astype(jnp.float32)))
-            if model_axis in jax.tree_util.tree_leaves(tuple(sp)):
+            if sharded:
                 sq_sharded = sq_sharded + ss
             else:
                 sq_replicated = sq_replicated + ss
@@ -289,8 +315,9 @@ def make_parallel_train_step(
             jax.lax.psum(sq_sharded, model_axis) + sq_replicated
         )
         if zero1:
-            params, opt_state = _zero1_update(
-                optimizer, grads, opt_state, params, step, gnorm, data_axis
+            params, opt_state, _ = _zero_flat_update(
+                optimizer, grads, opt_state, params, step, gnorm, data_axis,
+                model_axis,
             )
         else:
             params, opt_state, _ = optimizer.update(
@@ -341,26 +368,34 @@ jax.tree_util.register_dataclass(
 )
 
 
-def _zero1_update(optimizer, grads, opt_state, params, step, gnorm, data_axis):
-    """ZeRO-1 flat-shard AdamW: moments live as (1, chunk) slices per data
+def _zero_flat_update(
+    optimizer, grads, opt_state, params, step, gnorm, data_axis, model_axis,
+    *, zero2: bool = False, sharded_leaf_flags=None,
+):
+    """ZeRO-1/2 flat-shard AdamW: moments live as (1, chunk) slices per data
     rank; each rank updates its slice of the flattened param vector and the
     deltas are all-gathered (elementwise math identical to the replicated
-    optimizer)."""
+    optimizer; ddp_zero1.py:24-106 / ddp_zero2.py:27-146 analogs).
+
+    Memory discipline: the flat views are concatenated in the leaves' NATIVE
+    dtype and only the rank-owned chunk is upcast to fp32 (slicing commutes
+    with the upcast, so the math is bit-identical to an fp32 concat while the
+    transient is half the size and dies at the dynamic-slice).
+
+    zero2: `grads` arrive UN-averaged (no pmean); a single psum_scatter over
+    'data' both reduces and shards them, so no rank ever holds the full
+    averaged gradient (the gradient-sharding half of DistributedFusedAdam).
+    gnorm is then computed from the owned chunk (pass gnorm=None,
+    sharded_leaf_flags = per-leaf bool "is model-axis sharded" for the psum
+    bookkeeping) and returned.
+    """
     leaves, treedef = jax.tree_util.tree_flatten(params)
     g_leaves = jax.tree_util.tree_leaves(grads)
     mask_leaves = jax.tree_util.tree_leaves(decay_mask(params))
 
-    flat_g = jnp.concatenate(
-        [g.astype(jnp.float32).reshape(-1) for g in g_leaves]
-    )
-    flat_p = jnp.concatenate(
-        [p.astype(jnp.float32).reshape(-1) for p in leaves]
-    )
+    flat_g = jnp.concatenate([g.reshape(-1) for g in g_leaves])
     flat_decay = jnp.concatenate(
-        [
-            jnp.full((p.size,), bool(m))
-            for p, m in zip(leaves, mask_leaves)
-        ]
+        [jnp.full((p.size,), bool(m)) for p, m in zip(leaves, mask_leaves)]
     )
     mu = opt_state["mu"][0]  # (chunk,)
     nu = opt_state["nu"][0]
@@ -369,13 +404,37 @@ def _zero1_update(optimizer, grads, opt_state, params, step, gnorm, data_axis):
     total_padded = chunk * dp
     pad = total_padded - flat_g.shape[0]
     flat_g = jnp.pad(flat_g, (0, pad))
-    flat_p = jnp.pad(flat_p, (0, pad))
     flat_decay = jnp.pad(flat_decay, (0, pad))
 
     idx = jax.lax.axis_index(data_axis)
-    g_s = jax.lax.dynamic_slice_in_dim(flat_g, idx * chunk, chunk)
-    p_s = jax.lax.dynamic_slice_in_dim(flat_p, idx * chunk, chunk)
+    if zero2:
+        # reduce-and-shard in one collective: each rank owns the summed chunk
+        g_s = jax.lax.psum_scatter(
+            flat_g.astype(jnp.float32), data_axis, scatter_dimension=0,
+            tiled=True,
+        ) / dp
+    else:
+        g_s = jax.lax.dynamic_slice_in_dim(flat_g, idx * chunk, chunk).astype(
+            jnp.float32
+        )
     d_s = jax.lax.dynamic_slice_in_dim(flat_decay, idx * chunk, chunk)
+    p_s = _flat_chunk(leaves, idx * chunk, chunk, total_padded)
+
+    if gnorm is None:  # zero2: global grad norm from the owned chunks
+        flat_sharded = jnp.pad(
+            jnp.concatenate(
+                [
+                    jnp.full((p.size,), bool(f))
+                    for p, f in zip(leaves, sharded_leaf_flags)
+                ]
+            ),
+            (0, pad),
+        )
+        sh_s = jax.lax.dynamic_slice_in_dim(flat_sharded, idx * chunk, chunk)
+        sq = jnp.square(g_s)
+        sq_sh = jax.lax.psum(jnp.sum(jnp.where(sh_s, sq, 0.0)), data_axis)
+        sq_rep = jax.lax.psum(jnp.sum(jnp.where(sh_s, 0.0, sq)), data_axis)
+        gnorm = jnp.sqrt(jax.lax.psum(sq_sh, model_axis) + sq_rep)
 
     scale = jnp.minimum(1.0, optimizer.grad_clip / (gnorm + 1e-6))
     g_s = g_s * scale
@@ -390,13 +449,26 @@ def _zero1_update(optimizer, grads, opt_state, params, step, gnorm, data_axis):
     delta_s = lr * upd
 
     delta = jax.lax.all_gather(delta_s, data_axis, axis=0, tiled=True)
-    new_flat = flat_p - delta
     out, off = [], 0
     for p in leaves:
-        out.append(new_flat[off : off + p.size].reshape(p.shape).astype(p.dtype))
+        d = jax.lax.dynamic_slice_in_dim(delta, off, p.size)
+        out.append(
+            (p.astype(jnp.float32) - d.reshape(p.shape)).astype(p.dtype)
+        )
         off += p.size
     new_params = jax.tree_util.tree_unflatten(treedef, out)
-    return new_params, {"mu": mu[None], "nu": nu[None]}
+    return new_params, {"mu": mu[None], "nu": nu[None]}, gnorm
+
+
+def _flat_chunk(leaves, start, chunk, total_padded):
+    """fp32 [start, start+chunk) window of the concatenated flat param vector
+    without materializing the full fp32 concat (native-dtype concat + slice +
+    upcast; identical values, half the transient)."""
+    flat = jnp.concatenate(
+        [p.reshape(-1) for p in leaves]
+        + [jnp.zeros((total_padded - sum(p.size for p in leaves),), leaves[0].dtype)]
+    )
+    return jax.lax.dynamic_slice_in_dim(flat, start, chunk).astype(jnp.float32)
 
 
 def init_zero1_opt_state(model, full_params, mesh, model_axis: str = "model",

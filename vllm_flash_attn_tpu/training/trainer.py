@@ -60,6 +60,7 @@ class TrainConfig:
     log_every: int = 10
     ema_decay: Optional[float] = None
     zero1: bool = False
+    zero2: bool = False  # grad sharding via psum_scatter (implies zero1 state)
     grad_compress: bool = False  # bf16 DP all-reduce (fp16_compress_hook analog)
 
 
@@ -86,12 +87,13 @@ class Trainer:
         )
         self.state = init_train_state(
             self.model, full_params, self.optimizer, self.mesh,
-            zero1=cfg.zero1,
+            zero1=cfg.zero1 or cfg.zero2,
         )
         self.step_fn = make_parallel_train_step(
             self.model, self.optimizer, self.mesh,
             sequence_parallel=cfg.sequence_parallel,
             zero1=cfg.zero1,
+            zero2=cfg.zero2,
             grad_compress_dtype=jnp.bfloat16 if cfg.grad_compress else None,
         )
 
