@@ -95,3 +95,61 @@ def test_gptj():
     torch.manual_seed(5)
     model = transformers.GPTJForCausalLM(cfg)
     check_logits_match(model, _ids(96, seed=5), atol=1e-2, rtol=1e-2)
+
+
+def test_falcon_7b_style_multiquery():
+    # falcon-7b: multi_query, parallel_attn, single input_layernorm
+    cfg = transformers.FalconConfig(
+        vocab_size=96, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, multi_query=True, parallel_attn=True,
+        new_decoder_architecture=False, bias=False, alibi=False,
+    )
+    torch.manual_seed(6)
+    model = transformers.FalconForCausalLM(cfg)
+    check_logits_match(model, _ids(96, seed=6), atol=1e-2, rtol=1e-2)
+
+
+def test_falcon_40b_style_gqa():
+    # falcon-40b: new_decoder_architecture GQA, ln_attn + ln_mlp
+    cfg = transformers.FalconConfig(
+        vocab_size=96, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_kv_heads=2, multi_query=False,
+        parallel_attn=True, new_decoder_architecture=True, bias=False,
+        alibi=False,
+    )
+    torch.manual_seed(7)
+    model = transformers.FalconForCausalLM(cfg)
+    check_logits_match(model, _ids(96, seed=7), atol=1e-2, rtol=1e-2)
+
+
+def test_falcon_rw_sequential_mha():
+    # falcon-rw-1b: classic sequential block, per-head interleaved qkv, biases
+    cfg = transformers.FalconConfig(
+        vocab_size=96, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, multi_query=False, parallel_attn=False,
+        new_decoder_architecture=False, bias=True, alibi=False,
+    )
+    torch.manual_seed(8)
+    model = transformers.FalconForCausalLM(cfg)
+    check_logits_match(model, _ids(96, seed=8), atol=1e-2, rtol=1e-2)
+
+
+def test_bigcode_multiquery():
+    # santacoder/starcoder: MQA, learned positions, nn.Linear weights
+    cfg = transformers.GPTBigCodeConfig(
+        vocab_size=96, n_positions=64, n_embd=64, n_layer=2, n_head=4,
+        multi_query=True, activation_function="gelu_pytorch_tanh",
+    )
+    torch.manual_seed(9)
+    model = transformers.GPTBigCodeForCausalLM(cfg)
+    check_logits_match(model, _ids(96, seed=9), atol=1e-2, rtol=1e-2)
+
+
+def test_bigcode_mha():
+    cfg = transformers.GPTBigCodeConfig(
+        vocab_size=96, n_positions=64, n_embd=64, n_layer=2, n_head=4,
+        multi_query=False, activation_function="gelu_pytorch_tanh",
+    )
+    torch.manual_seed(10)
+    model = transformers.GPTBigCodeForCausalLM(cfg)
+    check_logits_match(model, _ids(96, seed=10), atol=1e-2, rtol=1e-2)

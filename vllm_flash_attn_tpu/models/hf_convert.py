@@ -152,7 +152,7 @@ def config_from_hf(hf_config) -> GPTConfig:
                 else (1 if getattr(hf_config, "multi_query", True) else None)
             ),
             n_inner=4 * hf_config.hidden_size,
-            activation_function="gelu_approx",
+            activation_function="gelu",  # falcon's MLP uses exact nn.GELU
             layer_norm_epsilon=hf_config.layer_norm_epsilon,
             rotary_emb_dim=hf_config.hidden_size // hf_config.num_attention_heads,
             parallel_block=getattr(hf_config, "parallel_attn", True),
@@ -485,12 +485,189 @@ def remap_state_dict_hf_gptj(sd: Dict[str, Any], config: GPTConfig):
     return p
 
 
+def remap_state_dict_hf_falcon(sd: Dict[str, Any], config: GPTConfig):
+    """HF falcon -> param pytree (tests/models/test_falcon.py parity target).
+
+    The fused query_key_value packing differs per falcon generation but is
+    fully determined by the head counts:
+    - n_head_kv == n_head  (RW models / new-arch MHA): per-head interleaved
+      (h, 3, dh) like gpt_neox
+    - n_head_kv == 1       (falcon-7b multi-query): [q*h ; k ; v]
+    - 1 < n_head_kv < h    (falcon-40b new arch): kv groups of
+      (q_per_kv + 2, dh) — de-interleave per group
+    Norm layout is detected from the checkpoint keys: ln_attn/ln_mlp (new
+    arch), single input_layernorm (parallel 7b — duplicated into both norms),
+    or input+post_attention (sequential RW).
+    """
+    h, dh = config.n_head, config.n_embd // config.n_head
+    h_kv = config.n_head_kv or config.n_head
+    q_per_kv = h // h_kv
+    p: Dict[str, Any] = {
+        "embeddings": {
+            "word_embeddings": jnp.asarray(
+                _pad_vocab(
+                    _np(sd["transformer.word_embeddings.weight"]),
+                    config.padded_vocab,
+                )
+            )
+        },
+        "layers": [],
+        "ln_f": {
+            "weight": jnp.asarray(_np(sd["transformer.ln_f.weight"])),
+            "bias": jnp.asarray(_np(sd["transformer.ln_f.bias"])),
+        },
+    }
+    if not config.tie_word_embeddings:
+        p["lm_head"] = {
+            "weight": jnp.asarray(
+                _pad_vocab(_np(sd["lm_head.weight"]), config.padded_vocab)
+            )
+        }
+
+    def _unpack_qkv(w):
+        """(rows, in) fused weight -> [q; k; v] rows in our layout."""
+        n_in = w.shape[-1]
+        if h_kv == 1:
+            return w  # already [q*h ; k ; v]
+        g = w.reshape(h_kv, q_per_kv + 2, dh, *w.shape[1:])
+        q = g[:, :-2].reshape(h * dh, *w.shape[1:])
+        k = g[:, -2].reshape(h_kv * dh, *w.shape[1:])
+        v = g[:, -1].reshape(h_kv * dh, *w.shape[1:])
+        del n_in
+        return np.concatenate([q, k, v])
+
+    for i in range(config.n_layer):
+        pre = f"transformer.h.{i}."
+        mixer = {
+            "Wqkv": {
+                "weight": jnp.asarray(
+                    _unpack_qkv(_np(sd[pre + "self_attention.query_key_value.weight"]))
+                )
+            },
+            "out_proj": {
+                "weight": jnp.asarray(_np(sd[pre + "self_attention.dense.weight"]))
+            },
+        }
+        if pre + "self_attention.query_key_value.bias" in sd:
+            mixer["Wqkv"]["bias"] = jnp.asarray(
+                _unpack_qkv(_np(sd[pre + "self_attention.query_key_value.bias"]))
+            )
+            mixer["out_proj"]["bias"] = jnp.asarray(
+                _np(sd[pre + "self_attention.dense.bias"])
+            )
+        mlp = {
+            "fc1": {
+                "weight": jnp.asarray(_np(sd[pre + "mlp.dense_h_to_4h.weight"]))
+            },
+            "fc2": {
+                "weight": jnp.asarray(_np(sd[pre + "mlp.dense_4h_to_h.weight"]))
+            },
+        }
+        if pre + "mlp.dense_h_to_4h.bias" in sd:
+            mlp["fc1"]["bias"] = jnp.asarray(_np(sd[pre + "mlp.dense_h_to_4h.bias"]))
+            mlp["fc2"]["bias"] = jnp.asarray(_np(sd[pre + "mlp.dense_4h_to_h.bias"]))
+
+        def _norm(key):
+            out = {"weight": jnp.asarray(_np(sd[pre + key + ".weight"]))}
+            if pre + key + ".bias" in sd:
+                out["bias"] = jnp.asarray(_np(sd[pre + key + ".bias"]))
+            return out
+
+        if pre + "ln_attn.weight" in sd:  # new decoder architecture
+            norm1, norm2 = _norm("ln_attn"), _norm("ln_mlp")
+        elif config.parallel_block:  # falcon-7b: one LN feeds both branches
+            norm1, norm2 = _norm("input_layernorm"), _norm("input_layernorm")
+        else:  # sequential RW models
+            norm1 = _norm("input_layernorm")
+            norm2 = _norm("post_attention_layernorm")
+        p["layers"].append(
+            {"mixer": mixer, "mlp": mlp, "norm1": norm1, "norm2": norm2}
+        )
+    return p
+
+
+def remap_state_dict_hf_bigcode(sd: Dict[str, Any], config: GPTConfig):
+    """HF gpt_bigcode (santacoder/starcoder) -> param pytree
+    (tests/models/test_gpt.py bigcode entries parity target). nn.Linear
+    weights throughout (unlike gpt2's transposed Conv1D); multi-query c_attn
+    packs [q (n_embd) ; k (dh) ; v (dh)] which matches our Wqkv layout
+    directly, while the MHA variant packs per-head interleaved (h, 3, dh)
+    (modeling_gpt_bigcode.py view(num_heads, 3*head_dim)) and is
+    de-interleaved like gpt_neox."""
+    h, dh = config.n_head, config.n_embd // config.n_head
+    multi_query = config.n_head_kv == 1
+
+    def _unpack(w):
+        if multi_query:
+            return w
+        g = w.reshape(h, 3, dh, *w.shape[1:])
+        return np.concatenate(
+            [g[:, j].reshape(h * dh, *w.shape[1:]) for j in range(3)]
+        )
+    p: Dict[str, Any] = {
+        "embeddings": {
+            "word_embeddings": jnp.asarray(
+                _pad_vocab(_np(sd["transformer.wte.weight"]), config.padded_vocab)
+            ),
+            "position_embeddings": jnp.asarray(
+                _np(sd["transformer.wpe.weight"])[: config.n_positions]
+            ),
+        },
+        "layers": [],
+        "ln_f": {
+            "weight": jnp.asarray(_np(sd["transformer.ln_f.weight"])),
+            "bias": jnp.asarray(_np(sd["transformer.ln_f.bias"])),
+        },
+    }
+    for i in range(config.n_layer):
+        pre = f"transformer.h.{i}."
+        p["layers"].append(
+            {
+                "mixer": {
+                    "Wqkv": {
+                        "weight": jnp.asarray(
+                            _unpack(_np(sd[pre + "attn.c_attn.weight"]))
+                        ),
+                        "bias": jnp.asarray(
+                            _unpack(_np(sd[pre + "attn.c_attn.bias"]))
+                        ),
+                    },
+                    "out_proj": {
+                        "weight": jnp.asarray(_np(sd[pre + "attn.c_proj.weight"])),
+                        "bias": jnp.asarray(_np(sd[pre + "attn.c_proj.bias"])),
+                    },
+                },
+                "mlp": {
+                    "fc1": {
+                        "weight": jnp.asarray(_np(sd[pre + "mlp.c_fc.weight"])),
+                        "bias": jnp.asarray(_np(sd[pre + "mlp.c_fc.bias"])),
+                    },
+                    "fc2": {
+                        "weight": jnp.asarray(_np(sd[pre + "mlp.c_proj.weight"])),
+                        "bias": jnp.asarray(_np(sd[pre + "mlp.c_proj.bias"])),
+                    },
+                },
+                "norm1": {
+                    "weight": jnp.asarray(_np(sd[pre + "ln_1.weight"])),
+                    "bias": jnp.asarray(_np(sd[pre + "ln_1.bias"])),
+                },
+                "norm2": {
+                    "weight": jnp.asarray(_np(sd[pre + "ln_2.weight"])),
+                    "bias": jnp.asarray(_np(sd[pre + "ln_2.bias"])),
+                },
+            }
+        )
+    return p
+
+
 REMAPPERS = {
     "gpt2": remap_state_dict_hf_gpt2,
     "llama": remap_state_dict_hf_llama,
     "gpt_neox": remap_state_dict_hf_gpt_neox,
     "opt": remap_state_dict_hf_opt,
     "gptj": remap_state_dict_hf_gptj,
+    "falcon": remap_state_dict_hf_falcon,
+    "gpt_bigcode": remap_state_dict_hf_bigcode,
 }
 
 

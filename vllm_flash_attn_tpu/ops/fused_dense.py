@@ -35,7 +35,10 @@ def swiglu(gate, up):
     return jax.nn.silu(gate) * up
 
 
-_ACT = {"gelu_approx": gelu_approx, "gelu": jax.nn.gelu, "relu": jax.nn.relu,
+_ACT = {"gelu_approx": gelu_approx,
+        # jax.nn.gelu defaults to the tanh approximation; "gelu" means exact
+        "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+        "relu": jax.nn.relu,
         "sqrelu": sqrelu, "silu": jax.nn.silu, "id": lambda x: x}
 
 
