@@ -77,6 +77,25 @@ def test_head_dims(d):
     run_case(128, 128, d=d, causal=True)
 
 
+@pytest.mark.parametrize("d", [40, 59, 80, 111])
+def test_odd_head_dims(d):
+    # the reference's odd-dim axis (tests/test_flash_attn.py:545-563),
+    # served by the pad-to-lane wrapper (flash_api.cpp:312-320 analog)
+    run_case(128, 128, d=d, causal=True)
+    run_case(128, 192, d=d, causal=False)
+
+
+def test_determinism():
+    # determinism is a tested API property (tests/test_flash_attn.py:547)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((2, 4, 256, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((2, 4, 256, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((2, 4, 256, 64)), jnp.bfloat16)
+    a = flash_attention(q, k, v, causal=True)
+    b = flash_attention(q, k, v, causal=True)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.parametrize(
     "window", [(16, 0), (32, 32), (0, 16), (64, -1), (-1, 64)]
 )

@@ -80,6 +80,10 @@ def test_cross_lengths(causal):
     run_varlen_case([17, 64, 90], [130, 64, 13], causal=causal)
 
 
+def test_odd_head_dim():
+    run_varlen_case([37, 80, 5], [37, 80, 5], d=40, causal=True)
+
+
 def test_gqa():
     run_varlen_case([100, 156], [100, 156], h=8, h_k=2, causal=True)
 

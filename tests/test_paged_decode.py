@@ -92,6 +92,12 @@ def test_page_sizes(page_size):
     run_decode_case([100, 37, 256], page_size=page_size)
 
 
+def test_odd_head_dim():
+    # pad-to-lane path (flash_api.cpp:312-320 analog)
+    run_decode_case([40, 100], d=80)
+    run_decode_case([64], d=59, h=4, h_k=4)
+
+
 def test_mqa():
     run_decode_case([333, 5], h=8, h_k=1)
 

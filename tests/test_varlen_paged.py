@@ -1,0 +1,110 @@
+"""Ragged paged-prefill kernel (varlen + block_table) vs oracle — the
+`mha_varlen_fwd(block_table=...)` path (/root/reference/csrc/flash_attn/
+flash_api.cpp:467-492, tests/test_flash_attn.py:1546)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from harness import check_close
+from test_paged_decode import dense_view, make_paged_cache
+from vllm_flash_attn_tpu.core.reference import attention_ref
+from vllm_flash_attn_tpu.kernels.varlen_paged import flash_attention_varlen_paged
+
+
+def run_case(
+    lens_q,
+    lens_k,
+    h=4,
+    h_k=2,
+    d=64,
+    page_size=16,
+    causal=True,
+    window=(-1, -1),
+    alibi=False,
+    dtype=jnp.float32,
+    mult=2.5,
+):
+    assert len(lens_q) == len(lens_k)
+    rng = np.random.default_rng(sum(lens_q) * 31 + sum(lens_k))
+    b = len(lens_q)
+    k_pages, v_pages, bt = make_paged_cache(
+        rng, b, lens_k, h_k, d, page_size, dtype
+    )
+    total_q = sum(lens_q)
+    q = jnp.asarray(rng.standard_normal((total_q, h, d)), dtype)
+    cu_q = jnp.asarray(np.concatenate([[0], np.cumsum(lens_q)]), jnp.int32)
+    lk = jnp.asarray(lens_k, jnp.int32)
+    slopes = jnp.asarray(rng.random((h,)) * 0.3, jnp.float32) if alibi else None
+
+    out = flash_attention_varlen_paged(
+        q.transpose(1, 0, 2),  # (h, total_q, d)
+        k_pages, v_pages, cu_q, lk, bt, max(lens_q),
+        slopes, causal=causal, window=window, pages_per_compute_block=4,
+    ).transpose(1, 0, 2)
+
+    ks = dense_view(k_pages, bt, lens_k)
+    vs = dense_view(v_pages, bt, lens_k)
+    off = 0
+    for i, (lq, lkk) in enumerate(zip(lens_q, lens_k)):
+        if lq == 0:
+            continue
+        q_i = q[off : off + lq][None]  # (1, lq, h, d)
+        k_i = jnp.asarray(ks[i])[None]
+        v_i = jnp.asarray(vs[i])[None]
+        sl = None if slopes is None else slopes[None]
+        out_ref, _ = attention_ref(
+            q_i, k_i, v_i, causal=causal, window_size=window, alibi_slopes=sl,
+            upcast=True,
+        )
+        out_pt, _ = attention_ref(
+            q_i, k_i, v_i, causal=causal, window_size=window, alibi_slopes=sl,
+            upcast=False, reorder_ops=True,
+        )
+        check_close(
+            out[off : off + lq][None], out_ref, out_pt, mult=mult,
+            what=f"seq{i}",
+        )
+        off += lq
+
+
+def test_equal_lengths_causal():
+    run_case([32, 32], [32, 32])
+
+
+def test_chunked_prefill_shapes():
+    # queries are a suffix of the cached keys (chunked prefill)
+    run_case([16, 40, 8], [48, 100, 30])
+
+
+def test_speculative_verify_shapes():
+    # a few new tokens against a long cache (multi-token decode / verify)
+    run_case([4, 4], [130, 77], h=8, h_k=8)
+
+
+def test_noncausal():
+    run_case([24, 56], [64, 64], causal=False)
+
+
+def test_window():
+    run_case([32, 48], [80, 96], window=(24, 0))
+
+
+def test_alibi():
+    run_case([32, 16], [60, 60], alibi=True, mult=3.0)
+
+
+def test_bf16():
+    run_case([48, 32], [96, 64], dtype=jnp.bfloat16, mult=3.0)
+
+
+def test_gqa_page_sizes():
+    run_case([20, 36], [50, 70], h=8, h_k=2, page_size=8)
+
+
+def test_empty_query_sequence():
+    run_case([16, 0, 8], [32, 16, 24])
+
+
+def test_odd_head_dim():
+    run_case([24, 16], [40, 40], d=80)

@@ -34,6 +34,7 @@ from vllm_flash_attn_tpu.kernels.flash_prefill import flash_attention
 from vllm_flash_attn_tpu.kernels.flash_varlen import flash_attention_varlen
 from vllm_flash_attn_tpu.kernels.kv_cache import append_kv_paged, gather_kv_paged
 from vllm_flash_attn_tpu.kernels.paged_decode import paged_attention
+from vllm_flash_attn_tpu.kernels.varlen_paged import flash_attention_varlen_paged
 from vllm_flash_attn_tpu.layers.rotary import apply_rotary_emb
 
 
@@ -159,9 +160,21 @@ def flash_attn_varlen_func(
     cu_q = jnp.asarray(cu_seqlens_q, jnp.int32)
     cu_k = jnp.asarray(cu_seqlens_k, jnp.int32)
 
-    if block_table is not None:
-        # paged prefill: gather pages into a strided packed stream with
-        # per-sequence gaps, then reuse the varlen kernel via seqused_k.
+    if block_table is not None and not return_attn_probs:
+        # paged varlen: the ragged paged kernel walks the block table
+        # directly — no dense gather (utils.h:412-428 analog)
+        lens = (
+            jnp.asarray(seqused_k, jnp.int32)
+            if seqused_k is not None
+            else cu_k[1:] - cu_k[:-1]
+        )
+        out = flash_attention_varlen_paged(
+            _thd_to_htd(q), k, v, cu_q, lens, block_table, max_seqlen_q,
+            alibi_slopes, causal=causal, sm_scale=softmax_scale,
+            window=tuple(window_size), softcap=softcap,
+        )
+    elif block_table is not None:
+        # LSE requested: gather fallback (the paged-varlen kernel is fwd-only)
         b = block_table.shape[0]
         nb_, ps, h_k, d = k.shape
         lens = (
@@ -348,9 +361,21 @@ def flash_attn_with_kvcache(
             out, lse = out
             lse = lse[:, None, :].transpose(0, 2, 1)  # (b, h, sq=1)
         out = out[:, None]  # (b, 1, h, d)
+    elif not return_softmax_lse:
+        # multi-token query (speculative verify / chunked prefill): ragged
+        # paged kernel reads exactly the pages it attends to — no dense
+        # gather (reference does this in-kernel via the page table,
+        # utils.h:412-428)
+        cu_q = jnp.arange(b + 1, dtype=jnp.int32) * sq
+        q_stream = q.reshape(b * sq, h, d).transpose(1, 0, 2)
+        o = flash_attention_varlen_paged(
+            q_stream, k_pages, v_pages, cu_q, total_lens, tables, sq,
+            alibi_slopes, causal=causal, sm_scale=softmax_scale,
+            window=tuple(window_size), softcap=softcap,
+        )
+        out = o.transpose(1, 0, 2).reshape(b, sq, h, d)
     else:
-        # multi-token query (speculative verify / chunked prefill): gather the
-        # cache and run the varlen kernel with per-sequence key counts.
+        # LSE requested: gather path (the paged-varlen kernel is fwd-only)
         max_len = min(tables.shape[1] * ps, k_pages.shape[0] * ps)
         kd, vd = gather_kv_paged(k_pages, v_pages, tables, max_len)
         k_stream = kd.transpose(1, 0, 2, 3).reshape(h_k, -1, d)
@@ -358,17 +383,13 @@ def flash_attn_with_kvcache(
         cu_q = jnp.arange(b + 1, dtype=jnp.int32) * sq
         cu_k = jnp.arange(b + 1, dtype=jnp.int32) * max_len
         q_stream = q.reshape(b * sq, h, d).transpose(1, 0, 2)
-        res = flash_attention_varlen(
+        o, lse_flat = flash_attention_varlen(
             q_stream, k_stream, v_stream, cu_q, cu_k, seqused_k=total_lens,
             alibi_slopes=alibi_slopes, causal=causal,
             sm_scale=softmax_scale, window=tuple(window_size), softcap=softcap,
-            return_lse=return_softmax_lse,
+            return_lse=True,
         )
-        if return_softmax_lse:
-            o, lse_flat = res
-            lse = lse_flat.reshape(h, b, sq).transpose(1, 0, 2)
-        else:
-            o = res
+        lse = lse_flat.reshape(h, b, sq).transpose(1, 0, 2)
         out = o.transpose(1, 0, 2).reshape(b, sq, h, d)
 
     results = [out]

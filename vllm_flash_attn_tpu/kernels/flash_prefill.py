@@ -8,8 +8,14 @@ TPU-native re-design of the reference CUDA forward kernel
 - online-softmax rescale        -> fp32 m/l/acc VMEM scratch carried across kv blocks
 - template static_switch zoo    -> Python-level trace specialization (causal/window/
                                    alibi/softcap flags close over the kernel body)
-- reverse n-block iteration     -> forward iteration + [first_active, last_active]
-                                   block-range skip (equivalent work skipping)
+- reverse n-block iteration     -> when masking skips blocks (causal/window),
+                                   a folded grid: scalar-prefetched (qi, ki)
+                                   maps enumerate ONLY the active pairs, so
+                                   skipped blocks cost no grid steps (the TPU
+                                   answer to the CUDA early exit,
+                                   flash_fwd_kernel.h:109-111); full-coverage
+                                   runs keep the dense static grid, which
+                                   pipelines marginally better.
 
 Semantics match the reference API (/root/reference/vllm_flash_attn/
 flash_attn_interface.py:1026-1116): bottom-right-aligned causal for sq != sk,
@@ -18,6 +24,14 @@ MQA/GQA head broadcast, fp32 LSE output, fully-masked rows -> out 0 / lse +inf
 (flash_api.cpp:401-407).
 
 Internal layout is (b, h, s, d): the trailing (s, d) pair maps onto MXU tiles.
+
+Perf notes (v5e, 4k, bf16, 1024x1024 blocks): ~80 TFLOP/s non-causal, ~46
+TFLOP/s causal-convention. The kernel is VPU-softmax-bound per step (~4us VPU
+vs ~2.7us for both MXU GEMMs); a one-step software pipeline staging raw scores
+through a VMEM scratch was tried and measured SLOWER (Mosaic does not overlap
+the independent stages and the 4MB scratch round-trip adds two passes), as was
+two-level inner-k chunking (round 1). Remaining headroom is in cutting softmax
+VPU passes, not in grid shaping.
 """
 
 from __future__ import annotations
@@ -60,25 +74,28 @@ def _fwd_kernel(
     softcap: float,
     block_q: int,
     block_k: int,
-    inner_k: int,
     seqlen_q: int,
     seqlen_k: int,
     has_alibi: bool,
     return_lse: bool,
+    nk: int,
+    qmap_ref=None,
+    kmap_ref=None,
 ):
-    qi = pl.program_id(2)
-    ki = pl.program_id(3)
-    nk = pl.num_programs(3)
+    if qmap_ref is not None:
+        # folded grid: dimension 2 enumerates only ACTIVE (qi, ki) pairs
+        t = pl.program_id(2)
+        qi = qmap_ref[t]
+        ki = kmap_ref[t]
+    else:
+        qi = pl.program_id(2)
+        ki = pl.program_id(3)
 
     offset = seqlen_k - seqlen_q  # bottom-right causal alignment
     wl, wr = window
     if causal:
         wr = 0
 
-    # --- block-range skipping (replaces the CUDA reverse-iteration early-exit,
-    # flash_fwd_kernel.h:109-111). The kv-fetch index map applies the same
-    # clamp, so skipped steps re-point at an already-resident block and the
-    # pipeline elides their DMAs entirely. ---
     first_active, last_active = _active_range(
         qi, nk, block_q, block_k, seqlen_q, offset, wl, wr
     )
@@ -94,101 +111,84 @@ def _fwd_kernel(
         min_row = qi * block_q
         max_row = jnp.minimum(min_row + block_q, seqlen_q) - 1
         q = q_ref[0, 0]  # (block_q, d)
+        k = k_ref[0, 0]  # (block_k, d)
+        col_base = ki * block_k
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_q, block_k)
+        s *= sm_scale
+        if softcap > 0.0:
+            s = jnp.tanh(s / softcap) * softcap
 
-        # Two-level kv tiling: the fetched block_k tile is processed in
-        # inner_k-sized chunks so Mosaic overlaps chunk i's softmax (VPU) with
-        # chunk i+1's QK^T (MXU) — at head_dim 128 the softmax passes cost
-        # about as much as the matmuls, so this overlap is worth ~2x.
-        n_chunks = max(1, block_k // inner_k) if inner_k else 1
-        ik = block_k // n_chunks
+        if has_alibi:
+            row = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+                + min_row
+            )
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+                + col_base
+            )
+            slope = alibi_ref[0, 0]
+            s = s - slope * jnp.abs(row + offset - col).astype(jnp.float32)
 
-        for c in range(n_chunks):
-            k = k_ref[0, 0, c * ik : (c + 1) * ik]  # (ik, d)
-            col_base = ki * block_k + c * ik
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (block_q, ik)
-            s *= sm_scale
-            if softcap > 0.0:
-                s = jnp.tanh(s / softcap) * softcap
-
-            if has_alibi:
+        def online_update(s, masked: bool):
+            if masked:
                 row = (
-                    jax.lax.broadcasted_iota(jnp.int32, (block_q, ik), 0)
+                    jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
                     + min_row
                 )
                 col = (
-                    jax.lax.broadcasted_iota(jnp.int32, (block_q, ik), 1)
+                    jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
                     + col_base
                 )
-                slope = alibi_ref[0, 0]
-                s = s - slope * jnp.abs(row + offset - col).astype(jnp.float32)
-
-            def online_update(s, masked: bool, col_base=col_base, ik=ik):
-                if masked:
-                    row = (
-                        jax.lax.broadcasted_iota(jnp.int32, (block_q, ik), 0)
-                        + min_row
-                    )
-                    col = (
-                        jax.lax.broadcasted_iota(jnp.int32, (block_q, ik), 1)
-                        + col_base
-                    )
-                    mask = col < seqlen_k
-                    if wr >= 0:
-                        mask &= col <= row + offset + wr
-                    if wl >= 0:
-                        mask &= col >= row + offset - wl
-                    s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
-                m_prev = m_scr[...]  # (block_q, 128)
-                l_prev = l_scr[...]
-                m_cur = jnp.max(s, axis=1, keepdims=True)
-                m_next = jnp.maximum(m_prev, m_cur)
-                alpha = jnp.exp(m_prev - m_next)
-                p = jnp.exp(s - m_next[:, :1])
-                if masked:
-                    # all-masked rows would hold exp(MASK-MASK)=1 everywhere
-                    p = jnp.where(mask, p, 0.0)
-                l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-                m_scr[...] = m_next
-                l_scr[...] = l_next
-                v = v_ref[0, 0, c * ik : (c + 1) * ik]
-                if masked and seqlen_k % MIN_LANES != 0:
-                    # OOB rows of the kv remainder are undefined; NaN there
-                    # would poison P@V even though the matching P entry is 0.
-                    valid = (
-                        jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
-                        + col_base
-                        < seqlen_k
-                    )
-                    v = jnp.where(valid, v, 0)
-                pv = jax.lax.dot(
-                    p.astype(v.dtype), v, preferred_element_type=jnp.float32
-                )
-                acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
-
-            any_mask = (wl >= 0) or (wr >= 0) or (seqlen_k % ik != 0)
-            if any_mask:
-                needs = col_base + ik > seqlen_k
+                mask = col < seqlen_k
                 if wr >= 0:
-                    needs |= col_base + ik - 1 > min_row + offset + wr
+                    mask &= col <= row + offset + wr
                 if wl >= 0:
-                    needs |= col_base < max_row + offset - wl
-                # chunks fully outside the active range can be skipped too
-                inside = col_base <= max_row + offset + (wr if wr >= 0 else seqlen_k)
-                if wl >= 0:
-                    inside &= col_base + ik - 1 >= min_row + offset - wl
+                    mask &= col >= row + offset - wl
+                s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+            m_prev = m_scr[...]  # (block_q, 128)
+            l_prev = l_scr[...]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, :1])
+            if masked:
+                # all-masked rows would hold exp(MASK-MASK)=1 everywhere
+                p = jnp.where(mask, p, 0.0)
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_scr[...] = m_next
+            l_scr[...] = l_next
+            v = v_ref[0, 0]
+            if masked and seqlen_k % MIN_LANES != 0:
+                # OOB rows of the kv remainder are undefined; NaN there
+                # would poison P@V even though the matching P entry is 0.
+                valid = (
+                    jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) + col_base
+                    < seqlen_k
+                )
+                v = jnp.where(valid, v, 0)
+            pv = jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+            acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
-                @pl.when(inside)
-                def _():
-                    jax.lax.cond(
-                        needs,
-                        lambda: online_update(s, True),
-                        lambda: online_update(s, False),
-                    )
-            else:
-                online_update(s, False)
+        any_mask = (wl >= 0) or (wr >= 0) or (seqlen_k % block_k != 0)
+        if not any_mask:
+            online_update(s, False)
+        else:
+            needs = col_base + block_k > seqlen_k
+            if wr >= 0:
+                needs |= col_base + block_k - 1 > min_row + offset + wr
+            if wl >= 0:
+                needs |= col_base < max_row + offset - wl
+            jax.lax.cond(
+                needs,
+                lambda: online_update(s, True),
+                lambda: online_update(s, False),
+            )
 
         @pl.when(ki == last_active)
         def _store():
@@ -234,7 +234,6 @@ def _flash_attention_impl(
     softcap: float = 0.0,
     block_q: int = 1024,
     block_k: int = 1024,
-    inner_k: int = 0,  # 0 = single chunk (measured best on v5e)
     return_lse: bool = False,
     interpret: Optional[bool] = None,
 ):
@@ -261,11 +260,50 @@ def _flash_attention_impl(
     if interpret is None:
         interpret = use_interpret()
 
+    # Arbitrary head dims: pad d to a lane multiple (the TPU analog of the
+    # reference's pad-to-%8, flash_api.cpp:312-320). Zero-padded q/k columns
+    # contribute nothing to QK^T and padded v columns produce zeros that are
+    # sliced off; sm_scale above uses the ORIGINAL d.
+    d_orig = d
+    if d % MIN_LANES != 0:
+        d = pl.cdiv(d, MIN_LANES) * MIN_LANES
+        pw = [(0, 0)] * 3 + [(0, d - d_orig)]
+        q = jnp.pad(q, pw)
+        k = jnp.pad(k, pw)
+        v = jnp.pad(v, pw)
+
     block_q = _round_block(sq, block_q)
     block_k = _round_block(sk, block_k)
     nq = pl.cdiv(sq, block_q)
     nk = pl.cdiv(sk, block_k)
     grid = (b, h, nq, nk)
+
+    # --- folded causal/window grid: enumerate only the active (qi, ki) pairs
+    # so masked-out blocks cost no grid steps. The maps are tiny int32 arrays
+    # scalar-prefetched into SMEM. ---
+    _wl0, _wr0 = int(window[0]), (0 if causal else int(window[1]))
+    folded = _wl0 >= 0 or _wr0 >= 0
+    if folded:
+        offset = sk - sq
+        qmap, kmap = [], []
+        for qi_ in range(nq):
+            min_row = qi_ * block_q
+            max_row = min(min_row + block_q, sq) - 1
+            last = (
+                min(max(0, (max_row + offset + _wr0) // block_k), nk - 1)
+                if _wr0 >= 0
+                else nk - 1
+            )
+            first = (
+                min(max(0, (min_row + offset - _wl0) // block_k), last)
+                if _wl0 >= 0
+                else 0
+            )
+            for ki_ in range(first, last + 1):
+                qmap.append(qi_)
+                kmap.append(ki_)
+        qmap = jnp.asarray(qmap, jnp.int32)
+        kmap = jnp.asarray(kmap, jnp.int32)
 
     has_alibi = alibi_slopes is not None
     if has_alibi:
@@ -278,7 +316,7 @@ def _flash_attention_impl(
     else:
         alibi_slopes = jnp.zeros((1, 1), jnp.float32)
 
-    kernel = functools.partial(
+    body = functools.partial(
         _fwd_kernel,
         sm_scale=float(sm_scale),
         causal=causal,
@@ -286,42 +324,57 @@ def _flash_attention_impl(
         softcap=float(softcap),
         block_q=block_q,
         block_k=block_k,
-        inner_k=inner_k,
         seqlen_q=sq,
         seqlen_k=sk,
         has_alibi=has_alibi,
         return_lse=return_lse,
+        nk=nk,
     )
 
-    # kv fetch clamp: out-of-range steps re-point at the first/last active
-    # block; Pallas elides the DMA when consecutive index tuples repeat, so
-    # causal/windowed runs never fetch blocks they will not compute on.
-    _wl, _wr = int(window[0]), (0 if causal else int(window[1]))
+    if folded:
 
-    def kv_index(b_, h_, qi, ki, qpk=q_per_kv):
-        if _wl >= 0 or _wr >= 0:
-            first, last = _active_range(
-                qi, nk, block_q, block_k, sq, sk - sq, _wl, _wr
+        def kernel(qm_r, km_r, q_r, k_r, v_r, a_r, o_r, *rest):
+            lse_r = rest[0] if return_lse else None
+            scr = rest[1:] if return_lse else rest
+            body(
+                q_r, k_r, v_r, a_r, o_r, lse_r, *scr,
+                qmap_ref=qm_r, kmap_ref=km_r,
             )
-            ki = jnp.clip(ki, first, last)
-        return (b_, h_ // qpk, ki, 0)
+
+        def q_index(b_, h_, t, qm, km):
+            return (b_, h_, qm[t], 0)
+
+        def kv_index(b_, h_, t, qm, km, qpk=q_per_kv):
+            return (b_, h_ // qpk, km[t], 0)
+
+        def alibi_index(b_, h_, t, qm, km):
+            return (b_, h_) if has_alibi else (0, 0)
+
+        grid = (b, h, len(qmap))
+    else:
+
+        def kernel(q_r, k_r, v_r, a_r, o_r, *rest):
+            lse_r = rest[0] if return_lse else None
+            scr = rest[1:] if return_lse else rest
+            body(q_r, k_r, v_r, a_r, o_r, lse_r, *scr)
+
+        def q_index(b_, h_, qi, ki):
+            return (b_, h_, qi, 0)
+
+        def kv_index(b_, h_, qi, ki, qpk=q_per_kv):
+            return (b_, h_ // qpk, ki, 0)
+
+        def alibi_index(b_, h_, qi, ki):
+            return (b_, h_) if has_alibi else (0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
+        pl.BlockSpec((1, 1, block_q, d), q_index),
         pl.BlockSpec((1, 1, block_k, d), kv_index),
         pl.BlockSpec((1, 1, block_k, d), kv_index),
-        pl.BlockSpec(
-            (1, 1),
-            (lambda b_, h_, qi, ki: (b_, h_))
-            if has_alibi
-            else (lambda b_, h_, qi, ki: (0, 0)),
-            memory_space=pltpu.SMEM,
-        ),
+        pl.BlockSpec((1, 1), alibi_index, memory_space=pltpu.SMEM),
     ]
     out_shape = [jax.ShapeDtypeStruct((b, h, sq, d), q.dtype)]
-    out_specs = [
-        pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0))
-    ]
+    out_specs = [pl.BlockSpec((1, 1, block_q, d), q_index)]
     if return_lse:
         # LSE written with a trailing 128-lane axis (TPU tiling requires the last
         # two block dims aligned); the wrapper slices lane 0 to give the
@@ -329,11 +382,7 @@ def _flash_attention_impl(
         out_shape.append(
             jax.ShapeDtypeStruct((b, h, sq, MIN_LANES), jnp.float32)
         )
-        out_specs.append(
-            pl.BlockSpec(
-                (1, 1, block_q, MIN_LANES), lambda b_, h_, qi, ki: (b_, h_, qi, 0)
-            )
-        )
+        out_specs.append(pl.BlockSpec((1, 1, block_q, MIN_LANES), q_index))
 
     scratch_shapes = [
         pltpu.VMEM(_stats_block(block_q), jnp.float32),
@@ -341,28 +390,46 @@ def _flash_attention_impl(
         pltpu.VMEM((block_q, d), jnp.float32),
     ]
 
-    if not return_lse:
-        body = kernel
-
-        def kernel(q_r, k_r, v_r, a_r, o_r, m_s, l_s, acc_s):  # noqa: F811
-            body(q_r, k_r, v_r, a_r, o_r, None, m_s, l_s, acc_s)
-
-    results = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=scratch_shapes,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(q, k, v, alibi_slopes)
+    if folded:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+        )
+        results = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                # scalar-dynamic index maps defeat Mosaic's buffer-reuse proof,
+                # so the folded grid books more scoped VMEM than the dense one;
+                # the default 16MB limit is too tight at 1024-block sizes
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(qmap, kmap, q, k, v, alibi_slopes)
+    else:
+        results = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(
+                    "parallel", "parallel", "parallel", "arbitrary"
+                ),
+            ),
+            interpret=interpret,
+        )(q, k, v, alibi_slopes)
     if return_lse:
         out, lse = results
-        return out, lse[..., 0]
-    return results[0]
+        return out[..., :d_orig], lse[..., 0]
+    return results[0][..., :d_orig]
 
 
 # --------------------------------------------------------------- custom VJP
@@ -370,35 +437,34 @@ def _flash_attention_impl(
 # first-class via a linear-memory XLA backward (kernels/flash_backward.py).
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def _flash_attention_vjp(
     q, k, v, alibi_slopes, causal, sm_scale, window, softcap, block_q, block_k,
-    inner_k, interpret,
+    interpret,
 ):
     return _flash_attention_impl(
         q, k, v, alibi_slopes if alibi_slopes.size else None,
         causal=causal, sm_scale=sm_scale, window=window,
-        softcap=softcap, block_q=block_q, block_k=block_k, inner_k=inner_k,
+        softcap=softcap, block_q=block_q, block_k=block_k,
         return_lse=False, interpret=interpret,
     )
 
 
 def _vjp_fwd(
     q, k, v, alibi_slopes, causal, sm_scale, window, softcap, block_q, block_k,
-    inner_k, interpret,
+    interpret,
 ):
     out, lse = _flash_attention_impl(
         q, k, v, alibi_slopes if alibi_slopes.size else None,
         causal=causal, sm_scale=sm_scale, window=window,
-        softcap=softcap, block_q=block_q, block_k=block_k, inner_k=inner_k,
+        softcap=softcap, block_q=block_q, block_k=block_k,
         return_lse=True, interpret=interpret,
     )
     return out, (q, k, v, alibi_slopes, out, lse)
 
 
 def _vjp_bwd(
-    causal, sm_scale, window, softcap, block_q, block_k, inner_k, interpret,
-    res, g
+    causal, sm_scale, window, softcap, block_q, block_k, interpret, res, g
 ):
     from vllm_flash_attn_tpu.kernels.flash_backward import mha_backward
 
@@ -418,7 +484,7 @@ _flash_attention_vjp.defvjp(_vjp_fwd, _vjp_bwd)
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "window", "softcap", "block_q", "block_k",
-        "inner_k", "return_lse", "interpret",
+        "return_lse", "interpret",
     ),
 )
 def flash_attention(
@@ -433,7 +499,6 @@ def flash_attention(
     softcap: float = 0.0,
     block_q: int = 1024,
     block_k: int = 1024,
-    inner_k: int = 0,  # 0 = single chunk (measured best on v5e)
     return_lse: bool = False,
     interpret: Optional[bool] = None,
 ):
@@ -452,7 +517,7 @@ def flash_attention(
         return _flash_attention_impl(
             q, k, v, alibi_slopes, causal=causal, sm_scale=sm_scale,
             window=window, softcap=softcap, block_q=block_q, block_k=block_k,
-            inner_k=inner_k, return_lse=True, interpret=interpret,
+            return_lse=True, interpret=interpret,
         )
     if alibi_slopes is None:
         alibi_norm = jnp.zeros((0, 0), jnp.float32)
@@ -464,5 +529,5 @@ def flash_attention(
         alibi_norm = jnp.asarray(alibi_slopes, jnp.float32)
     return _flash_attention_vjp(
         q, k, v, alibi_norm, causal, float(sm_scale), tuple(window),
-        float(softcap), block_q, block_k, inner_k, interpret,
+        float(softcap), block_q, block_k, interpret,
     )

@@ -279,6 +279,16 @@ def flash_attention_varlen(
     if interpret is None:
         interpret = use_interpret()
 
+    # arbitrary head dims: pad d to a lane multiple (flash_api.cpp:312-320
+    # analog); sm_scale above uses the original d
+    d_orig = d
+    if d % MIN_LANES != 0:
+        d = pl.cdiv(d, MIN_LANES) * MIN_LANES
+        pw = [(0, 0), (0, 0), (0, d - d_orig)]
+        q = jnp.pad(q, pw)
+        k = jnp.pad(k, pw)
+        v = jnp.pad(v, pw)
+
     block_q = min(block_q, max(MIN_LANES, pl.cdiv(total_q, MIN_LANES) * MIN_LANES))
     block_k = min(block_k, max(MIN_LANES, pl.cdiv(total_k, MIN_LANES) * MIN_LANES))
     nq = pl.cdiv(total_q, block_q)
@@ -322,46 +332,61 @@ def flash_attention_varlen(
         def kernel(b_r, q_r, k_r, v_r, qi_r, ki_r, a_r, o_r, m_s, l_s, acc_s):  # noqa: F811
             body(b_r, q_r, k_r, v_r, qi_r, ki_r, a_r, o_r, None, m_s, l_s, acc_s)
 
+    # kv fetch clamp: skipped steps re-point at the q block's [first, last]
+    # kv range (read from the scalar-prefetched bounds), so the pipeline
+    # elides their DMAs — without this, causal varlen DMAs O(total_q *
+    # total_k) bytes even though the compute is skipped.
+    def kv_index(h_, qi, ki, bnd, qpk=q_per_kv):
+        ki_c = jnp.clip(ki, bnd[qi, 0], bnd[qi, 1])
+        return (h_ // qpk, ki_c, 0)
+
+    def kinfo_index(h_, qi, ki, bnd):
+        return (0, jnp.clip(ki, bnd[qi, 0], bnd[qi, 1]))
+
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # bounds
-        pl.BlockSpec((1, block_q, d), lambda h_, qi, ki: (h_, qi, 0)),
-        pl.BlockSpec(
-            (1, block_k, d), lambda h_, qi, ki, qpk=q_per_kv: (h_ // qpk, ki, 0)
-        ),
-        pl.BlockSpec(
-            (1, block_k, d), lambda h_, qi, ki, qpk=q_per_kv: (h_ // qpk, ki, 0)
-        ),
-        pl.BlockSpec((2, block_q), lambda h_, qi, ki: (0, qi)),
-        pl.BlockSpec((2, block_k), lambda h_, qi, ki: (0, ki)),
+        pl.BlockSpec((1, block_q, d), lambda h_, qi, ki, bnd: (h_, qi, 0)),
+        pl.BlockSpec((1, block_k, d), kv_index),
+        pl.BlockSpec((1, block_k, d), kv_index),
+        pl.BlockSpec((2, block_q), lambda h_, qi, ki, bnd: (0, qi)),
+        pl.BlockSpec((2, block_k), kinfo_index),
         pl.BlockSpec(memory_space=pltpu.SMEM),  # alibi (1, h)
     ]
     out_shape = [jax.ShapeDtypeStruct((h, total_q, d), q.dtype)]
-    out_specs = [pl.BlockSpec((1, block_q, d), lambda h_, qi, ki: (h_, qi, 0))]
+    out_specs = [
+        pl.BlockSpec((1, block_q, d), lambda h_, qi, ki, bnd: (h_, qi, 0))
+    ]
     if return_lse:
         out_shape.append(
             jax.ShapeDtypeStruct((h, total_q, MIN_LANES), jnp.float32)
         )
         out_specs.append(
-            pl.BlockSpec((1, block_q, MIN_LANES), lambda h_, qi, ki: (h_, qi, 0))
+            pl.BlockSpec(
+                (1, block_q, MIN_LANES), lambda h_, qi, ki, bnd: (h_, qi, 0)
+            )
         )
 
-    results = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(h, nq, nk),
         in_specs=in_specs,
         out_specs=out_specs,
-        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
             pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
+    )
+    results = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(bounds, q, k, v, q_info, k_info, alibi_slopes)
     if return_lse:
         out, lse = results
-        return out, lse[..., 0]
-    return results[0]
+        return out[..., :d_orig], lse[..., 0]
+    return results[0][..., :d_orig]

@@ -35,8 +35,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 from vllm_flash_attn_tpu.config import use_interpret
 from vllm_flash_attn_tpu.kernels.flash_prefill import DEFAULT_MASK_VALUE, MIN_LANES
+
+# perf-archaeology knob: comma-separated stages to skip (WRONG RESULTS) so the
+# per-stage cost can be measured on real hardware. e.g. PD_SKIP=pv,softmax
+_DEBUG_SKIP = frozenset(
+    s for s in os.environ.get("PD_SKIP", "").split(",") if s
+)
 
 
 def _decode_kernel(
@@ -44,7 +52,7 @@ def _decode_kernel(
     lengths_ref,  # (b,)
     block_tables_ref,  # (b, max_pages)
     # inputs
-    q_ref,  # (1, hq, d) VMEM
+    q_ref,  # (1, h_kv*d, hq) VMEM — block-diagonal query weight
     k_pages_ref,  # (num_pages, page_size, h_k, d) ANY/HBM
     v_pages_ref,
     k_scales_ref,  # (num_pages, page_size, h_k) ANY/HBM or None
@@ -93,6 +101,9 @@ def _decode_kernel(
         return jnp.where(roll, b_ + ncores, b_), jnp.where(roll, 0, i_)
 
     def start_fetch(b_, i_, slot):
+        if "dma" in _DEBUG_SKIP:
+            return
+
         @pl.when(b_ < batch)
         def _():
             for p in range(pages_per_block):
@@ -137,24 +148,32 @@ def _decode_kernel(
             l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
             acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
-        for p in range(pages_per_block):
-            pltpu.make_async_copy(
-                k_pages_ref.at[0], k_buf.at[slot, p], sems.at[slot, 0]
-            ).wait()
-        k = k_buf[slot].reshape(bk, k_buf.shape[-2], k_buf.shape[-1])
-        if q_per_kv > 1:
-            k = pltpu.repeat(k, q_per_kv, axis=1)  # (bk, hq, d)
-
-        q = q_ref[0]  # (hq, d)
+        if "dma" not in _DEBUG_SKIP:
+            for p in range(pages_per_block):
+                pltpu.make_async_copy(
+                    k_pages_ref.at[0], k_buf.at[slot, p], sems.at[slot, 0]
+                ).wait()
+        h_kv = k_buf.shape[-2]
+        # --- QK on the MXU. The d-contraction as a VPU lane reduction costs
+        # ~7 cross-lane passes over the whole block; instead view the K block
+        # token-major as (bk, h_kv*d) and multiply by the host-built
+        # block-diagonal query weight (h_kv*d, hq) — q head j occupies rows
+        # [(j%h_kv)*d, (j%h_kv+1)*d) of its column, zeros elsewhere — so the
+        # result lands directly as (bk, hq) with no extraction pass. The
+        # h_kv-fold FLOP waste on the zero rows is absorbed by the MXU and is
+        # what turns the per-head matvec (M=1, unusable) into one fat matmul.
+        k_tok = k_buf[slot].reshape(bk, h_kv * k_buf.shape[-1])
+        q_blk = q_ref[0]  # (h_kv*d, hq) block-diagonal
         if quantized:
-            # int8/fp8 payloads multiply in fp32 (scales fold in below)
-            s = jnp.sum(
-                k.astype(jnp.float32) * q[None].astype(jnp.float32), axis=-1
-            )
+            # int8/fp8 payloads are exact in bf16 (<= 8 mantissa bits); cast so
+            # the dot stays on the fast bf16 MXU path (scales fold in below)
+            k_tok = k_tok.astype(jnp.bfloat16)
+        if "qk" in _DEBUG_SKIP:
+            s = jnp.zeros((bk, q_blk.shape[-1]), jnp.float32) + i
         else:
-            # products in the cache dtype (packed VPU ops), reduction in fp32
-            s = jnp.sum(
-                (k * q[None].astype(k.dtype)).astype(jnp.float32), axis=-1
+            s = jax.lax.dot_general(
+                k_tok, q_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )  # (bk, hq)
         if quantized:
             # dequant folds in AFTER the d-reduction: one (bk, hq) multiply
@@ -187,21 +206,33 @@ def _decode_kernel(
 
         s = jnp.where(mask, s, mask_value)
 
-        m_prev = m_scr[...]  # (1, hq)
-        l_prev = l_scr[...]
-        m_cur = jnp.max(s, axis=0, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
-        p = jnp.where(mask, p, 0.0)
-        l_next = alpha * l_prev + jnp.sum(p, axis=0, keepdims=True)
-        m_scr[...] = m_next
-        l_scr[...] = l_next
+        if "softmax" in _DEBUG_SKIP:
+            p = s
+            alpha = jnp.ones_like(m_scr[...])
+            m_scr[...] = jnp.max(s, axis=0, keepdims=True)
+            l_scr[...] = jnp.ones_like(l_scr[...])
+        else:
+            m_prev = m_scr[...]  # (1, hq)
+            l_prev = l_scr[...]
+            m_cur = jnp.max(s, axis=0, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next)
+            p = jnp.where(mask, p, 0.0)
+            l_next = alpha * l_prev + jnp.sum(p, axis=0, keepdims=True)
+            m_scr[...] = m_next
+            l_scr[...] = l_next
 
-        for pg in range(pages_per_block):
-            pltpu.make_async_copy(
-                v_pages_ref.at[0], v_buf.at[slot, pg], sems.at[slot, 1]
-            ).wait()
+        if "dma" not in _DEBUG_SKIP:
+            for pg in range(pages_per_block):
+                pltpu.make_async_copy(
+                    v_pages_ref.at[0], v_buf.at[slot, pg], sems.at[slot, 1]
+                ).wait()
+        if "pv" in _DEBUG_SKIP:
+            acc_scr[...] = acc_scr[...] * alpha[0][:, None] + jnp.sum(
+                p, axis=0, keepdims=True
+            )[0][:, None]
+            return
         v = v_buf[slot].reshape(bk, v_buf.shape[-2], v_buf.shape[-1])
         if q_per_kv > 1:
             v = pltpu.repeat(v, q_per_kv, axis=1)
@@ -288,6 +319,17 @@ def paged_attention(
     max_pages = block_tables.shape[1]
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
+
+    # arbitrary head dims: pad d to a lane multiple (flash_api.cpp:312-320
+    # analog). This copies the paged cache, so it is a correctness path for
+    # exotic dims, not the serving fast path (production dims are 64/128/256).
+    d_orig = d
+    if d % 128 != 0:
+        d = pl.cdiv(d, 128) * 128
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, d - d_orig)])
+        kv_pw = [(0, 0), (0, 0), (0, 0), (0, d - d_orig)]
+        k_pages = jnp.pad(k_pages, kv_pw)
+        v_pages = jnp.pad(v_pages, kv_pw)
     if interpret is None:
         interpret = use_interpret()
     if pages_per_compute_block is None:
@@ -304,6 +346,16 @@ def paged_attention(
         q = q.reshape(batch, h_kv, q_per_kv, d).swapaxes(1, 2).reshape(
             batch, h_q, d
         )
+    # Block-diagonal query weight for the kernel's one-matmul QK: column j
+    # (= q head j) carries its q vector in rows [(j%h_kv)*d, (j%h_kv+1)*d) so
+    # that (bk, h_kv*d) @ (h_kv*d, hq) contracts each token row against
+    # exactly its own kv head (see _decode_kernel).
+    eye = (
+        jnp.arange(h_kv)[:, None] == jnp.arange(h_q)[None, :] % h_kv
+    ).astype(q.dtype)
+    q_blk = jnp.einsum("bjr,gj->bgrj", q, eye).reshape(batch, h_kv * d, h_q)
+    if quantized:
+        q_blk = q_blk.astype(jnp.bfloat16)
     has_alibi = alibi_slopes is not None
     if has_alibi:
         alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32).reshape(1, h_q)
@@ -357,7 +409,8 @@ def paged_attention(
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, h_q, d), lambda c, b, i, *refs, nc=ncores: (b * nc + c, 0, 0)
+                (1, h_kv * d, h_q),
+                lambda c, b, i, *refs, nc=ncores: (b * nc + c, 0, 0),
             ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -394,7 +447,10 @@ def paged_attention(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(lengths, block_tables, q, k_pages, v_pages, k_scales, v_scales, alibi_slopes)
+    )(
+        lengths, block_tables, q_blk, k_pages, v_pages, k_scales, v_scales,
+        alibi_slopes,
+    )
 
     def unshuffle(x):
         if q_per_kv > 1:
@@ -407,5 +463,5 @@ def paged_attention(
 
     if return_lse:
         out, lse = results
-        return unshuffle(out), unshuffle(lse[..., 0:1])[..., 0]
-    return unshuffle(results[0])
+        return unshuffle(out)[..., :d_orig], unshuffle(lse[..., 0:1])[..., 0]
+    return unshuffle(results[0])[..., :d_orig]

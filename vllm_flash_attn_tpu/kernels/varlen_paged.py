@@ -1,0 +1,335 @@
+"""Ragged paged-prefill attention: varlen queries over a PAGED KV cache.
+
+The reference resolves pages per-thread inside the CUDA kernel
+(/root/reference/csrc/flash_attn/src/utils.h:412-428, enabled for
+`mha_varlen_fwd(block_table=...)`, flash_api.cpp:467-492). The TPU-native
+equivalent: per-(page, kv-head) async DMAs driven by a scalar-prefetched block
+table (the paged_decode.py idiom), combined with varlen masking — so chunked
+prefill / speculative verify read exactly the pages AND heads they attend to
+instead of gathering the whole cache to a dense copy (the old gather_kv_paged
+path, O(b * h_k * max_len) HBM traffic per call).
+
+Layout: q and out are head-major packed streams (h, total_q, d) in HBM (ANY);
+sequence starts are not block-aligned, so each q row-window is DMA'd manually
+(BlockSpec indexing cannot express unaligned dynamic offsets) and the output
+window is written back the same way.
+
+Grid: (h, batch, NQ, NKB), NQ bounded by max_seqlen_q; inactive steps are
+skipped by pl.when (a bubble, but no DMA and no compute). The kv pipeline is
+per-row double-buffered: the row's first block is fetched at row start, then
+each step prefetches the next block of the same row.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vllm_flash_attn_tpu.config import use_interpret
+from vllm_flash_attn_tpu.kernels.flash_prefill import DEFAULT_MASK_VALUE, MIN_LANES
+
+
+def _kernel(
+    # scalar prefetch
+    cu_q_ref,  # (b+1,) int32 query sequence starts
+    lens_k_ref,  # (b,) int32 keys per sequence
+    tables_ref,  # (b, max_pages) int32
+    # inputs (ANY/HBM)
+    q_hbm,  # (h, total_q_padded, d)
+    k_pages_ref,  # (num_pages, page_size, h_k, d)
+    v_pages_ref,
+    alibi_ref,  # SMEM (1, h) or (1, 1)
+    # outputs
+    o_hbm,  # (h, total_q_padded, d) ANY
+    # scratch
+    q_buf,  # (block_q, d)
+    o_buf,  # (block_q, d)
+    k_buf,  # (2, ppb, page_size, d)  — single kv head
+    v_buf,
+    sems,  # DMA (2, 2)
+    qo_sem,  # DMA (2,)
+    m_scr,  # (block_q, MIN_LANES)
+    l_scr,
+    acc_scr,  # (block_q, d)
+    *,
+    batch: int,
+    page_size: int,
+    pages_per_block: int,
+    q_per_kv: int,
+    block_q: int,
+    sm_scale: float,
+    causal: bool,
+    window: Tuple[int, int],
+    softcap: float,
+    has_alibi: bool,
+):
+    h_ = pl.program_id(0)
+    b = pl.program_id(1)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nkb = pl.num_programs(3)
+    bk = page_size * pages_per_block
+    hk_idx = h_ // q_per_kv
+
+    wl, wr = window
+    if causal:
+        wr = 0
+
+    q_start = cu_q_ref[b]
+    len_q = cu_q_ref[b + 1] - q_start
+    len_k = lens_k_ref[b]
+    nq_b = pl.cdiv(len_q, block_q)
+
+    # active kv-block range for (b, qi): bottom-right causal alignment
+    offset = len_k - len_q
+    row_lo = qi * block_q
+    row_hi = jnp.minimum(row_lo + block_q, len_q) - 1
+    nkb_b = jnp.maximum(pl.cdiv(len_k, bk) - 1, 0)  # last kv block of the seq
+    if wr >= 0:
+        last = jnp.clip((row_hi + offset + wr) // bk, 0, nkb - 1)
+    else:
+        last = jnp.int32(nkb - 1)
+    last = jnp.minimum(last, nkb_b)
+    if wl >= 0:
+        first = jnp.clip((row_lo + offset - wl) // bk, 0, last)
+    else:
+        first = jnp.int32(0)
+
+    active = jnp.logical_and(qi < nq_b, jnp.logical_and(ki >= first, ki <= last))
+    active = jnp.logical_and(active, len_k > 0)
+
+    def start_kv_fetch(ki_, slot):
+        for p in range(pages_per_block):
+            page_idx = tables_ref[b, ki_ * pages_per_block + p]
+            pltpu.make_async_copy(
+                k_pages_ref.at[page_idx, :, hk_idx],
+                k_buf.at[slot, p],
+                sems.at[slot, 0],
+            ).start()
+            pltpu.make_async_copy(
+                v_pages_ref.at[page_idx, :, hk_idx],
+                v_buf.at[slot, p],
+                sems.at[slot, 1],
+            ).start()
+
+    @pl.when(active)
+    def _run():
+        step = ki - first  # 0-based step within the row
+        slot = jax.lax.rem(step, 2)
+
+        @pl.when(ki == first)
+        def _init_row():
+            # row start: kick off the first kv block and this row's q window
+            start_kv_fetch(ki, slot)
+            pltpu.make_async_copy(
+                q_hbm.at[h_, pl.ds(q_start + qi * block_q, block_q)],
+                q_buf,
+                qo_sem.at[0],
+            ).start()
+            m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+            l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+            acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+            pltpu.make_async_copy(
+                q_hbm.at[h_, pl.ds(q_start + qi * block_q, block_q)],
+                q_buf,
+                qo_sem.at[0],
+            ).wait()
+
+        @pl.when(ki < last)
+        def _prefetch_next():
+            start_kv_fetch(ki + 1, 1 - slot)
+
+        for p in range(pages_per_block):
+            pltpu.make_async_copy(
+                k_pages_ref.at[0, :, 0], k_buf.at[slot, p], sems.at[slot, 0]
+            ).wait()
+        k = k_buf[slot].reshape(bk, k_buf.shape[-1])  # (bk, d)
+        q = q_buf[...]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (block_q, bk)
+        s *= sm_scale
+        if softcap > 0.0:
+            s = jnp.tanh(s / softcap) * softcap
+
+        row = (
+            jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+        )  # q position in sequence
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * bk
+        mask = jnp.logical_and(col < len_k, row < len_q)
+        if wr >= 0:
+            mask &= col <= row + offset + wr
+        if wl >= 0:
+            mask &= col >= row + offset - wl
+        if has_alibi:
+            slope = alibi_ref[0, h_]
+            s = s - slope * jnp.abs(row + offset - col).astype(jnp.float32)
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        p = jnp.where(mask, p, 0.0)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        for pg in range(pages_per_block):
+            pltpu.make_async_copy(
+                v_pages_ref.at[0, :, 0], v_buf.at[slot, pg], sems.at[slot, 1]
+            ).wait()
+        v = v_buf[slot].reshape(bk, v_buf.shape[-1])
+        pv = jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+        @pl.when(ki == last)
+        def _store_row():
+            l = l_scr[...][:, :1]
+            l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+            o_buf[...] = (acc_scr[...] * l_inv).astype(o_buf.dtype)
+            copy = pltpu.make_async_copy(
+                o_buf,
+                o_hbm.at[h_, pl.ds(q_start + qi * block_q, block_q)],
+                qo_sem.at[1],
+            )
+            copy.start()
+            copy.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_seqlen_q", "causal", "sm_scale", "window", "softcap", "block_q",
+        "pages_per_compute_block", "interpret",
+    ),
+)
+def flash_attention_varlen_paged(
+    q: jax.Array,  # (h, total_q, d) head-major packed
+    k_pages: jax.Array,  # (num_pages, page_size, h_k, d)
+    v_pages: jax.Array,
+    cu_seqlens_q: jax.Array,  # (b+1,) int32
+    lens_k: jax.Array,  # (b,) int32 keys in cache per sequence
+    block_tables: jax.Array,  # (b, max_pages) int32
+    max_seqlen_q: int,
+    alibi_slopes: Optional[jax.Array] = None,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    window: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    block_q: int = 256,
+    pages_per_compute_block: Optional[int] = None,
+    interpret: Optional[bool] = None,
+):
+    """Varlen queries attending over a paged KV cache, zero dense gathering.
+
+    Causal is bottom-right aligned per sequence (query i of sequence b sits at
+    key position i + lens_k[b] - len_q[b], flash_attn_interface.py:1051-1061).
+    Returns out (h, total_q, d).
+    """
+    h, total_q, d = q.shape
+    num_pages, page_size, h_k, _ = k_pages.shape
+    assert h % h_k == 0
+    q_per_kv = h // h_k
+    batch = block_tables.shape[0]
+    max_pages = block_tables.shape[1]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    if interpret is None:
+        interpret = use_interpret()
+    if pages_per_compute_block is None:
+        pages_per_compute_block = max(1, min(max_pages, 512 // page_size))
+    ppb = min(pages_per_compute_block, max_pages)
+    nkb = pl.cdiv(max_pages, ppb)
+
+    block_q = min(block_q, max(MIN_LANES, pl.cdiv(max_seqlen_q, 8) * 8))
+    nq = max(1, pl.cdiv(max_seqlen_q, block_q))
+
+    # arbitrary head dims: pad d to a lane multiple (flash_api.cpp:312-320)
+    d_orig = d
+    if d % MIN_LANES != 0:
+        d = pl.cdiv(d, MIN_LANES) * MIN_LANES
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, d - d_orig)])
+        kv_pw = [(0, 0), (0, 0), (0, 0), (0, d - d_orig)]
+        k_pages = jnp.pad(k_pages, kv_pw)
+        v_pages = jnp.pad(v_pages, kv_pw)
+
+    # pad the packed q stream so every block_q window DMA is in-bounds
+    total_pad = (pl.cdiv(total_q, block_q) + 1) * block_q
+    q = jnp.pad(q, [(0, 0), (0, total_pad - total_q), (0, 0)])
+
+    has_alibi = alibi_slopes is not None
+    if has_alibi:
+        alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32).reshape(1, h)
+    else:
+        alibi_slopes = jnp.zeros((1, 1), jnp.float32)
+
+    kernel = functools.partial(
+        _kernel,
+        batch=batch,
+        page_size=page_size,
+        pages_per_block=ppb,
+        q_per_kv=q_per_kv,
+        block_q=block_q,
+        sm_scale=float(sm_scale),
+        causal=causal,
+        window=tuple(int(w) for w in window),
+        softcap=float(softcap),
+        has_alibi=has_alibi,
+    )
+
+    grid = (h, batch, nq, nkb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # q stream
+            pl.BlockSpec(memory_space=pl.ANY),  # k pages
+            pl.BlockSpec(memory_space=pl.ANY),  # v pages
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), q.dtype),
+            pltpu.VMEM((block_q, d), q.dtype),
+            pltpu.VMEM((2, ppb, page_size, d), k_pages.dtype),
+            pltpu.VMEM((2, ppb, page_size, d), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((h, total_pad, d), q.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "arbitrary", "arbitrary", "arbitrary", "arbitrary"
+            ),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        cu_seqlens_q.astype(jnp.int32),
+        lens_k.astype(jnp.int32),
+        block_tables.astype(jnp.int32),
+        q,
+        k_pages,
+        v_pages,
+        alibi_slopes,
+    )[0]
+    return out[:, :total_q, :d_orig]
