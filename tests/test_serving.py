@@ -183,6 +183,49 @@ def test_engine_caps_and_rejections_do_not_livelock():
     assert by_id[1].output_tokens == []
 
 
+def test_engine_tensor_parallel_matches_serial():
+    """Continuous batching under a model-parallel mesh (ParallelMHA paged
+    inference + sharded page pools) must reproduce the single-chip engine
+    exactly (greedy decode)."""
+    from jax.sharding import Mesh
+    from vllm_flash_attn_tpu.models.gpt_parallel import ParallelGPTLMHeadModel
+
+    model = GPTLMHeadModel(CFG)
+    params = model.init(jax.random.PRNGKey(5))
+    rng = np.random.default_rng(5)
+    prompts = [
+        rng.integers(0, CFG.vocab_size, (n,)).tolist() for n in (7, 18, 3)
+    ]
+    max_new = 5
+
+    serial = LLMEngine(
+        model, params, page_size=16, num_pages=64, max_seqs=4,
+        max_pages_per_seq=8,
+    )
+    done_serial = serial.run(
+        [Request(i, p, max_new_tokens=max_new) for i, p in enumerate(prompts)]
+    )
+    expected = {
+        r.request_id: r.output_tokens
+        for r in done_serial
+    }
+
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("model",))
+    pmodel = ParallelGPTLMHeadModel(CFG)
+    engine = LLMEngine(
+        pmodel, params, page_size=16, num_pages=64, max_seqs=4,
+        max_pages_per_seq=8, mesh=mesh,
+    )
+    done = engine.run(
+        [Request(i, p, max_new_tokens=max_new) for i, p in enumerate(prompts)]
+    )
+    assert len(done) == 3
+    for r in sorted(done, key=lambda r: r.request_id):
+        assert r.output_tokens == expected[r.request_id], (
+            f"req {r.request_id}: {r.output_tokens} != {expected[r.request_id]}"
+        )
+
+
 def test_engine_preemption_under_page_pressure():
     model = GPTLMHeadModel(CFG)
     params = model.init(jax.random.PRNGKey(1))

@@ -109,24 +109,39 @@ class ParallelGPTLMHeadModel:
             }
         return out
 
-    def apply(self, params, input_ids, position_ids=None):
+    def apply(
+        self,
+        params,
+        input_ids,
+        position_ids=None,
+        inference_params=None,
+        num_last_tokens: int = 0,
+    ):
+        """Returns vocab-SHARDED logits; inference_params must be a
+        serving.cache.PagedState whose page pools hold this model shard's
+        h_kv/axis_size heads (see serving engine tp wiring)."""
         c = self.config
         hidden = self.embeddings.apply(params["embeddings"], input_ids, position_ids)
-        if self.sequence_parallel:
+        if self.sequence_parallel and inference_params is None:
             idx = jax.lax.axis_index(self.axis_name)
             size = jax.lax.psum(1, self.axis_name)
             chunk = hidden.shape[1] // size
             hidden = jax.lax.dynamic_slice_in_dim(hidden, idx * chunk, chunk, 1)
         residual = None
         for i, blk in enumerate(self.blocks):
-            hidden, residual = blk.apply(params["layers"][i], hidden, residual)
+            hidden, residual = blk.apply(
+                params["layers"][i], hidden, residual,
+                inference_params=inference_params,
+            )
         hidden = dropout_add_layer_norm(
             hidden, residual, params["ln_f"]["weight"], params["ln_f"].get("bias"),
             epsilon=c.layer_norm_epsilon, residual_in_fp32=c.residual_in_fp32,
             is_rms_norm=c.rms_norm,
         )
-        if self.sequence_parallel:
+        if self.sequence_parallel and inference_params is None:
             hidden = jax.lax.all_gather(hidden, self.axis_name, axis=1, tiled=True)
+        if num_last_tokens > 0:
+            hidden = hidden[:, -num_last_tokens:]
         w = (
             params["lm_head"]["weight"]
             if "lm_head" in params

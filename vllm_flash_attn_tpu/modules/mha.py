@@ -23,6 +23,55 @@ from vllm_flash_attn_tpu.kernels.flash_prefill import flash_attention
 from vllm_flash_attn_tpu.layers.rotary import RotaryEmbedding, apply_rotary_emb
 
 
+def paged_cache_attention(
+    q, k, v, state, layer_idx, rotary, rotary_interleaved, softmax_scale,
+    window_size, causal,
+):
+    """Shared paged-serving attention core (serial MHA and ParallelMHA — in
+    the parallel case q/k/v and the page pools hold this model shard's heads).
+
+    decode: fused RoPE at position length, append one token, paged kernel.
+    prefill: RoPE over the prompt, bulk-append (padded tail masked via
+    num_new), causal flash attention over the prompt itself — the cache
+    starts empty for the admitted sequence, so no cache read is needed.
+    Mutates `state`'s page pools in place (functionally).
+    """
+    from vllm_flash_attn_tpu.kernels.flash_prefill import flash_attention
+    from vllm_flash_attn_tpu.kernels.kv_cache import append_kv_paged
+    from vllm_flash_attn_tpu.kernels.paged_decode import paged_attention
+
+    li = layer_idx
+    s_len = q.shape[1]
+    if rotary is not None:
+        cos, sin = rotary.tables(state.max_seqlen)
+        pos = state.lengths[:, None] + jnp.arange(s_len, dtype=jnp.int32)[None]
+        q = apply_rotary_emb(q, cos, sin, rotary_interleaved, positions=pos)
+        k = apply_rotary_emb(k, cos, sin, rotary_interleaved, positions=pos)
+
+    kp, vp = append_kv_paged(
+        state.k_pages[li], state.v_pages[li], k, v,
+        state.lengths, state.block_tables, num_new=state.num_new,
+    )
+    state.k_pages = jax.lax.dynamic_update_index_in_dim(state.k_pages, kp, li, 0)
+    state.v_pages = jax.lax.dynamic_update_index_in_dim(state.v_pages, vp, li, 0)
+
+    if state.mode == "decode":
+        return paged_attention(
+            q[:, 0], kp, vp, state.lengths + state.num_new,
+            state.block_tables, sm_scale=softmax_scale, window=window_size,
+        )[:, None]  # (b, 1, h, d)
+    # prefill over the prompt itself (padded tail rows are discarded by the
+    # engine; under causal masking they cannot affect earlier rows)
+    return flash_attention(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        causal=causal,
+        sm_scale=softmax_scale,
+        window=window_size,
+    ).transpose(0, 2, 1, 3)
+
+
 @dataclasses.dataclass
 class MHA:
     embed_dim: int
@@ -126,57 +175,12 @@ class MHA:
         return out
 
     def _apply_paged(self, params, q, k, v, state, b, s):
-        """Continuous-batching paged path (serving.cache.PagedState).
-
-        decode: fused RoPE at position length, append one token, paged kernel.
-        prefill: RoPE over the prompt, bulk-append (padded tail masked via
-        num_new), causal flash attention over the prompt itself — the cache
-        starts empty for the admitted sequence, so no cache read is needed.
-        """
-        from vllm_flash_attn_tpu.kernels.flash_prefill import flash_attention
-        from vllm_flash_attn_tpu.kernels.kv_cache import append_kv_paged
-        from vllm_flash_attn_tpu.kernels.paged_decode import paged_attention
-
-        li = self.layer_idx
-        if self.rotary is not None:
-            cos, sin = self.rotary.tables(state.max_seqlen)
-            pos = state.lengths[:, None] + jnp.arange(s, dtype=jnp.int32)[None]
-            q = apply_rotary_emb(
-                q, cos, sin, self.rotary_interleaved, positions=pos
-            )
-            k = apply_rotary_emb(
-                k, cos, sin, self.rotary_interleaved, positions=pos
-            )
-
-        kp, vp = append_kv_paged(
-            state.k_pages[li], state.v_pages[li], k, v,
-            state.lengths, state.block_tables, num_new=state.num_new,
+        """Continuous-batching paged path (serving.cache.PagedState)."""
+        ctx = paged_cache_attention(
+            q, k, v, state, self.layer_idx, self.rotary,
+            self.rotary_interleaved, self.softmax_scale, self.window_size,
+            self.causal,
         )
-        state.k_pages = jax.lax.dynamic_update_index_in_dim(
-            state.k_pages, kp, li, 0
-        )
-        state.v_pages = jax.lax.dynamic_update_index_in_dim(
-            state.v_pages, vp, li, 0
-        )
-
-        if state.mode == "decode":
-            ctx = paged_attention(
-                q[:, 0], kp, vp, state.lengths + state.num_new,
-                state.block_tables, sm_scale=self.softmax_scale,
-                window=self.window_size,
-            )[:, None]  # (b, 1, h, d)
-        else:
-            # prefill over the prompt itself (padded tail rows are discarded
-            # by the engine; under causal masking they cannot affect earlier
-            # rows)
-            ctx = flash_attention(
-                q.transpose(0, 2, 1, 3),
-                k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3),
-                causal=self.causal,
-                sm_scale=self.softmax_scale,
-                window=self.window_size,
-            ).transpose(0, 2, 1, 3)
         ctx = ctx.reshape(b, s, self.num_heads * self.dh)
         out = jnp.einsum("bso,do->bsd", ctx, params["out_proj"]["weight"])
         if "bias" in params["out_proj"]:
@@ -244,7 +248,13 @@ class ParallelMHA(MHA):
 
     def apply(self, params, x, inference_params=None, alibi_slopes=None):
         axis_size = jax.lax.psum(1, self.axis_name)
-        if self.sequence_parallel:
+        serving = inference_params is not None
+        if serving:
+            assert hasattr(inference_params, "k_pages"), (
+                "ParallelMHA inference supports the paged serving cache "
+                "(serving.cache.PagedState with shard-local head pools)"
+            )
+        if self.sequence_parallel and not serving:
             x = jax.lax.all_gather(x, self.axis_name, axis=1, tiled=True)
         b, s, _ = x.shape
         hl = self.num_heads // axis_size
@@ -256,22 +266,31 @@ class ParallelMHA(MHA):
         q = qkv[..., : hl * dh].reshape(b, s, hl, dh)
         k = qkv[..., hl * dh : (hl + hkl) * dh].reshape(b, s, hkl, dh)
         v = qkv[..., (hl + hkl) * dh :].reshape(b, s, hkl, dh)
-        if self.rotary is not None:
-            cos, sin = self.rotary.tables(s)
-            q = apply_rotary_emb(q, cos, sin, self.rotary_interleaved)
-            k = apply_rotary_emb(k, cos, sin, self.rotary_interleaved)
-        ctx = flash_attention(
-            q.transpose(0, 2, 1, 3),
-            k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3),
-            alibi_slopes,
-            causal=self.causal,
-            sm_scale=self.softmax_scale,
-            window=self.window_size,
-        ).transpose(0, 2, 1, 3)
+        if serving:
+            # paged continuous-batching cache, shard-local heads; rotary is
+            # applied inside at the cached positions
+            ctx = paged_cache_attention(
+                q, k, v, inference_params, self.layer_idx, self.rotary,
+                self.rotary_interleaved, self.softmax_scale, self.window_size,
+                self.causal,
+            )
+        else:
+            if self.rotary is not None:
+                cos, sin = self.rotary.tables(s)
+                q = apply_rotary_emb(q, cos, sin, self.rotary_interleaved)
+                k = apply_rotary_emb(k, cos, sin, self.rotary_interleaved)
+            ctx = flash_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                alibi_slopes,
+                causal=self.causal,
+                sm_scale=self.softmax_scale,
+                window=self.window_size,
+            ).transpose(0, 2, 1, 3)
         ctx = ctx.reshape(b, s, hl * dh)
         partial = jnp.einsum("bso,do->bsd", ctx, params["out_proj"]["weight"])
-        if self.sequence_parallel:
+        if self.sequence_parallel and not serving:
             out = jax.lax.psum_scatter(
                 partial, self.axis_name, scatter_dimension=1, tiled=True
             )

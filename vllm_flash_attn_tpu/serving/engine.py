@@ -61,9 +61,16 @@ class LLMEngine:
         max_seqs: int = 8,
         max_pages_per_seq: int = 256,
         cache_dtype=None,
+        mesh=None,
     ):
+        """mesh: optional jax Mesh with a 'model' axis for tensor-parallel
+        serving — `model` must then be a ParallelGPTLMHeadModel and `params`
+        the FULL (unsharded) tree; the engine shards params and the page
+        pools (kv heads over 'model') and runs each device step in shard_map.
+        """
         self.model = model
-        self.params = params
+        self.mesh = mesh
+        self.tp = int(mesh.shape["model"]) if mesh is not None else 1
         c = model.config
         self.h_kv = c.n_head_kv or c.n_head
         self.dh = c.n_embd // c.n_head
@@ -76,6 +83,27 @@ class LLMEngine:
         self.k_pages, self.v_pages = PagedState.allocate(
             c.n_layer, num_pages, page_size, self.h_kv, self.dh, cache_dtype
         )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from vllm_flash_attn_tpu.training.train_step import (
+                param_specs,
+                to_tp_layout,
+            )
+
+            assert self.h_kv % self.tp == 0, (self.h_kv, self.tp)
+            self._cache_spec = P(None, None, None, "model", None)
+            cache_sh = NamedSharding(mesh, self._cache_spec)
+            self.k_pages = jax.device_put(self.k_pages, cache_sh)
+            self.v_pages = jax.device_put(self.v_pages, cache_sh)
+            self._param_spec_tree = param_specs(model)
+            tp_params = to_tp_layout(model, params, self.tp)
+            params = jax.tree_util.tree_map(
+                lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
+                tp_params, self._param_spec_tree,
+                is_leaf=lambda x: isinstance(x, P),
+            )
+        self.params = params
         self.allocator = PageAllocator(
             num_pages, max_seqs, max_pages_per_seq, page_size
         )
@@ -97,8 +125,24 @@ class LLMEngine:
             logits = model.apply(
                 params, tokens, inference_params=state, num_last_tokens=1
             )
+            if self.mesh is not None:  # vocab-sharded -> full row
+                logits = jax.lax.all_gather(
+                    logits[:, 0], "model", axis=1, tiled=True
+                )[:, None]
             return logits[:, 0, :vocab], state.k_pages, state.v_pages
 
+        if self.mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            cs = self._cache_spec
+            step = shard_map(
+                step,
+                mesh=self.mesh,
+                in_specs=(self._param_spec_tree, P(), cs, cs, P(), P(), P()),
+                out_specs=(P(), cs, cs),
+                check_vma=False,
+            )
         return jax.jit(step, donate_argnums=(2, 3))
 
     def _build_prefill(self, padded_len):
@@ -109,9 +153,23 @@ class LLMEngine:
             num_new = true_len[None]
             state = PagedState(kc, vc, lengths, tables, num_new, "prefill")
             logits = model.apply(params, ids, inference_params=state)
+            if self.mesh is not None:
+                logits = jax.lax.all_gather(logits, "model", axis=2, tiled=True)
             last = logits[0, true_len - 1, :vocab]
             return last, state.k_pages, state.v_pages
 
+        if self.mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            cs = self._cache_spec
+            step = shard_map(
+                step,
+                mesh=self.mesh,
+                in_specs=(self._param_spec_tree, P(), cs, cs, P(), P()),
+                out_specs=(P(), cs, cs),
+                check_vma=False,
+            )
         return jax.jit(step, donate_argnums=(2, 3))
 
     # -------------------------------------------------------------- scheduling
