@@ -34,6 +34,11 @@ class QuantizedPages:
     data: jax.Array  # (num_pages, page_size, h_k, d) int8 or float8_e4m3fn
     scales: jax.Array  # (num_pages, page_size, SCALE_LANES) fp32, first h_k used
 
+    def __getitem__(self, idx):
+        """Index the leading (layer) dim — keeps the container type so the
+        per-layer slice flows straight into the kernels."""
+        return QuantizedPages(self.data[idx], self.scales[idx])
+
     @property
     def shape(self):
         return self.data.shape

@@ -43,6 +43,11 @@ class GPTConfig:
     rotary_base: float = 10000.0
     rotary_interleaved: bool = False
     parallel_block: bool = False
+    use_alibi: bool = False  # standard geometric slopes (baichuan-13B, BTLM)
+    # muP-style scaling knobs (BTLM, cerebras muP models)
+    embeddings_scale: float = 1.0
+    logits_scale: float = 1.0
+    attn_softmax_scale: float = 0.0  # 0 = default 1/sqrt(head_dim)
     qkv_proj_bias: bool = True
     out_proj_bias: bool = True
     mlp_fc1_bias: bool = True
@@ -76,10 +81,12 @@ class GPTLMHeadModel:
                 qkv_proj_bias=c.qkv_proj_bias,
                 out_proj_bias=c.out_proj_bias,
                 causal=True,
+                softmax_scale=c.attn_softmax_scale or None,
                 window_size=c.window_size,
                 rotary_emb_dim=c.rotary_emb_dim,
                 rotary_base=c.rotary_base,
                 rotary_interleaved=c.rotary_interleaved,
+                use_alibi=c.use_alibi,
                 layer_idx=i,
             )
             if c.gated_mlp:
@@ -141,6 +148,8 @@ class GPTLMHeadModel:
         hidden = self.embeddings.apply(
             params["embeddings"], input_ids, position_ids
         )
+        if c.embeddings_scale != 1.0:
+            hidden = hidden * c.embeddings_scale
         residual = None
         for i, blk in enumerate(self.blocks):
             layer_rngs = (
@@ -164,6 +173,8 @@ class GPTLMHeadModel:
             else params["embeddings"]["word_embeddings"]
         )
         logits = jnp.einsum("bsd,vd->bsv", hidden, w)
+        if c.logits_scale != 1.0:
+            logits = logits * c.logits_scale
         if "lm_head" in params and "bias" in params["lm_head"]:
             logits = logits + params["lm_head"]["bias"]
         return logits

@@ -54,9 +54,11 @@ class ParallelGPTLMHeadModel:
             mha = ParallelMHA(
                 embed_dim=c.n_embd, num_heads=c.n_head, num_heads_kv=c.n_head_kv,
                 qkv_proj_bias=c.qkv_proj_bias, out_proj_bias=c.out_proj_bias,
-                causal=True, window_size=c.window_size,
+                causal=True, softmax_scale=c.attn_softmax_scale or None,
+                window_size=c.window_size,
                 rotary_emb_dim=c.rotary_emb_dim, rotary_base=c.rotary_base,
-                rotary_interleaved=c.rotary_interleaved, layer_idx=i,
+                rotary_interleaved=c.rotary_interleaved, use_alibi=c.use_alibi,
+                layer_idx=i,
                 axis_name=axis_name, sequence_parallel=sequence_parallel,
             )
             if c.gated_mlp:
@@ -122,6 +124,8 @@ class ParallelGPTLMHeadModel:
         h_kv/axis_size heads (see serving engine tp wiring)."""
         c = self.config
         hidden = self.embeddings.apply(params["embeddings"], input_ids, position_ids)
+        if c.embeddings_scale != 1.0:
+            hidden = hidden * c.embeddings_scale
         if self.sequence_parallel and inference_params is None:
             idx = jax.lax.axis_index(self.axis_name)
             size = jax.lax.psum(1, self.axis_name)
@@ -147,7 +151,10 @@ class ParallelGPTLMHeadModel:
             if "lm_head" in params
             else params["embeddings"]["word_embeddings"]
         )
-        return jnp.einsum("bsd,vd->bsv", hidden, w)  # vocab-sharded logits
+        logits = jnp.einsum("bsd,vd->bsv", hidden, w)  # vocab-sharded
+        if c.logits_scale != 1.0:
+            logits = logits * c.logits_scale
+        return logits
 
     def loss(self, params, input_ids, labels):
         """Vocab-parallel CE over the sharded logits (one psum per reduction).

@@ -161,6 +161,61 @@ def config_from_hf(hf_config) -> GPTConfig:
             mlp_fc1_bias=getattr(hf_config, "bias", False),
             mlp_fc2_bias=getattr(hf_config, "bias", False),
         )
+    if mt == "baichuan":
+        # 7B uses rotary, 13B uses ALiBi (hidden 5120/40 heads); Baichuan2
+        # raises the vocab to 125696 and L2-normalizes the lm_head (NormHead)
+        use_alibi = hf_config.hidden_size == 5120 or getattr(
+            hf_config, "use_alibi", False
+        )
+        return GPTConfig(
+            vocab_size=hf_config.vocab_size,
+            n_positions=0,
+            n_embd=hf_config.hidden_size,
+            n_layer=hf_config.num_hidden_layers,
+            n_head=hf_config.num_attention_heads,
+            n_inner=hf_config.intermediate_size,
+            activation_function="silu",
+            gated_mlp=True,
+            rms_norm=True,
+            layer_norm_epsilon=hf_config.rms_norm_eps,
+            rotary_emb_dim=(
+                0
+                if use_alibi
+                else hf_config.hidden_size // hf_config.num_attention_heads
+            ),
+            use_alibi=use_alibi,
+            qkv_proj_bias=False,
+            out_proj_bias=False,
+            mlp_fc1_bias=False,
+            mlp_fc2_bias=False,
+            tie_word_embeddings=False,
+        )
+    if mt == "btlm":
+        # Cerebras BTLM-3B: gpt2 skeleton + SwiGLU + ALiBi + muP scaling
+        width_scale = getattr(hf_config, "mup_width_scale", 1.0)
+        return GPTConfig(
+            vocab_size=hf_config.vocab_size,
+            n_positions=0,  # ALiBi: no learned positions
+            n_embd=hf_config.hidden_size,
+            n_layer=hf_config.num_hidden_layers,
+            n_head=hf_config.num_attention_heads,
+            n_inner=hf_config.n_inner,
+            activation_function="silu",
+            gated_mlp=True,  # swiglu
+            layer_norm_epsilon=hf_config.layer_norm_epsilon,
+            use_alibi=True,
+            embeddings_scale=getattr(hf_config, "mup_embeddings_scale", 1.0),
+            logits_scale=(
+                getattr(hf_config, "mup_output_alpha", 1.0) * width_scale
+            ),
+            # muP scales qk dot by 1/d instead of 1/sqrt(d)
+            attn_softmax_scale=(
+                1.0
+                / (hf_config.hidden_size // hf_config.num_attention_heads)
+                if getattr(hf_config, "mup_scale_qk_dot_by_d", False)
+                else 0.0
+            ),
+        )
     if mt == "gpt_bigcode":
         return GPTConfig(
             vocab_size=hf_config.vocab_size,
@@ -660,6 +715,134 @@ def remap_state_dict_hf_bigcode(sd: Dict[str, Any], config: GPTConfig):
     return p
 
 
+def remap_state_dict_hf_baichuan(sd: Dict[str, Any], config: GPTConfig):
+    """HF baichuan -> param pytree (tests/models/test_baichuan.py target).
+
+    Llama layout except the fused W_pack [q; k; v] (already our Wqkv order).
+    Baichuan2's NormHead stores an unnormalized lm_head that the forward
+    L2-normalizes per row — fold the normalization into the weights here
+    (detected by the Baichuan2 vocab size)."""
+    p: Dict[str, Any] = {
+        "embeddings": {
+            "word_embeddings": jnp.asarray(
+                _pad_vocab(
+                    _np(sd["model.embed_tokens.weight"]), config.padded_vocab
+                )
+            )
+        },
+        "layers": [],
+        "ln_f": {"weight": jnp.asarray(_np(sd["model.norm.weight"]))},
+    }
+    for i in range(config.n_layer):
+        pre = f"model.layers.{i}."
+        gate = _np(sd[pre + "mlp.gate_proj.weight"])
+        up = _np(sd[pre + "mlp.up_proj.weight"])
+        p["layers"].append(
+            {
+                "mixer": {
+                    "Wqkv": {
+                        "weight": jnp.asarray(
+                            _np(sd[pre + "self_attn.W_pack.weight"])
+                        )
+                    },
+                    "out_proj": {
+                        "weight": jnp.asarray(
+                            _np(sd[pre + "self_attn.o_proj.weight"])
+                        )
+                    },
+                },
+                "mlp": {
+                    "fc1": {"weight": jnp.asarray(np.concatenate([gate, up]))},
+                    "fc2": {
+                        "weight": jnp.asarray(
+                            _np(sd[pre + "mlp.down_proj.weight"])
+                        )
+                    },
+                },
+                "norm1": {
+                    "weight": jnp.asarray(_np(sd[pre + "input_layernorm.weight"]))
+                },
+                "norm2": {
+                    "weight": jnp.asarray(
+                        _np(sd[pre + "post_attention_layernorm.weight"])
+                    )
+                },
+            }
+        )
+    head = _np(sd["lm_head.weight"])
+    if config.vocab_size > 100_000:  # Baichuan2 NormHead
+        head = head / np.maximum(
+            np.linalg.norm(head, axis=-1, keepdims=True), 1e-7
+        )
+    p["lm_head"] = {
+        "weight": jnp.asarray(_pad_vocab(head, config.padded_vocab))
+    }
+    return p
+
+
+def remap_state_dict_hf_btlm(sd: Dict[str, Any], config: GPTConfig):
+    """HF BTLM (cerebras) -> param pytree (tests/models/test_btlm.py target).
+
+    gpt2-style Conv1D weights (transposed), swiglu mlp split as
+    [c_fc (gate); c_fc2 (up)], no position embeddings (ALiBi)."""
+    p: Dict[str, Any] = {
+        "embeddings": {
+            "word_embeddings": jnp.asarray(
+                _pad_vocab(_np(sd["transformer.wte.weight"]), config.padded_vocab)
+            )
+        },
+        "layers": [],
+        "ln_f": {
+            "weight": jnp.asarray(_np(sd["transformer.ln_f.weight"])),
+            "bias": jnp.asarray(_np(sd["transformer.ln_f.bias"])),
+        },
+    }
+    for i in range(config.n_layer):
+        pre = f"transformer.h.{i}."
+        qkv_w = _np(sd[pre + "attn.c_attn.weight"]).T  # Conv1D -> Linear
+        gate_w = _np(sd[pre + "mlp.c_fc.weight"]).T
+        up_w = _np(sd[pre + "mlp.c_fc2.weight"]).T
+        layer = {
+            "mixer": {
+                "Wqkv": {
+                    "weight": jnp.asarray(qkv_w),
+                    "bias": jnp.asarray(_np(sd[pre + "attn.c_attn.bias"])),
+                },
+                "out_proj": {
+                    "weight": jnp.asarray(_np(sd[pre + "attn.c_proj.weight"]).T),
+                    "bias": jnp.asarray(_np(sd[pre + "attn.c_proj.bias"])),
+                },
+            },
+            "mlp": {
+                "fc1": {
+                    "weight": jnp.asarray(np.concatenate([gate_w, up_w])),
+                    "bias": jnp.asarray(
+                        np.concatenate(
+                            [
+                                _np(sd[pre + "mlp.c_fc.bias"]),
+                                _np(sd[pre + "mlp.c_fc2.bias"]),
+                            ]
+                        )
+                    ),
+                },
+                "fc2": {
+                    "weight": jnp.asarray(_np(sd[pre + "mlp.c_proj.weight"]).T),
+                    "bias": jnp.asarray(_np(sd[pre + "mlp.c_proj.bias"])),
+                },
+            },
+            "norm1": {
+                "weight": jnp.asarray(_np(sd[pre + "ln_1.weight"])),
+                "bias": jnp.asarray(_np(sd[pre + "ln_1.bias"])),
+            },
+            "norm2": {
+                "weight": jnp.asarray(_np(sd[pre + "ln_2.weight"])),
+                "bias": jnp.asarray(_np(sd[pre + "ln_2.bias"])),
+            },
+        }
+        p["layers"].append(layer)
+    return p
+
+
 REMAPPERS = {
     "gpt2": remap_state_dict_hf_gpt2,
     "llama": remap_state_dict_hf_llama,
@@ -668,6 +851,8 @@ REMAPPERS = {
     "gptj": remap_state_dict_hf_gptj,
     "falcon": remap_state_dict_hf_falcon,
     "gpt_bigcode": remap_state_dict_hf_bigcode,
+    "baichuan": remap_state_dict_hf_baichuan,
+    "btlm": remap_state_dict_hf_btlm,
 }
 
 

@@ -17,15 +17,33 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vllm_flash_attn_tpu.api.interface import flash_attn_func, flash_attn_with_kvcache
 from vllm_flash_attn_tpu.kernels.flash_prefill import flash_attention
 from vllm_flash_attn_tpu.layers.rotary import RotaryEmbedding, apply_rotary_emb
 
 
+def standard_alibi_slopes(num_heads: int) -> np.ndarray:
+    """The canonical geometric ALiBi slopes (press et al.; matches the HF
+    implementations for baichuan-13B / BTLM / falcon-alibi)."""
+    import math
+
+    def pow2(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start ** i) for i in range(n)]
+
+    if math.log2(num_heads).is_integer():
+        return np.asarray(pow2(num_heads), np.float32)
+    closest = 2 ** math.floor(math.log2(num_heads))
+    base = pow2(closest)
+    extra = pow2(2 * closest)[0::2][: num_heads - closest]
+    return np.asarray(base + extra, np.float32)
+
+
 def paged_cache_attention(
     q, k, v, state, layer_idx, rotary, rotary_interleaved, softmax_scale,
-    window_size, causal,
+    window_size, causal, alibi_slopes=None,
 ):
     """Shared paged-serving attention core (serial MHA and ParallelMHA — in
     the parallel case q/k/v and the page pools hold this model shard's heads).
@@ -38,6 +56,10 @@ def paged_cache_attention(
     """
     from vllm_flash_attn_tpu.kernels.flash_prefill import flash_attention
     from vllm_flash_attn_tpu.kernels.kv_cache import append_kv_paged
+    from vllm_flash_attn_tpu.kernels.kv_quant import (
+        QuantizedPages,
+        append_kv_paged_quantized,
+    )
     from vllm_flash_attn_tpu.kernels.paged_decode import paged_attention
 
     li = layer_idx
@@ -48,17 +70,34 @@ def paged_cache_attention(
         q = apply_rotary_emb(q, cos, sin, rotary_interleaved, positions=pos)
         k = apply_rotary_emb(k, cos, sin, rotary_interleaved, positions=pos)
 
-    kp, vp = append_kv_paged(
-        state.k_pages[li], state.v_pages[li], k, v,
-        state.lengths, state.block_tables, num_new=state.num_new,
-    )
-    state.k_pages = jax.lax.dynamic_update_index_in_dim(state.k_pages, kp, li, 0)
-    state.v_pages = jax.lax.dynamic_update_index_in_dim(state.v_pages, vp, li, 0)
+    quantized = isinstance(state.k_pages, QuantizedPages)
+    if quantized:
+        kp, vp = append_kv_paged_quantized(
+            state.k_pages[li], state.v_pages[li], k, v,
+            state.lengths, state.block_tables, num_new=state.num_new,
+        )
+        upd = jax.lax.dynamic_update_index_in_dim
+        state.k_pages = QuantizedPages(
+            upd(state.k_pages.data, kp.data, li, 0),
+            upd(state.k_pages.scales, kp.scales, li, 0),
+        )
+        state.v_pages = QuantizedPages(
+            upd(state.v_pages.data, vp.data, li, 0),
+            upd(state.v_pages.scales, vp.scales, li, 0),
+        )
+    else:
+        kp, vp = append_kv_paged(
+            state.k_pages[li], state.v_pages[li], k, v,
+            state.lengths, state.block_tables, num_new=state.num_new,
+        )
+        state.k_pages = jax.lax.dynamic_update_index_in_dim(state.k_pages, kp, li, 0)
+        state.v_pages = jax.lax.dynamic_update_index_in_dim(state.v_pages, vp, li, 0)
 
     if state.mode == "decode":
         return paged_attention(
             q[:, 0], kp, vp, state.lengths + state.num_new,
-            state.block_tables, sm_scale=softmax_scale, window=window_size,
+            state.block_tables, alibi_slopes,
+            sm_scale=softmax_scale, window=window_size,
         )[:, None]  # (b, 1, h, d)
     # prefill over the prompt itself (padded tail rows are discarded by the
     # engine; under causal masking they cannot affect earlier rows)
@@ -66,6 +105,7 @@ def paged_cache_attention(
         q.transpose(0, 2, 1, 3),
         k.transpose(0, 2, 1, 3),
         v.transpose(0, 2, 1, 3),
+        alibi_slopes,
         causal=causal,
         sm_scale=softmax_scale,
         window=window_size,
@@ -86,6 +126,7 @@ class MHA:
     rotary_emb_dim: int = 0
     rotary_base: float = 10000.0
     rotary_interleaved: bool = False
+    use_alibi: bool = False  # standard geometric slopes computed per head
     layer_idx: Optional[int] = None
 
     def __post_init__(self):
@@ -135,13 +176,17 @@ class MHA:
         utils.generation.InferenceParams (contiguous cache) or
         serving.cache.PagedState (paged continuous-batching cache)."""
         b, s, _ = x.shape
+        if alibi_slopes is None and self.use_alibi:
+            alibi_slopes = jnp.asarray(standard_alibi_slopes(self.num_heads))
         qkv = jnp.einsum("bsd,od->bso", x, params["Wqkv"]["weight"])
         if "bias" in params["Wqkv"]:
             qkv = qkv + params["Wqkv"]["bias"]
         q, k, v = self._split_qkv(qkv, b, s)
 
         if inference_params is not None and hasattr(inference_params, "k_pages"):
-            return self._apply_paged(params, q, k, v, inference_params, b, s)
+            return self._apply_paged(
+                params, q, k, v, inference_params, b, s, alibi_slopes
+            )
 
         if inference_params is None:
             if self.rotary is not None:
@@ -174,12 +219,12 @@ class MHA:
             out = out + params["out_proj"]["bias"]
         return out
 
-    def _apply_paged(self, params, q, k, v, state, b, s):
+    def _apply_paged(self, params, q, k, v, state, b, s, alibi_slopes=None):
         """Continuous-batching paged path (serving.cache.PagedState)."""
         ctx = paged_cache_attention(
             q, k, v, state, self.layer_idx, self.rotary,
             self.rotary_interleaved, self.softmax_scale, self.window_size,
-            self.causal,
+            self.causal, alibi_slopes=alibi_slopes,
         )
         ctx = ctx.reshape(b, s, self.num_heads * self.dh)
         out = jnp.einsum("bso,do->bsd", ctx, params["out_proj"]["weight"])
@@ -259,6 +304,10 @@ class ParallelMHA(MHA):
         b, s, _ = x.shape
         hl = self.num_heads // axis_size
         hkl = self.h_kv // axis_size
+        if alibi_slopes is None and self.use_alibi:
+            full = jnp.asarray(standard_alibi_slopes(self.num_heads))
+            idx = jax.lax.axis_index(self.axis_name)
+            alibi_slopes = jax.lax.dynamic_slice_in_dim(full, idx * hl, hl)
         qkv = jnp.einsum("bsd,od->bso", x, params["Wqkv"]["weight"])
         if "bias" in params["Wqkv"]:
             qkv = qkv + params["Wqkv"]["bias"]
@@ -272,7 +321,7 @@ class ParallelMHA(MHA):
             ctx = paged_cache_attention(
                 q, k, v, inference_params, self.layer_idx, self.rotary,
                 self.rotary_interleaved, self.softmax_scale, self.window_size,
-                self.causal,
+                self.causal, alibi_slopes=alibi_slopes,
             )
         else:
             if self.rotary is not None:

@@ -80,9 +80,27 @@ class LLMEngine:
         self.max_pages_per_seq = max_pages_per_seq
         if cache_dtype is None:
             cache_dtype = jax.tree_util.tree_leaves(params)[0].dtype
-        self.k_pages, self.v_pages = PagedState.allocate(
-            c.n_layer, num_pages, page_size, self.h_kv, self.dh, cache_dtype
-        )
+        if cache_dtype in ("int8", "fp8"):
+            # quantized KV cache: tokens quantize once on append (per-token
+            # per-head absmax scales); the decode kernel dequantizes in-flight
+            from vllm_flash_attn_tpu.kernels.kv_quant import (
+                SCALE_LANES,
+                QuantizedPages,
+            )
+
+            qdtype = jnp.int8 if cache_dtype == "int8" else jnp.float8_e4m3fn
+            shape = (c.n_layer, num_pages, page_size, self.h_kv, self.dh)
+            sshape = (c.n_layer, num_pages, page_size, SCALE_LANES)
+            self.k_pages = QuantizedPages(
+                jnp.zeros(shape, qdtype), jnp.zeros(sshape, jnp.float32)
+            )
+            self.v_pages = QuantizedPages(
+                jnp.zeros(shape, qdtype), jnp.zeros(sshape, jnp.float32)
+            )
+        else:
+            self.k_pages, self.v_pages = PagedState.allocate(
+                c.n_layer, num_pages, page_size, self.h_kv, self.dh, cache_dtype
+            )
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
