@@ -106,6 +106,56 @@ def bench_prefill(s=4096, b=1, h=32, d=128):
     return flops / dt / 1e12, dt
 
 
+def bench_train(n_layer=4, n_embd=1024, n_head=16, seq=1024, batch=8,
+                peak_tflops=197.0):
+    """Single-chip train-step MFU (the training/README.md:6-8 claim as a
+    number): full fwd+bwd+AdamW on a dense GPT slice, analytic 6N+attention
+    FLOPs convention."""
+    from vllm_flash_attn_tpu.models.gpt import GPTConfig, GPTLMHeadModel
+    from vllm_flash_attn_tpu.training.callbacks import model_flops_per_token
+    from vllm_flash_attn_tpu.training.train_step import make_optimizer
+
+    cfg = GPTConfig(
+        vocab_size=32000, n_positions=0, n_embd=n_embd, n_layer=n_layer,
+        n_head=n_head, rotary_emb_dim=n_embd // n_head, gated_mlp=True,
+        rms_norm=True, qkv_proj_bias=False, out_proj_bias=False,
+        mlp_fc1_bias=False, mlp_fc2_bias=False, activation_function="silu",
+        n_inner=int(8 * n_embd / 3) // 128 * 128,
+    )
+    model = GPTLMHeadModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.bfloat16)
+    opt = make_optimizer(lr=1e-4, warmup_steps=10, total_steps=1000)
+    opt_state = jax.jit(opt.init)(params)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, seq)), jnp.int32)
+    labels = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, seq)), jnp.int32)
+
+    @jax.jit
+    def many(params, opt_state, ids, labels):
+        def body(carry, _):
+            params, opt_state, it = carry
+            loss, grads = jax.value_and_grad(model.loss)(params, ids, labels)
+            params, opt_state, _ = opt.update(grads, opt_state, params, it)
+            return (params, opt_state, it + 1), loss
+
+        carry, losses = jax.lax.scan(
+            body, (params, opt_state, jnp.zeros((), jnp.int32)), None, length=8
+        )
+        return jnp.sum(losses)
+
+    float(many(params, opt_state, ids, labels))
+    t0 = time.time()
+    float(many(params, opt_state, ids, labels))
+    dt = (time.time() - t0) / 8
+    tokens_per_sec = batch * seq / dt
+    fpt = model_flops_per_token(
+        cfg.n_layer, cfg.n_embd, cfg.n_head, seq, cfg.padded_vocab,
+        n_inner=cfg.n_inner, gated=True,
+    )
+    mfu = tokens_per_sec * fpt / (peak_tflops * 1e12)
+    return tokens_per_sec, mfu, dt
+
+
 def main():
     dev = jax.devices()[0]
     kind = dev.device_kind
@@ -133,13 +183,21 @@ def main():
     pre_fixed_us = (dt_4k - fl_4k / pre_rate) * 1e6
     pre_tflops = pre_rate / 1e12
 
+    # ---- train step MFU (single chip)
+    try:
+        train_tok, train_mfu, _ = bench_train(peak_tflops=peak)
+    except Exception as e:  # keep the headline metric robust
+        print(f"[bench] train bench failed: {e!r}", file=sys.stderr)
+        train_tok, train_mfu = -1.0, -1.0
+
     print(
         f"[bench] device={kind} decode: {dec_gbps:.0f} GB/s sustained "
         f"({100*dec_gbps/hbm:.1f}% HBM SoL, {tok_s:.0f} tok/s; raw step "
         f"{dt_2k*1e6:.0f}us = {raw_gbps:.0f} GB/s incl. {dec_fixed_us:.0f}us "
         f"fixed/call) | prefill causal 4k: {pre_tflops:.1f} TFLOP/s sustained "
         f"({100*pre_tflops/peak:.1f}% MXU; raw {tf_raw:.1f} TFLOP/s, "
-        f"{dt_4k*1e3:.2f}ms)",
+        f"{dt_4k*1e3:.2f}ms) | train: {train_tok:.0f} tok/s "
+        f"({100*train_mfu:.1f}% MFU)",
         file=sys.stderr,
     )
     print(
@@ -159,6 +217,8 @@ def main():
                     "prefill_attn_tflops_raw": round(tf_raw, 2),
                     "prefill_fixed_us_per_call": round(pre_fixed_us, 1),
                     "prefill_mxu_util_sustained": round(pre_tflops / peak, 4),
+                    "train_tokens_per_sec": round(train_tok, 1),
+                    "train_mfu": round(train_mfu, 4),
                     "methodology": (
                         "two-size fit separates the per-pallas_call fixed "
                         "cost (145-580us measured for an EMPTY kernel on this "

@@ -85,3 +85,27 @@ def test_quantized_append():
         want = np.asarray(k_new[i, 0])
         rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
         assert rel < 0.02, f"seq{i}: {rel}"
+
+
+def test_quantized_cache_ppl_delta():
+    """End-to-end quality bar (BASELINE.json: <=0.05 ppl delta with a
+    quantized cache): byte-LM trained on repo source, held-out text scored
+    teacher-forced THROUGH the paged decode path per cache dtype. Full-size
+    run in benchmarks/eval_kv_quant_ppl.py (measured there on v5e:
+    int8 +0.005, fp8 -0.018 around ppl 11.73)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "benchmarks"))
+    from eval_kv_quant_ppl import byte_corpus, decode_path_ppl, train_byte_lm
+
+    tokens = byte_corpus(max_bytes=120_000)
+    split = int(len(tokens) * 0.9)
+    model, params = train_byte_lm(
+        tokens[:split], n_layer=1, n_embd=64, steps=60, seq_len=64, batch=8
+    )
+    text = tokens[split : split + 48]
+    base = decode_path_ppl(model, params, text, "bf16")
+    for dtype in ("int8", "fp8"):
+        ppl = decode_path_ppl(model, params, text, dtype)
+        assert abs(ppl - base) <= 0.05 * max(1.0, base / 10), (dtype, ppl, base)

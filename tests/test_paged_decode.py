@@ -87,8 +87,10 @@ def run_decode_case(
         check_close(out[i], out_ref[0, 0], out_pt[0, 0], mult=mult, what=f"seq{i}")
 
 
-@pytest.mark.parametrize("page_size", [16, 64, 128])
+@pytest.mark.parametrize("page_size", [16, 64, 128, 512])
 def test_page_sizes(page_size):
+    # 512 mirrors the reference's largest paged_kv_block_size
+    # (tests/test_flash_attn.py:1546,1836)
     run_decode_case([100, 37, 256], page_size=page_size)
 
 
@@ -124,6 +126,27 @@ def test_empty_and_single():
 
 def test_long_context():
     run_decode_case([3000], h=4, h_k=1, page_size=128)
+
+
+def test_very_long_context_32k():
+    """seqlen_k deep into the 10^4 range (the reference sweeps to 100k,
+    tests/test_flash_attn.py:1700-1718; interpret mode makes 32k the
+    practical CPU ceiling — the sequential-block walk is length-invariant
+    beyond this)."""
+    run_decode_case([32768], h=2, h_k=1, d=64, page_size=256, mult=4.0)
+
+
+def test_decode_determinism():
+    # determinism as a tested property (tests/test_flash_attn.py:547)
+    rng = np.random.default_rng(3)
+    k_pages, v_pages, bt = make_paged_cache(
+        rng, 2, [100, 200], 2, 64, 16, jnp.bfloat16
+    )
+    q = jnp.asarray(rng.standard_normal((2, 4, 64)), jnp.bfloat16)
+    lens = jnp.asarray([100, 200], jnp.int32)
+    a = paged_attention(q, k_pages, v_pages, lens, bt, pages_per_compute_block=4)
+    b = paged_attention(q, k_pages, v_pages, lens, bt, pages_per_compute_block=4)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_append_exactness():

@@ -247,17 +247,17 @@ def _decode_kernel(
                 sv = pltpu.repeat(sv, q_per_kv, axis=1)
             p = p * sv  # dequant folds INTO p before the PV reduction
         if quantized:
-            pv = jnp.sum(
-                p[:, :, None] * v.astype(jnp.float32), axis=0, keepdims=True
-            )
-        else:
-            # expand p's minor dim in fp32 (Mosaic 32-bit rule), then cast so
-            # the multiply runs packed
-            pv = jnp.sum(
-                (p[:, :, None].astype(v.dtype) * v).astype(jnp.float32),
-                axis=0,
-                keepdims=True,
-            )  # (1, hq, d)
+            # int8/fp8 payloads are exact in bf16; cast once (packed pass)
+            # so the PV products run on the same packed-bf16 path as the
+            # unquantized case instead of full fp32 products
+            v = v.astype(jnp.bfloat16)
+        # expand p's minor dim in fp32 (Mosaic 32-bit rule), then cast so
+        # the multiply runs packed
+        pv = jnp.sum(
+            (p[:, :, None].astype(v.dtype) * v).astype(jnp.float32),
+            axis=0,
+            keepdims=True,
+        )  # (1, hq, d)
         acc_scr[...] = acc_scr[...] * alpha[0][:, None] + pv[0]
 
         @pl.when(i == nb - 1)

@@ -104,6 +104,98 @@ class EMA:
         return self._backup
 
 
+class NormMonitor:
+    """Total param/grad L2 norms with NO extra device syncs: the squared sums
+    are computed inside the jitted step (device arrays), kept as futures, and
+    only converted with .item() when the log step reads them — the reference
+    documents a 6-7% slowdown from eager .item() calls
+    (/root/reference/training/src/callbacks/norm_monitor.py:1-4,22-79)."""
+
+    def __init__(self, log_every: int = 10):
+        self.log_every = log_every
+        self._pending = None
+        self.stats: Dict[str, float] = {}
+
+    @staticmethod
+    def device_norms(params, grads=None):
+        """Call INSIDE the jitted step; returns a dict of device scalars to
+        thread through the step's outputs."""
+        def sq(tree):
+            return sum(
+                jnp.sum(jnp.square(leaf.astype(jnp.float32)))
+                for leaf in jax.tree_util.tree_leaves(tree)
+            )
+
+        out = {"norm/param": jnp.sqrt(sq(params))}
+        if grads is not None:
+            out["norm/grad"] = jnp.sqrt(sq(grads))
+        return out
+
+    def on_step_end(self, step: int, device_norms: Optional[Dict] = None):
+        # lazily realize LAST log-step's futures; stash this step's
+        if self._pending is not None and step % self.log_every == 0:
+            self.stats = {k: float(v) for k, v in self._pending.items()}
+        self._pending = device_norms
+
+
+class LoggerCollection:
+    """Minimal logger-backend fan-out (the reference ships 7 logger configs,
+    training/configs/logger/*): jsonl file + csv + stdout backends, one
+    log(step, metrics) call."""
+
+    def __init__(self, backends):
+        self.backends = list(backends)
+
+    def log(self, step: int, metrics: Dict[str, Any]):
+        for b in self.backends:
+            b.log(step, metrics)
+
+    def close(self):
+        for b in self.backends:
+            if hasattr(b, "close"):
+                b.close()
+
+
+class JsonlLogger:
+    def __init__(self, path):
+        import io
+        self._f = open(path, "a", buffering=1)
+
+    def log(self, step, metrics):
+        import json
+        self._f.write(json.dumps({"step": step, **metrics}) + "\n")
+
+    def close(self):
+        self._f.close()
+
+
+class CsvLogger:
+    def __init__(self, path):
+        self._path = path
+        self._f = open(path, "a", buffering=1)
+        self._keys = None
+
+    def log(self, step, metrics):
+        keys = ["step"] + sorted(metrics)
+        if self._keys is None:
+            self._keys = keys
+            self._f.write(",".join(keys) + "\n")
+        row = {"step": step, **metrics}
+        self._f.write(",".join(str(row.get(k, "")) for k in self._keys) + "\n")
+
+    def close(self):
+        self._f.close()
+
+
+class StdoutLogger:
+    def log(self, step, metrics):
+        parts = " ".join(
+            f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in metrics.items()
+        )
+        print(f"[step {step}] {parts}")
+
+
 class Perplexity:
     """exp(mean loss) reusing the step loss (src/metrics/perplexity.py)."""
 

@@ -21,10 +21,14 @@ from vllm_flash_attn_tpu.models.gpt_parallel import ParallelGPTLMHeadModel
 from vllm_flash_attn_tpu.parallel.mesh import make_mesh
 from vllm_flash_attn_tpu.training.callbacks import (
     EMA,
+    CsvLogger,
     FlopCounter,
+    JsonlLogger,
+    LoggerCollection,
     NumTokens,
     Perplexity,
     SpeedMonitor,
+    StdoutLogger,
 )
 from vllm_flash_attn_tpu.training.checkpoint import CheckpointManager
 from vllm_flash_attn_tpu.training.data import (
@@ -62,6 +66,10 @@ class TrainConfig:
     zero1: bool = False
     zero2: bool = False  # grad sharding via psum_scatter (implies zero1 state)
     grad_compress: bool = False  # bf16 DP all-reduce (fp16_compress_hook analog)
+    # logger backends (reference ships 7 logger configs, configs/logger/*)
+    log_jsonl: Optional[str] = None
+    log_csv: Optional[str] = None
+    log_stdout: bool = False
 
 
 class Trainer:
@@ -108,6 +116,24 @@ class Trainer:
         self.ema = EMA(cfg.ema_decay) if cfg.ema_decay else None
         self.ckpt = (
             CheckpointManager(cfg.ckpt_dir) if cfg.ckpt_dir else None
+        )
+        backends = []
+        if cfg.log_jsonl:
+            backends.append(JsonlLogger(cfg.log_jsonl))
+        if cfg.log_csv:
+            backends.append(CsvLogger(cfg.log_csv))
+        if cfg.log_stdout:
+            backends.append(StdoutLogger())
+        self.loggers = LoggerCollection(backends)
+        # param-norm probe, evaluated only on log steps (NormMonitor ethos:
+        # no per-step .item() syncs)
+        self._pnorm_fn = jax.jit(
+            lambda p: jnp.sqrt(
+                sum(
+                    jnp.sum(jnp.square(x.astype(jnp.float32)))
+                    for x in jax.tree_util.tree_leaves(p)
+                )
+            )
         )
         self.history: list = []
 
@@ -176,7 +202,9 @@ class Trainer:
                         rec["mfu"] = self.flops.mfu(
                             self.speed.stats["throughput/tokens_per_sec"]
                         )
+                    rec["norm/param"] = float(self._pnorm_fn(self.state.params))
                     self.history.append(rec)
+                    self.loggers.log(step, rec)
                 if self.ckpt and step > 0 and step % cfg.ckpt_every == 0:
                     self.ckpt.save(f"step_{step}", self.state, self._extra())
         if self.ckpt:

@@ -185,39 +185,101 @@ def decode_speculative(
     seqlen_q>1 path of flash_attn_with_kvcache) and accepts the longest
     matching greedy prefix, +1 corrected token.
     """
+    import numpy as np
+
     b, prompt_len = input_ids.shape
     assert b == 1, "speculative decode: batch 1 (parity with reference test)"
     c = model.config
+    dc = draft_model.config
     vocab = c.vocab_size
+    K = speculative_lookahead
+    max_seqlen = prompt_len + max_new_tokens + K + 1
 
-    # simple (recompute-prefix) implementation: correct first, fast later.
-    tokens = input_ids
-    while tokens.shape[1] < prompt_len + max_new_tokens:
-        # draft K tokens greedily
-        draft_tokens = tokens
-        for _ in range(speculative_lookahead):
-            dlogits = draft_model.apply(
-                draft_params, draft_tokens, num_last_tokens=1
-            )[:, -1, :vocab]
-            draft_tokens = jnp.concatenate(
-                [draft_tokens, jnp.argmax(dlogits, -1)[:, None].astype(tokens.dtype)],
-                axis=1,
+    def _alloc(mc):
+        dtype = jax.tree_util.tree_leaves(params)[0].dtype
+        return InferenceParams(max_seqlen, 1, dtype=dtype).allocate(
+            mc.n_layer, mc.n_head_kv or mc.n_head, mc.n_embd // mc.n_head
+        )
+
+    inf_t = _alloc(c)
+    inf_d = _alloc(dc)
+
+    def _make_prefill(m, inf0):
+        @jax.jit
+        def prefill(params_, ids, cache):
+            inf = inf0.with_cache(cache, 0)
+            inf.lengths_per_sample = jnp.zeros((1,), jnp.int32)
+            logits = m.apply(
+                params_, ids, inference_params=inf, num_last_tokens=1
             )
-        proposed = draft_tokens[:, tokens.shape[1] :]
-        # verify in one target forward over the whole candidate
-        logits = model.apply(params, draft_tokens)[:, :, :vocab]
-        # target's greedy choice at each position preceding the proposals
-        base = tokens.shape[1]
-        tgt = jnp.argmax(logits[0, base - 1 : base - 1 + proposed.shape[1]], -1)
-        match = np_first_mismatch(tgt, proposed[0])
-        accepted = proposed[:, :match]
-        corrected = tgt[match][None, None].astype(tokens.dtype)
-        tokens = jnp.concatenate([tokens, accepted, corrected], axis=1)
-        if eos_token_id is not None and bool(
-            jnp.any(tokens[0, prompt_len:] == eos_token_id)
-        ):
+            return logits[:, 0, :vocab], inf.cache_pytree()
+
+        return prefill
+
+    prefill_t = _make_prefill(model, inf_t)
+    prefill_d = _make_prefill(draft_model, inf_d)
+
+    @jax.jit
+    def draft_step(dparams, tok, offset, cache):
+        inf = inf_d.with_cache(cache)
+        inf.lengths_per_sample = jnp.full((1,), offset, jnp.int32)
+        pos = jnp.full((1, 1), offset, jnp.int32)
+        logits = draft_model.apply(
+            dparams, tok,
+            position_ids=pos if dc.rotary_emb_dim == 0 else None,
+            inference_params=inf, num_last_tokens=1,
+        )
+        return jnp.argmax(logits[:, 0, :vocab], -1), inf.cache_pytree()
+
+    @jax.jit
+    def verify_step(tparams, q_tokens, offset, cache):
+        """ONE multi-token kvcache forward over [last, p_0..p_{K-1}]; the
+        accepted length only moves `offset` — rejected cache entries are
+        stale but sit past the new length and get overwritten next round."""
+        inf = inf_t.with_cache(cache)
+        inf.lengths_per_sample = jnp.full((1,), offset, jnp.int32)
+        pos = offset + jnp.arange(K + 1, dtype=jnp.int32)[None]
+        logits = model.apply(
+            tparams, q_tokens,
+            position_ids=pos if c.rotary_emb_dim == 0 else None,
+            inference_params=inf,
+        )
+        return jnp.argmax(logits[0, :, :vocab], -1), inf.cache_pytree()
+
+    # prefill both caches over the prompt
+    t_logits, t_cache = prefill_t(params, input_ids, inf_t.cache_pytree())
+    _, d_cache = prefill_d(draft_params, input_ids, inf_d.cache_pytree())
+    last = int(jnp.argmax(t_logits[0]))
+
+    out = list(np.asarray(input_ids[0]))
+    out.append(last)
+    true_len = prompt_len  # committed cache entries (prompt only so far)
+    generated = 1
+
+    while generated < max_new_tokens:
+        # draft K tokens with the draft's own cache (one step per token)
+        proposals = []
+        dt = jnp.asarray([[last]], jnp.int32)
+        for i in range(K):
+            nxt, d_cache = draft_step(
+                draft_params, dt, jnp.int32(true_len + i), d_cache
+            )
+            proposals.append(int(nxt[0]))
+            dt = nxt[:, None].astype(jnp.int32)
+        # verify all K proposals in one target forward over the cache
+        q = jnp.asarray([[last] + proposals], jnp.int32)
+        tgt, t_cache = verify_step(params, q, jnp.int32(true_len), t_cache)
+        tgt = np.asarray(tgt)
+        m = np_first_mismatch(tgt[:K], np.asarray(proposals))
+        accepted = proposals[:m] + [int(tgt[m])]
+        out.extend(accepted)
+        last = int(tgt[m])
+        true_len += m + 1
+        generated += m + 1
+        if eos_token_id is not None and eos_token_id in accepted:
             break
-    return tokens[:, : prompt_len + max_new_tokens]
+
+    return jnp.asarray(out[: prompt_len + max_new_tokens], jnp.int32)[None]
 
 
 def np_first_mismatch(a, b):
