@@ -191,3 +191,29 @@ def test_gather_kv_paged():
     np.testing.assert_array_equal(
         np.asarray(k[1]).transpose(1, 0, 2)[:50], ks[1][:50]
     )
+
+
+def test_splitkv_matches_single():
+    """paged_attention_splitkv (flash-decoding analog) must match the
+    single-pass kernel for any split count, including splits past the end
+    of short sequences (empty splits carry lse=+inf and merge away)."""
+    from vllm_flash_attn_tpu.kernels.paged_decode import paged_attention_splitkv
+
+    rng = np.random.default_rng(11)
+    lengths = [700, 64, 1]
+    k_pages, v_pages, bt = make_paged_cache(
+        rng, 3, lengths, 2, 64, 16, jnp.float32
+    )
+    q = jnp.asarray(rng.standard_normal((3, 4, 64)), jnp.float32)
+    lens = jnp.asarray(lengths, jnp.int32)
+    base = paged_attention(
+        q, k_pages, v_pages, lens, bt, pages_per_compute_block=4
+    )
+    for ns in (2, 3, 8):
+        out = paged_attention_splitkv(
+            q, k_pages, v_pages, lens, bt, num_splits=ns,
+            pages_per_compute_block=4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(base), atol=2e-5, rtol=2e-5
+        ), ns

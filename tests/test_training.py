@@ -244,3 +244,54 @@ def test_grad_compression_close_to_exact():
     )
     state, metrics = step(state, ids, labels)
     assert np.isfinite(float(metrics["loss"]))
+
+
+@pytest.mark.parametrize("kind", ["sgd", "lion", "lamb"])
+def test_optimizer_zoo_trains(kind):
+    """Every optimizer kind must reduce loss on an overfit-one-batch probe
+    (the reference ships a 9-optimizer config zoo, configs/optimizer/)."""
+    from vllm_flash_attn_tpu.models.gpt import GPTLMHeadModel
+    from vllm_flash_attn_tpu.training.train_step import make_optimizer
+    import jax.numpy as jnp
+
+    model = GPTLMHeadModel(TINY)
+    params = model.init(jax.random.PRNGKey(0))
+    lr = {"sgd": 0.05, "lion": 3e-3, "lamb": 0.05}[kind]
+    opt = make_optimizer(lr=lr, warmup_steps=0, total_steps=50, kind=kind)
+    state = jax.jit(opt.init)(params)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 256, (2, 32)), jnp.int32)
+    labels = jnp.asarray(rng.integers(0, 256, (2, 32)), jnp.int32)
+
+    @jax.jit
+    def step(params, state, it):
+        loss, grads = jax.value_and_grad(model.loss)(params, ids, labels)
+        params, state, _ = opt.update(grads, state, params, it)
+        return params, state, loss
+
+    losses = []
+    it = jnp.zeros((), jnp.int32)
+    for i in range(12):
+        params, state, loss = step(params, state, it)
+        it = it + 1
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+
+
+@pytest.mark.parametrize(
+    "schedule", ["cosine", "linear", "constant", "invsqrt", "step", "poly"]
+)
+def test_schedule_zoo_shapes(schedule):
+    """Warmup + monotone-ish decay sanity for every schedule (the reference
+    ships 8 scheduler configs, configs/scheduler/)."""
+    from vllm_flash_attn_tpu.training.train_step import make_optimizer
+    import jax.numpy as jnp
+
+    opt = make_optimizer(
+        lr=1.0, warmup_steps=10, total_steps=100, schedule=schedule
+    )
+    v0 = float(opt.lr_fn(jnp.int32(0)))
+    v_warm = float(opt.lr_fn(jnp.int32(10)))
+    v_end = float(opt.lr_fn(jnp.int32(99)))
+    assert v0 <= v_warm + 1e-6
+    assert 0.0 <= v_end <= v_warm + 1e-6

@@ -465,3 +465,71 @@ def paged_attention(
         out, lse = results
         return unshuffle(out)[..., :d_orig], unshuffle(lse[..., 0:1])[..., 0]
     return unshuffle(results[0])[..., :d_orig]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_splits", "sm_scale", "pages_per_compute_block", "interpret"
+    ),
+)
+def paged_attention_splitkv(
+    q: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    lengths: jax.Array,
+    block_tables: jax.Array,
+    *,
+    num_splits: int = 2,
+    sm_scale: Optional[float] = None,
+    pages_per_compute_block: Optional[int] = None,
+    interpret: Optional[bool] = None,
+):
+    """Split-KV decode: the KV range is partitioned into `num_splits` chunks,
+    each computed as an independent paged_attention (partial out + LSE), then
+    LSE-merged — the TPU analog of the reference's flash-decoding grid split +
+    combine kernel (flash_fwd_kernel.h:475-1055, 1093-1252; num_splits
+    heuristic flash_api.cpp:154-192).
+
+    On a 1-TensorCore chip (v5e) the sequential DMA walk already saturates
+    HBM, so this exists for (a) API/semantics parity and (b) multi-core parts
+    (v5p megacore) where the splits can map to separate cores. Plain decode
+    only (no window/alibi — positions inside a split are range-relative).
+    """
+    batch, h_q, d = q.shape
+    _, page_size, _, _ = k_pages.shape
+    max_pages = block_tables.shape[1]
+    cp = pl.cdiv(max_pages, num_splits)  # pages per split
+    lengths = lengths.astype(jnp.int32)
+
+    outs, lses = [], []
+    for j in range(num_splits):
+        tables_j = block_tables[:, j * cp : (j + 1) * cp]
+        if tables_j.shape[1] == 0:
+            continue
+        lens_j = jnp.clip(lengths - j * cp * page_size, 0, cp * page_size)
+        o_j, lse_j = paged_attention(
+            q, k_pages, v_pages, lens_j, tables_j,
+            sm_scale=sm_scale,
+            pages_per_compute_block=pages_per_compute_block,
+            return_lse=True, interpret=interpret,
+        )
+        outs.append(o_j)
+        lses.append(lse_j)
+
+    # -inf-safe LSE merge (flash_fwd_kernel.h:1156-1164 semantics: empty
+    # splits carry lse=+inf/out=0 from the kernel's zero-length convention —
+    # mask them out of the max)
+    lse = jnp.stack(lses)  # (S, b, h)
+    out = jnp.stack([o.astype(jnp.float32) for o in outs])  # (S, b, h, d)
+    valid = jnp.isfinite(lse)
+    neg = jnp.where(valid, lse, -jnp.inf)
+    m = jnp.max(neg, axis=0)  # (b, h)
+    w = jnp.where(valid, jnp.exp(neg - m[None]), 0.0)  # (S, b, h)
+    denom = jnp.maximum(jnp.sum(w, axis=0), 1e-38)
+    merged = jnp.sum(out * w[..., None], axis=0) / denom[..., None]
+    # all splits empty (length 0): kernel convention is out = 0
+    merged = jnp.where(
+        jnp.all(~valid, axis=0)[..., None], 0.0, merged
+    )
+    return merged.astype(q.dtype)

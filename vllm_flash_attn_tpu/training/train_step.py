@@ -51,6 +51,79 @@ def cosine_warmup_schedule(
     return fn
 
 
+def linear_warmup_schedule(lr, warmup_steps, total_steps, min_lr_ratio=0.0):
+    """Linear warmup then linear decay (configs/scheduler/linear-warmup)."""
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = lr * step / jnp.maximum(warmup_steps, 1)
+        prog = jnp.clip(
+            (step - warmup_steps) / jnp.maximum(total_steps - warmup_steps, 1),
+            0.0, 1.0,
+        )
+        dec = lr * (1.0 - (1.0 - min_lr_ratio) * prog)
+        return jnp.where(step < warmup_steps, warm, dec)
+
+    return fn
+
+
+def constant_schedule(lr, warmup_steps=0, **_):
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = lr * step / jnp.maximum(warmup_steps, 1)
+        return jnp.where(step < warmup_steps, warm, lr) if warmup_steps else lr * jnp.ones_like(step)
+
+    return fn
+
+
+def invsqrt_schedule(lr, warmup_steps, **_):
+    """Inverse-sqrt decay after warmup (transformer-classic)."""
+    w = max(warmup_steps, 1)
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        return jnp.where(
+            step < w, lr * step / w, lr * jnp.sqrt(w / jnp.maximum(step, 1.0))
+        )
+
+    return fn
+
+
+def step_schedule(lr, milestones=(1000, 2000), gamma=0.1, **_):
+    """Multi-step decay (configs/scheduler/multi-step)."""
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        k = sum(jnp.asarray(step >= m, jnp.float32) for m in milestones)
+        return lr * gamma ** k
+
+    return fn
+
+
+def poly_schedule(lr, warmup_steps, total_steps, power=1.0, min_lr_ratio=0.0):
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = lr * step / jnp.maximum(warmup_steps, 1)
+        prog = jnp.clip(
+            (step - warmup_steps) / jnp.maximum(total_steps - warmup_steps, 1),
+            0.0, 1.0,
+        )
+        dec = lr * (min_lr_ratio + (1 - min_lr_ratio) * (1 - prog) ** power)
+        return jnp.where(step < warmup_steps, warm, dec)
+
+    return fn
+
+
+SCHEDULES = {
+    "cosine": cosine_warmup_schedule,
+    "linear": linear_warmup_schedule,
+    "constant": constant_schedule,
+    "invsqrt": invsqrt_schedule,
+    "step": step_schedule,
+    "poly": poly_schedule,
+}
+
+
 def decay_mask(params):
     """True = apply weight decay (param_grouping.py semantics)."""
 
@@ -67,12 +140,20 @@ def decay_mask(params):
 
 @dataclasses.dataclass
 class AdamW:
+    """Family of momentum optimizers over a fixed two-tree state
+    {mu, nu} (so ZeRO sharding specs are kind-agnostic):
+    kind = 'adamw' | 'lamb' (FusedLAMB analog, layerwise trust ratio) |
+    'lion' (sign-momentum) | 'sgd' (momentum; nu unused).
+    Mirrors the reference's optimizer zoo
+    (training/configs/optimizer/{adamw,fusedlamb,sgd,...}.yaml)."""
+
     lr_fn: Callable
     b1: float = 0.9
     b2: float = 0.95
     eps: float = 1e-8
     weight_decay: float = 0.1
     grad_clip: float = 1.0
+    kind: str = "adamw"
 
     def init(self, params):
         z = lambda p: jnp.zeros(p.shape, jnp.float32)
@@ -98,12 +179,28 @@ class AdamW:
 
         def upd(g, mu, nu, p, decay):
             g = g.astype(jnp.float32) * scale
-            mu = self.b1 * mu + (1 - self.b1) * g
-            nu = self.b2 * nu + (1 - self.b2) * jnp.square(g)
-            step_ = (mu / bc1) / (jnp.sqrt(nu / bc2) + self.eps)
-            if decay:
-                step_ = step_ + self.weight_decay * p.astype(jnp.float32)
-            return (p.astype(jnp.float32) - lr * step_).astype(p.dtype), mu, nu
+            pf = p.astype(jnp.float32)
+            wd = self.weight_decay if decay else 0.0
+            if self.kind == "sgd":
+                mu = self.b1 * mu + g
+                step_ = mu + wd * pf
+            elif self.kind == "lion":
+                step_ = jnp.sign(self.b1 * mu + (1 - self.b1) * g) + wd * pf
+                mu = self.b2 * mu + (1 - self.b2) * g
+            else:  # adamw / lamb share the adam direction
+                mu = self.b1 * mu + (1 - self.b1) * g
+                nu = self.b2 * nu + (1 - self.b2) * jnp.square(g)
+                step_ = (mu / bc1) / (jnp.sqrt(nu / bc2) + self.eps)
+                step_ = step_ + wd * pf
+                if self.kind == "lamb":
+                    # layerwise trust ratio (FusedLAMB, apex semantics)
+                    wn = jnp.sqrt(jnp.sum(jnp.square(pf)))
+                    un = jnp.sqrt(jnp.sum(jnp.square(step_)))
+                    trust = jnp.where(
+                        (wn > 0) & (un > 0), wn / jnp.maximum(un, 1e-9), 1.0
+                    )
+                    step_ = trust * step_
+            return (pf - lr * step_).astype(p.dtype), mu, nu
 
         flat_p, treedef = jax.tree_util.tree_flatten(params)
         flat_g = jax.tree_util.tree_leaves(grads)
@@ -135,11 +232,17 @@ def make_optimizer(
     warmup_steps: int = 100,
     total_steps: int = 10000,
     min_lr_ratio: float = 0.1,
+    kind: str = "adamw",
+    schedule: str = "cosine",
 ) -> AdamW:
-    return AdamW(
-        cosine_warmup_schedule(lr, warmup_steps, total_steps, min_lr_ratio),
-        b1, b2, 1e-8, weight_decay, grad_clip,
-    )
+    sched = SCHEDULES[schedule]
+    if schedule in ("cosine", "linear", "poly"):
+        lr_fn = sched(lr, warmup_steps, total_steps, min_lr_ratio)
+    elif schedule in ("constant", "invsqrt"):
+        lr_fn = sched(lr, warmup_steps)
+    else:
+        lr_fn = sched(lr)
+    return AdamW(lr_fn, b1, b2, 1e-8, weight_decay, grad_clip, kind=kind)
 
 
 # ------------------------------------------------------------ sharding specs
@@ -246,6 +349,11 @@ def make_parallel_train_step(
     comm hook, ddp_comm_hooks.py:9-43 — use jnp.bfloat16 on TPU).
     """
     zero1 = zero1 or zero2
+    if zero1:
+        assert optimizer.kind == "adamw", (
+            "ZeRO flat-sharded state implements the adamw update; use the "
+            "replicated path for other optimizer kinds"
+        )
     specs = param_specs(model, model_axis)
     opt_specs = (
         {"mu": P(model_axis, data_axis), "nu": P(model_axis, data_axis)}
