@@ -295,3 +295,71 @@ def test_schedule_zoo_shapes(schedule):
     v_end = float(opt.lr_fn(jnp.int32(99)))
     assert v0 <= v_warm + 1e-6
     assert 0.0 <= v_end <= v_warm + 1e-6
+
+
+def test_load_pretrained_with_key_remap(tmp_path):
+    """Eval-time / warm-start loader: params-only restore + key remapping
+    (src/utils/checkpoint.py:8-29 analog)."""
+    from vllm_flash_attn_tpu.training.checkpoint import load_pretrained_params
+    import jax.numpy as jnp
+
+    cfg = TrainConfig(
+        model=TINY, seq_len=64, global_batch_size=4, max_steps=2,
+        tp=4, ckpt_dir=str(tmp_path / "ckpt"),
+    )
+    tokens = synthetic_tokens(256, 30_000, 0)
+    tr = Trainer(cfg, tokens)
+    tr.fit()
+
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tr.state.params
+    )
+    params = load_pretrained_params(cfg.ckpt_dir, abstract)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params),
+        jax.tree_util.tree_leaves(tr.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    remapped = load_pretrained_params(
+        cfg.ckpt_dir, abstract, key_remap={"ln_f": "final_norm"}
+    )
+    assert "final_norm" in remapped and "ln_f" not in remapped
+
+
+def test_tp_replicated_params_stay_in_sync_without_sp():
+    """Without sequence parallelism, replicated norm params must still get
+    the model-axis psum of their partial grads — otherwise the tp copies
+    drift apart (regression: the psum was conditioned on sequence_parallel
+    and non-SP TP silently de-synced by ~1e-5/step)."""
+    from vllm_flash_attn_tpu.training.data import synthetic_tokens
+
+    cfg = TrainConfig(
+        model=TINY, seq_len=64, global_batch_size=4, max_steps=3,
+        tp=4, sequence_parallel=False,
+    )
+    tr = Trainer(cfg, synthetic_tokens(256, 30_000, 0))
+    tr.fit()
+    leaf = tr.state.params["ln_f"]["weight"]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    drift = max(float(np.abs(shards[0] - s).max()) for s in shards[1:])
+    assert drift == 0.0, drift
+
+
+def test_best_checkpoint_policy(tmp_path):
+    from vllm_flash_attn_tpu.training.checkpoint import (
+        BestCheckpointPolicy,
+        CheckpointManager,
+    )
+    import jax.numpy as jnp
+
+    mgr = CheckpointManager(str(tmp_path), max_to_keep=10)
+    pol = BestCheckpointPolicy(mgr, top_k=2)
+    state = {"w": jnp.ones((4,))}
+    assert pol.maybe_save(3.0, 1, state)
+    assert pol.maybe_save(2.0, 2, state)
+    assert not pol.maybe_save(5.0, 3, state)  # worse than both kept
+    assert pol.maybe_save(1.0, 4, state)  # evicts step 1
+    assert pol.best()[0] == "best_step_4"
+    assert not (tmp_path / "best_step_1").exists()
+    assert (tmp_path / "best_step_2").exists()

@@ -54,10 +54,42 @@ def apply_overrides(cfg, overrides):
         setattr(obj, parts[-1], val)
 
 
-def load_experiment(cfg, path: str):
-    import yaml  # pyyaml ships with the base image via transformers deps
+def _load_yaml_composed(path: Path, _seen=None):
+    """YAML with Hydra-ish composition: an `include:` list names config-group
+    files (resolved relative to this file, then to configs/) merged in order
+    BEFORE this file's own keys — the `defaults:` list analog of the
+    reference's Hydra tree (training/configs/config.yaml:4-18)."""
+    import yaml
 
-    data = yaml.safe_load(Path(path).read_text()) or {}
+    _seen = _seen or set()
+    path = path.resolve()
+    if path in _seen:
+        raise ValueError(f"config include cycle at {path}")
+    _seen.add(path)
+    data = yaml.safe_load(path.read_text()) or {}
+    includes = data.pop("include", [])
+    merged: dict = {}
+    for inc in includes:
+        ip = Path(inc)
+        if not ip.is_absolute():
+            cand = path.parent / ip
+            ip = cand if cand.exists() else Path("configs") / ip
+        sub = _load_yaml_composed(ip, _seen)
+        _deep_merge(merged, sub)
+    _deep_merge(merged, data)
+    return merged
+
+
+def _deep_merge(dst: dict, src: dict):
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+            _deep_merge(dst[k], v)
+        else:
+            dst[k] = v
+
+
+def load_experiment(cfg, path: str):
+    data = _load_yaml_composed(Path(path))
     model = data.pop("model", {})
     for k, v in model.items():
         setattr(cfg.model, k, v)

@@ -8,8 +8,14 @@ inside a lax.scan — the FlashAttention-2 backward dataflow (dQ/dK/dV from
 saved LSE + O), expressed as XLA ops so the fuser tiles it onto the MXU. Peak
 memory is O(sq * block_k) per (b, h), never O(s^2).
 
+GQA stays GROUPED: q/do/lse are viewed (b, h_k, q_per_kv, sq, d) and contract
+K/V (b, h_k, sk, d) directly, so K/V are never repeated h/h_k-fold (and the
+dK/dV group-sum is fused into the einsum contraction). Inputs keep their
+native dtype; every contraction accumulates fp32 via preferred_element_type.
+
 Supports the full forward feature set: bottom-right causal, sliding window,
-ALiBi, softcap, GQA (dK/dV summed over the query-head group).
+ALiBi, softcap. KV blocks that fall entirely outside the window/causal band
+are skipped with a lax.cond (matters for sliding-window training and sk>sq).
 """
 
 from __future__ import annotations
@@ -46,42 +52,48 @@ def mha_backward(
         wr = 0
     offset = sk - sq
 
-    kf = jnp.repeat(k, qpk, axis=1).astype(jnp.float32)
-    vf = jnp.repeat(v, qpk, axis=1).astype(jnp.float32)
-    qf = q.astype(jnp.float32)
-    dof = do.astype(jnp.float32)
-    D = jnp.sum(dof * out.astype(jnp.float32), axis=-1)  # (b, h, sq)
+    f32 = jnp.float32
+    qg = q.reshape(b, h_k, qpk, sq, d)
+    dog = do.reshape(b, h_k, qpk, sq, d)
+    outg = out.reshape(b, h_k, qpk, sq, d)
+    lseg = lse.reshape(b, h_k, qpk, sq)
+    D = jnp.einsum(
+        "bgpqd,bgpqd->bgpq", dog, outg, preferred_element_type=f32
+    )  # (b, h_k, qpk, sq)
 
     nk = -(-sk // block_k)
     pad = nk * block_k - sk
+    kp, vp = k, v
     if pad:
-        kf = jnp.pad(kf, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        vf = jnp.pad(vf, ((0, 0), (0, 0), (0, pad), (0, 0)))
-    kb = kf.reshape(b, h, nk, block_k, d).transpose(2, 0, 1, 3, 4)
-    vb = vf.reshape(b, h, nk, block_k, d).transpose(2, 0, 1, 3, 4)
+        kp = jnp.pad(kp, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        vp = jnp.pad(vp, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    kb = kp.reshape(b, h_k, nk, block_k, d).transpose(2, 0, 1, 3, 4)
+    vb = vp.reshape(b, h_k, nk, block_k, d).transpose(2, 0, 1, 3, 4)
 
     row = jnp.arange(sq, dtype=jnp.int32)[:, None]
     if alibi_slopes is not None:
         slopes = jnp.asarray(alibi_slopes, jnp.float32)
         if slopes.ndim == 1:
             slopes = jnp.broadcast_to(slopes[None], (b, h))
+        slopes = slopes.reshape(b, h_k, qpk)
     else:
         slopes = None
 
-    def block(carry, inputs):
-        dq_acc, j = carry
-        k_j, v_j = inputs  # (b, h, bk, d)
+    def compute_block(dq_acc, j, k_j, v_j):
         col = jnp.arange(block_k, dtype=jnp.int32)[None, :] + j * block_k
 
-        s_pre = jnp.einsum("bhqd,bhkd->bhqk", qf, k_j) * sm_scale
+        s_pre = (
+            jnp.einsum("bgpqd,bgkd->bgpqk", qg, k_j, preferred_element_type=f32)
+            * sm_scale
+        )
         if softcap > 0.0:
             s_capped = jnp.tanh(s_pre / softcap) * softcap
         else:
             s_capped = s_pre
         if slopes is not None:
-            bias = -slopes[:, :, None, None] * jnp.abs(
+            bias = -slopes[:, :, :, None, None] * jnp.abs(
                 row + offset - col
-            ).astype(jnp.float32)
+            ).astype(f32)
             s_b = s_capped + bias
         else:
             s_b = s_capped
@@ -91,26 +103,62 @@ def mha_backward(
             mask = mask & (col <= row + offset + wr)
         if wl >= 0:
             mask = mask & (col >= row + offset - wl)
-        p = jnp.exp(jnp.where(mask, s_b, MASK_NEG) - lse[..., None])
+        p = jnp.exp(jnp.where(mask, s_b, MASK_NEG) - lseg[..., None])
         p = jnp.where(mask, p, 0.0)  # rows with lse=+inf give p=0 already
 
-        dv_j = jnp.einsum("bhqk,bhqd->bhkd", p, dof)
-        dp = jnp.einsum("bhqd,bhkd->bhqk", dof, v_j)
+        # dK/dV group-sum over qpk fused into the contraction (GQA)
+        dv_j = jnp.einsum(
+            "bgpqk,bgpqd->bgkd", p, dog, preferred_element_type=f32
+        )
+        dp = jnp.einsum(
+            "bgpqd,bgkd->bgpqk", dog, v_j, preferred_element_type=f32
+        )
         ds = p * (dp - D[..., None])
         if softcap > 0.0:
             ds = ds * (1.0 - jnp.square(s_capped / softcap))
-        dq_acc = dq_acc + jnp.einsum("bhqk,bhkd->bhqd", ds, k_j) * sm_scale
-        dk_j = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * sm_scale
+        dq_acc = dq_acc + (
+            jnp.einsum("bgpqk,bgkd->bgpqd", ds, k_j, preferred_element_type=f32)
+            * sm_scale
+        )
+        dk_j = (
+            jnp.einsum("bgpqk,bgpqd->bgkd", ds, qg, preferred_element_type=f32)
+            * sm_scale
+        )
+        return dq_acc, dk_j, dv_j
+
+    def block(carry, inputs):
+        dq_acc, j = carry
+        k_j, v_j = inputs  # (b, h_k, bk, d)
+        # skip KV blocks entirely outside the attended band (sliding window /
+        # bottom-right causal with sk > sq) — the CUDA early-exit analog
+        lo = j * block_k
+        hi = lo + block_k - 1
+        active = lo < sk
+        if wr >= 0:
+            active = jnp.logical_and(active, lo <= (sq - 1) + offset + wr)
+        if wl >= 0:
+            active = jnp.logical_and(active, hi >= offset - wl)
+
+        def live(_):
+            return compute_block(dq_acc, j, k_j, v_j)
+
+        def dead(_):
+            z = jnp.zeros((b, h_k, block_k, d), f32)
+            return dq_acc, z, z
+
+        dq_acc, dk_j, dv_j = jax.lax.cond(active, live, dead, None)
         return (dq_acc, j + 1), (dk_j, dv_j)
 
-    (dq, _), (dk_blocks, dv_blocks) = jax.lax.scan(
-        block, (jnp.zeros_like(qf), jnp.int32(0)), (kb, vb)
+    (dqg, _), (dk_blocks, dv_blocks) = jax.lax.scan(
+        block,
+        (jnp.zeros((b, h_k, qpk, sq, d), f32), jnp.int32(0)),
+        (kb, vb),
     )
-    dk_full = dk_blocks.transpose(1, 2, 0, 3, 4).reshape(b, h, nk * block_k, d)
-    dv_full = dv_blocks.transpose(1, 2, 0, 3, 4).reshape(b, h, nk * block_k, d)
-    dk_full = dk_full[:, :, :sk]
-    dv_full = dv_full[:, :, :sk]
-    # GQA: sum gradient over the query-head group
-    dk = dk_full.reshape(b, h_k, qpk, sk, d).sum(axis=2)
-    dv = dv_full.reshape(b, h_k, qpk, sk, d).sum(axis=2)
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    dk = dk_blocks.transpose(1, 2, 0, 3, 4).reshape(b, h_k, nk * block_k, d)
+    dv = dv_blocks.transpose(1, 2, 0, 3, 4).reshape(b, h_k, nk * block_k, d)
+    dq = dqg.reshape(b, h, sq, d)
+    return (
+        dq.astype(q.dtype),
+        dk[:, :, :sk].astype(k.dtype),
+        dv[:, :, :sk].astype(v.dtype),
+    )

@@ -385,13 +385,19 @@ def make_parallel_train_step(
                 )
             else:
                 grads = jax.lax.pmean(grads, data_axis)
-        if sequence_parallel:
-            grads = jax.tree_util.tree_map_with_path(
-                lambda path, g: jax.lax.psum(g, model_axis)
-                if _is_replicated(path)
-                else g,
-                grads,
-            )
+        # Model-axis psum for REPLICATED params (norms, position embeddings):
+        # inside the shard_map body each model shard only backprops through
+        # its own heads/columns, so its grad for a replicated param is a
+        # PARTIAL sum — without this psum the tp copies receive different
+        # (and too-small) updates and silently de-sync. Required for ANY tp,
+        # not just sequence parallelism (the allreduce_sequence_parallel_grad
+        # analog, tests/models/test_gpt_parallel.py:14).
+        grads = jax.tree_util.tree_map_with_path(
+            lambda path, g: jax.lax.psum(g, model_axis)
+            if _is_replicated(path)
+            else g,
+            grads,
+        )
         if zero2:
             # grads stay local: the reduce happens fused with the shard
             # inside _zero_flat_update (psum_scatter), which also computes
