@@ -341,3 +341,40 @@ def test_bigcode_mha():
     torch.manual_seed(10)
     model = transformers.GPTBigCodeForCausalLM(cfg)
     check_logits_match(model, _ids(96, seed=10), atol=1e-2, rtol=1e-2)
+
+
+def test_state_dict_from_pretrained_dir(tmp_path):
+    """Local-directory checkpoint loading (state_dict_from_pretrained analog):
+    save an HF gpt2 to disk (safetensors), reload WITHOUT torch-model
+    instantiation, remap, and demand logits parity."""
+    from vllm_flash_attn_tpu.utils.pretrained import (
+        from_pretrained_dir,
+        state_dict_from_pretrained,
+    )
+
+    cfg = transformers.GPT2Config(
+        vocab_size=96, n_positions=64, n_embd=48, n_layer=2, n_head=4
+    )
+    torch.manual_seed(21)
+    hf = transformers.GPT2LMHeadModel(cfg).eval().float()
+    hf.save_pretrained(tmp_path)
+
+    sd = state_dict_from_pretrained(str(tmp_path))
+    ref_sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    missing = []
+    for k, v in ref_sd.items():
+        if k in sd:
+            np.testing.assert_array_equal(sd[k], v)
+        else:
+            missing.append(k)
+    # save_pretrained drops tied weights; nothing else may be missing
+    assert missing in ([], ["lm_head.weight"]), missing
+
+    config, params = from_pretrained_dir(str(tmp_path))
+    ids = _ids(96, seed=21)
+    with torch.no_grad():
+        hf_logits = hf(torch.tensor(ids)).logits.numpy()
+    logits = np.asarray(
+        GPTLMHeadModel(config).apply(params, jnp.asarray(ids, jnp.int32))
+    )[:, :, : config.vocab_size]
+    np.testing.assert_allclose(logits, hf_logits, atol=5e-3, rtol=5e-3)
