@@ -229,3 +229,59 @@ def test_kvcache_multitoken_query():
             causal=True,
         )
         check_close(out[i], ref[0], pt[0], mult=3.0, what=f"seq{i}")
+
+
+@pytest.mark.parametrize("paged", [False, True])
+@pytest.mark.parametrize("interleaved", [False, True])
+@pytest.mark.parametrize("s_new", [1, 3])
+def test_kvcache_cross_product(paged, interleaved, s_new):
+    """Denser kvcache sampling of the reference's big cross-product
+    (tests/test_flash_attn.py:1861-2094): rotary style x append x paged vs
+    contiguous x multi-token query, with cache-update exactness."""
+    rng = np.random.default_rng(40 + s_new + 2 * paged + 4 * interleaved)
+    b, h, h_k, d, ps = 2, 4, 2, 64, 16
+    max_len = 256
+    lens = [60, 129]
+    if paged:
+        k_cache, v_cache, bt = _mk_paged_cache(rng, b, max_len, h_k, d, ps)
+    else:
+        k_cache = rand(rng, (b, max_len, h_k, d), jnp.float32)
+        v_cache = rand(rng, (b, max_len, h_k, d), jnp.float32)
+        bt = None
+    q = rand(rng, (b, s_new, h, d), jnp.float32)
+    k_new = rand(rng, (b, s_new, h_k, d), jnp.float32)
+    v_new = rand(rng, (b, s_new, h_k, d), jnp.float32)
+    rot = RotaryEmbedding(d, interleaved=interleaved)
+    cos, sin = rot.tables(max_len)
+
+    res = flash_attn_with_kvcache(
+        q, k_cache, v_cache, k_new, v_new,
+        rotary_cos=cos, rotary_sin=sin,
+        cache_seqlens=jnp.asarray(lens, jnp.int32),
+        block_table=bt, causal=True,
+        rotary_interleaved=interleaved,
+    )
+    out, (k2, v2) = res
+
+    for i, L in enumerate(lens):
+        if paged:
+            kd = _cache_dense(k2, bt, i, L + s_new, ps)
+            vd = _cache_dense(v2, bt, i, L + s_new, ps)
+        else:
+            kd = np.asarray(k2[i, : L + s_new])
+            vd = np.asarray(v2[i, : L + s_new])
+        pos = jnp.arange(L, L + s_new)
+        k_rot = apply_rotary_emb(
+            k_new[i : i + 1], cos, sin, interleaved=interleaved, positions=pos[None]
+        )
+        np.testing.assert_array_equal(vd[L:], np.asarray(v_new[i]))
+        np.testing.assert_allclose(
+            kd[L:], np.asarray(k_rot[0]), atol=1e-3, rtol=1e-3
+        )
+        q_rot = apply_rotary_emb(
+            q[i : i + 1], cos, sin, interleaved=interleaved, positions=pos[None]
+        )
+        ref, pt = oracle_pair(
+            q_rot, jnp.asarray(kd)[None], jnp.asarray(vd)[None], causal=True,
+        )
+        check_close(out[i], ref[0], pt[0], mult=3.0, what=f"seq{i}")
