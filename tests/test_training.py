@@ -363,3 +363,27 @@ def test_best_checkpoint_policy(tmp_path):
     assert pol.best()[0] == "best_step_4"
     assert not (tmp_path / "best_step_1").exists()
     assert (tmp_path / "best_step_2").exists()
+
+
+def test_logger_backends(tmp_path):
+    import json as _json
+
+    from vllm_flash_attn_tpu.training.callbacks import (
+        CsvLogger,
+        JsonlLogger,
+        LoggerCollection,
+        StdoutLogger,
+    )
+
+    jl = tmp_path / "log.jsonl"
+    cl = tmp_path / "log.csv"
+    logs = LoggerCollection(
+        [JsonlLogger(str(jl)), CsvLogger(str(cl)), StdoutLogger()]
+    )
+    logs.log(0, {"loss": 1.5, "ppl": 4.48})
+    logs.log(10, {"loss": 1.2, "ppl": 3.32})
+    logs.close()
+    lines = jl.read_text().strip().splitlines()
+    assert _json.loads(lines[1]) == {"step": 10, "loss": 1.2, "ppl": 3.32}
+    rows = cl.read_text().strip().splitlines()
+    assert rows[0] == "step,loss,ppl" and rows[2].startswith("10,")
