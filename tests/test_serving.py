@@ -242,3 +242,34 @@ def test_engine_preemption_under_page_pressure():
     done = engine.run(reqs)
     assert len(done) == 4
     assert all(len(r.output_tokens) == 8 for r in done)
+
+
+def test_engine_quantized_cache_runs():
+    """Continuous batching with an int8 KV cache (quantize-on-append +
+    in-flight dequant through the whole engine path)."""
+    model = GPTLMHeadModel(CFG)
+    params = model.init(jax.random.PRNGKey(8))
+    rng = np.random.default_rng(8)
+    prompts = [rng.integers(0, CFG.vocab_size, (n,)).tolist() for n in (6, 20)]
+    engine = LLMEngine(
+        model, params, page_size=16, num_pages=64, max_seqs=2,
+        max_pages_per_seq=8, cache_dtype="int8",
+    )
+    done = engine.run(
+        [Request(i, p, max_new_tokens=5) for i, p in enumerate(prompts)]
+    )
+    assert len(done) == 2
+    assert all(len(r.output_tokens) == 5 and r.error is None for r in done)
+    # int8 quantization error is small: outputs match the bf16-cache engine
+    ref = LLMEngine(
+        model, params, page_size=16, num_pages=64, max_seqs=2,
+        max_pages_per_seq=8,
+    ).run([Request(i, p, max_new_tokens=5) for i, p in enumerate(prompts)])
+    same = sum(
+        a.output_tokens == b.output_tokens
+        for a, b in zip(
+            sorted(done, key=lambda r: r.request_id),
+            sorted(ref, key=lambda r: r.request_id),
+        )
+    )
+    assert same >= 1  # greedy argmax can flip on near-ties; most match

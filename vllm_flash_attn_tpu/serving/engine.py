@@ -109,6 +109,10 @@ class LLMEngine:
                 to_tp_layout,
             )
 
+            assert cache_dtype not in ("int8", "fp8"), (
+                "tensor-parallel serving with a quantized cache is not wired "
+                "yet (the scale tensors need their own partition spec)"
+            )
             assert self.h_kv % self.tp == 0, (self.h_kv, self.tp)
             self._cache_spec = P(None, None, None, "model", None)
             cache_sh = NamedSharding(mesh, self._cache_spec)
