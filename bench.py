@@ -73,11 +73,17 @@ def timed(fn, chain_arg, *args, n_iter=50):
     return (time.time() - t0) / n_iter
 
 
-def bench_decode(ctx=2048, batch=8, h=32, h_k=32, d=128, page_size=16):
+def bench_decode(ctx_max=8192, ctx_points=(2048, 8192), batch=8, h=32,
+                 h_k=32, d=128, page_size=16):
+    """Times the SAME compiled kernel at several context lengths by varying
+    the dynamic `lengths` argument (the grid is sized for ctx_max; shorter
+    lengths skip blocks via pl.when) — ONE compile covers every point of the
+    two-size fixed-cost fit, which matters on a degraded-relay day where each
+    remote compile costs minutes."""
     from vllm_flash_attn_tpu.kernels.paged_decode import paged_attention
 
     rng = np.random.default_rng(0)
-    pages_per_seq = ctx // page_size
+    pages_per_seq = ctx_max // page_size
     num_pages = batch * pages_per_seq
     kp = jnp.asarray(
         rng.standard_normal((num_pages, page_size, h_k, d)), jnp.bfloat16
@@ -88,19 +94,31 @@ def bench_decode(ctx=2048, batch=8, h=32, h_k=32, d=128, page_size=16):
     bt = jnp.asarray(
         rng.permutation(num_pages).reshape(batch, pages_per_seq).astype(np.int32)
     )
-    lens = jnp.full((batch,), ctx, jnp.int32)
     q0 = jnp.asarray(rng.standard_normal((batch, h, d)), jnp.bfloat16)
+    n_iter = 50
 
-    def step(q, kp, vp, lens, bt):
-        return paged_attention(
-            q, kp, vp, lens, bt, pages_per_compute_block=512 // page_size
-        )
+    @jax.jit
+    def many(q, kp, vp, lens, bt):
+        def body(y, _):
+            out = paged_attention(
+                y, kp, vp, lens, bt,
+                pages_per_compute_block=512 // page_size,
+            )
+            return out.astype(y.dtype), None
 
-    dt = timed(step, q0, kp, vp, lens, bt)
-    kv_bytes = batch * ctx * 2 * h_k * d * 2  # K+V bf16
-    tokens_per_sec = batch / dt
-    gbps = kv_bytes / dt / 1e9
-    return tokens_per_sec, gbps, dt
+        y, _ = jax.lax.scan(body, q, None, length=n_iter)
+        return jnp.sum(y.astype(jnp.float32))
+
+    results = {}
+    for ctx in ctx_points:
+        lens = jnp.full((batch,), ctx, jnp.int32)
+        float(many(q0, kp, vp, lens, bt))  # compile (once) + warm
+        t0 = time.time()
+        float(many(q0, kp, vp, lens, bt))
+        dt = (time.time() - t0) / n_iter
+        kv_bytes = batch * ctx * 2 * h_k * d * 2  # K+V bf16
+        results[ctx] = (batch / dt, kv_bytes / dt / 1e9, dt)
+    return results
 
 
 def bench_prefill(s=4096, b=1, h=32, d=128):
@@ -176,12 +194,13 @@ def main():
     hbm = HBM_GBPS.get(kind, 819.0)
     peak = PEAK_TFLOPS_BF16.get(kind, 197.0)
 
-    # ---- decode: two-point fit (llama-7B shape at 2k, + 8k for the slope)
-    shape = dict(batch=8, h=32, h_k=32, d=128, page_size=16)
-    raw_tok, raw_gbps, dt_2k = bench_decode(ctx=2048, **shape)
-    print(f"[bench] decode 2k done at t={time.time()-t_start:.0f}s", file=sys.stderr, flush=True)
-    _, _, dt_8k = bench_decode(ctx=8192, **shape)
-    print(f"[bench] decode 8k done at t={time.time()-t_start:.0f}s", file=sys.stderr, flush=True)
+    # ---- decode: two-point fit from ONE compiled kernel (dynamic lengths)
+    res = bench_decode(ctx_max=8192, ctx_points=(2048, 8192), batch=8, h=32,
+                       h_k=32, d=128, page_size=16)
+    raw_tok, raw_gbps, dt_2k = res[2048]
+    _, _, dt_8k = res[8192]
+    print(f"[bench] decode done at t={time.time()-t_start:.0f}s",
+          file=sys.stderr, flush=True)
     bytes_2k = 8 * 2048 * 2 * 32 * 128 * 2
     bytes_8k = 8 * 8192 * 2 * 32 * 128 * 2
     dec_rate = (bytes_8k - bytes_2k) / (dt_8k - dt_2k)  # bytes/s sustained
@@ -190,27 +209,34 @@ def main():
     # tokens/s the kernel sustains at the llama-7B shape (fixed cost excluded)
     tok_s = 8 / (bytes_2k / dec_rate)
 
-    # ---- prefill: two-point fit (causal 4k headline, + 2k for the slope)
+    # ---- prefill: causal 4k raw headline
     tf_raw, dt_4k = bench_prefill(s=4096)
     print(f"[bench] prefill 4k done at t={time.time()-t_start:.0f}s", file=sys.stderr, flush=True)
     fl_4k = 4 * 1 * 4096 * 4096 * 32 * 128 / 2
     fl_2k = 4 * 1 * 2048 * 2048 * 32 * 128 / 2
-    if time.time() - t_start < 360:
-        _, dt_p2k = bench_prefill(s=2048)
-        pre_rate = (fl_4k - fl_2k) / (dt_4k - dt_p2k)
-        pre_fixed_us = (dt_4k - fl_4k / pre_rate) * 1e6
-        pre_tflops = pre_rate / 1e12
-    else:  # time budget: fall back to the raw (fixed-cost-laden) number
-        pre_tflops, pre_fixed_us = tf_raw, -1.0
 
-    # ---- train step MFU (single chip; skipped when over the time budget so
-    # the driver's bench never times out on a slow-compile day)
+    # ---- train step MFU BEFORE the optional prefill fit (an unrecorded
+    # number reads as zero; the fit is the most expendable stage)
     train_tok, train_mfu = -1.0, -1.0
-    if time.time() - t_start < 420:
+    if time.time() - t_start < 900:
         try:
             train_tok, train_mfu, _ = bench_train(peak_tflops=peak)
+            print(f"[bench] train done at t={time.time()-t_start:.0f}s",
+                  file=sys.stderr, flush=True)
         except Exception as e:  # keep the headline metric robust
             print(f"[bench] train bench failed: {e!r}", file=sys.stderr)
+
+    # ---- prefill two-point fit (one more compile; skip over budget)
+    if time.time() - t_start < 1100:
+        try:
+            _, dt_p2k = bench_prefill(s=2048)
+            pre_rate = (fl_4k - fl_2k) / (dt_4k - dt_p2k)
+            pre_fixed_us = (dt_4k - fl_4k / pre_rate) * 1e6
+            pre_tflops = pre_rate / 1e12
+        except Exception:
+            pre_tflops, pre_fixed_us = tf_raw, -1.0
+    else:  # time budget: fall back to the raw (fixed-cost-laden) number
+        pre_tflops, pre_fixed_us = tf_raw, -1.0
 
     print(
         f"[bench] device={kind} decode: {dec_gbps:.0f} GB/s sustained "

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Hardware A/B harness for the prefill kernel (real TPU).
+
+Usage: python benchmarks/bench_prefill_hw.py [variant ...]
+Variants: base rowsum bq512 bk512 bq2048 s2048 (default: base rowsum)
+Prints raw TFLOP/s at causal 4k for each, all in ONE process so the
+numbers are comparable (cross-process variance is ~30%).
+"""
+import os
+import sys
+import time
+
+import jax
+
+_cache = os.path.expanduser("~/.cache/jax_comp_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed(fn, chain_arg, *args, n_iter=20):
+    @jax.jit
+    def many(y, *a):
+        def body(y, _):
+            return fn(y, *a).astype(y.dtype), None
+
+        y, _ = jax.lax.scan(body, y, None, length=n_iter)
+        return jnp.sum(y.astype(jnp.float32))
+
+    t0 = time.time()
+    float(many(chain_arg, *args))  # warm + compile
+    t_compile = time.time() - t0
+    best = min(
+        _run_once(many, chain_arg, *args) for _ in range(3)
+    )
+    return best / n_iter, t_compile
+
+
+def _run_once(many, chain_arg, *args):
+    t0 = time.time()
+    float(many(chain_arg, *args))
+    return time.time() - t0
+
+
+VARIANTS = {
+    "base": dict(),
+    "rowsum": dict(fuse_rowsum=True),
+    "bq512": dict(block_q=512),
+    "bk512": dict(block_k=512),
+    "b512": dict(block_q=512, block_k=512),
+    "bq2048": dict(block_q=2048),
+}
+
+
+def main():
+    from vllm_flash_attn_tpu.kernels.flash_prefill import flash_attention
+
+    names = sys.argv[1:] or ["base", "rowsum"]
+    b, h, s, d = 1, 32, 4096, 128
+    rng = np.random.default_rng(1)
+    q0 = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+    flops = 4 * b * s * s * h * d / 2
+
+    for name in names:
+        kw = VARIANTS[name]
+
+        def step(q, k, v, kw=kw):
+            return flash_attention(q, k, v, causal=True, **kw)
+
+        dt, t_c = timed(step, q0, k, v)
+        print(
+            f"{name:8s} causal 4k: {flops/dt/1e12:6.1f} TFLOP/s raw  "
+            f"({dt*1e3:.2f} ms/step, compile {t_c:.0f}s)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

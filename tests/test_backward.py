@@ -88,3 +88,47 @@ def test_grads_window_softcap():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3, err_msg=f"d{name}"
         )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("h,h_k", [(4, 4), (4, 2)])
+def test_grads_varlen_match_dense(causal, h, h_k):
+    """Varlen custom VJP vs per-sequence dense autodiff (the reference ships
+    no varlen backward at all, setup.py:154-171)."""
+    from vllm_flash_attn_tpu.kernels.flash_varlen import flash_attention_varlen
+    from vllm_flash_attn_tpu.utils import generate_cu_seqlens
+
+    rng = np.random.default_rng(7 * h + causal)
+    d = 64
+    seqlens = [96, 160]
+    total = sum(seqlens)
+    q = jnp.asarray(rng.standard_normal((h, total, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((h_k, total, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((h_k, total, d)), jnp.float32)
+    cu = generate_cu_seqlens(seqlens)
+
+    def kernel_fn(q, k, v):
+        return flash_attention_varlen(q, k, v, cu, cu, causal=causal)
+
+    def dense_fn(q, k, v):
+        outs = []
+        off = 0
+        for s in seqlens:
+            out_i, _ = attention_ref(
+                q[:, off:off + s].transpose(1, 0, 2)[None],
+                k[:, off:off + s].transpose(1, 0, 2)[None],
+                v[:, off:off + s].transpose(1, 0, 2)[None],
+                causal=causal,
+                upcast=True,
+            )
+            outs.append(out_i[0].transpose(1, 0, 2))
+            off += s
+        return jnp.concatenate(outs, axis=1)
+
+    g = grads_of(kernel_fn, q, k, v)
+    g_ref = grads_of(dense_fn, q, k, v)
+    for name, a, b in zip("qkv", g, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3,
+            err_msg=f"d{name}",
+        )

@@ -162,3 +162,114 @@ def mha_backward(
         dk[:, :, :sk].astype(k.dtype),
         dv[:, :, :sk].astype(v.dtype),
     )
+
+
+def mha_backward_varlen(
+    q: jax.Array,  # (h, total_q, d) head-major packed
+    k: jax.Array,  # (h_k, total_k, d)
+    v: jax.Array,
+    out: jax.Array,  # (h, total_q, d)
+    lse: jax.Array,  # (h, total_q) fp32 (+inf on padding rows)
+    do: jax.Array,
+    q_info: jax.Array,  # (2, total_q) int32 [seg (-1 pad), pos_aligned]
+    k_info: jax.Array,  # (2, total_k) int32 [seg (-2 pad), pos_in_seq]
+    alibi_slopes: Optional[jax.Array],  # (h,) fp32 or None
+    *,
+    window: Tuple[int, int],
+    softcap: float,
+    sm_scale: float,
+    causal: bool,
+    block_k: int = 512,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Segment-aware flash backward over packed ragged batches: the varlen
+    analog of mha_backward, masking by (q_seg == k_seg) & window(q_pos_aligned,
+    k_pos) exactly as the forward kernel does (flash_varlen.py) — so BERT's
+    unpad path and packed-batch training backprop through the flash path.
+    The reference ships no varlen backward at all (setup.py:154-171)."""
+    h, tq, d = q.shape
+    h_k, tk = k.shape[0], k.shape[1]
+    qpk = h // h_k
+    wl, wr = window
+    if causal:
+        wr = 0
+
+    f32 = jnp.float32
+    qg = q.reshape(h_k, qpk, tq, d)
+    dog = do.reshape(h_k, qpk, tq, d)
+    outg = out.reshape(h_k, qpk, tq, d)
+    lseg = lse.reshape(h_k, qpk, tq)
+    D = jnp.einsum("gptd,gptd->gpt", dog, outg, preferred_element_type=f32)
+
+    nk = -(-tk // block_k)
+    pad = nk * block_k - tk
+    kp, vp = k, v
+    k_seg, k_pos = k_info[0], k_info[1]
+    if pad:
+        kp = jnp.pad(kp, ((0, 0), (0, pad), (0, 0)))
+        vp = jnp.pad(vp, ((0, 0), (0, pad), (0, 0)))
+        k_seg = jnp.pad(k_seg, (0, pad), constant_values=-2)
+        k_pos = jnp.pad(k_pos, (0, pad))
+    kb = kp.reshape(h_k, nk, block_k, d).transpose(1, 0, 2, 3)
+    vb = vp.reshape(h_k, nk, block_k, d).transpose(1, 0, 2, 3)
+    ksb = k_seg.reshape(nk, block_k)
+    kpb = k_pos.reshape(nk, block_k)
+
+    q_seg = q_info[0][None, :]  # (1, tq) -> broadcast rows
+    q_pos = q_info[1][None, :]
+    if alibi_slopes is not None:
+        slopes = jnp.asarray(alibi_slopes, f32).reshape(h_k, qpk)
+    else:
+        slopes = None
+
+    def block(dq_acc, inputs):
+        k_j, v_j, seg_j, pos_j = inputs
+        s_pre = (
+            jnp.einsum("gptd,gkd->gptk", qg, k_j, preferred_element_type=f32)
+            * sm_scale
+        )
+        if softcap > 0.0:
+            s_capped = jnp.tanh(s_pre / softcap) * softcap
+        else:
+            s_capped = s_pre
+        dist = jnp.abs(q_pos.T - pos_j[None, :]).astype(f32)  # (tq, bk)
+        if slopes is not None:
+            s_b = s_capped - slopes[:, :, None, None] * dist
+        else:
+            s_b = s_capped
+
+        mask = q_seg.T == seg_j[None, :]  # (tq, bk)
+        if wr >= 0:
+            mask = mask & (pos_j[None, :] <= q_pos.T + wr)
+        if wl >= 0:
+            mask = mask & (pos_j[None, :] >= q_pos.T - wl)
+        p = jnp.exp(jnp.where(mask, s_b, MASK_NEG) - lseg[..., None])
+        p = jnp.where(mask, p, 0.0)  # padding rows carry lse=+inf -> p=0
+
+        dv_j = jnp.einsum("gptk,gptd->gkd", p, dog, preferred_element_type=f32)
+        dp = jnp.einsum("gptd,gkd->gptk", dog, v_j, preferred_element_type=f32)
+        ds = p * (dp - D[..., None])
+        if softcap > 0.0:
+            ds = ds * (1.0 - jnp.square(s_capped / softcap))
+        dq_acc = dq_acc + (
+            jnp.einsum("gptk,gkd->gptd", ds, k_j, preferred_element_type=f32)
+            * sm_scale
+        )
+        dk_j = (
+            jnp.einsum("gptk,gptd->gkd", ds, qg, preferred_element_type=f32)
+            * sm_scale
+        )
+        return dq_acc, (dk_j, dv_j)
+
+    dqg, (dk_blocks, dv_blocks) = jax.lax.scan(
+        block,
+        jnp.zeros((h_k, qpk, tq, d), f32),
+        (kb, vb, ksb, kpb),
+    )
+    dk = dk_blocks.transpose(1, 0, 2, 3).reshape(h_k, nk * block_k, d)
+    dv = dv_blocks.transpose(1, 0, 2, 3).reshape(h_k, nk * block_k, d)
+    dq = dqg.reshape(h, tq, d)
+    return (
+        dq.astype(q.dtype),
+        dk[:, :tk].astype(k.dtype),
+        dv[:, :tk].astype(v.dtype),
+    )

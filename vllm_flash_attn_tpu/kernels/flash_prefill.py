@@ -51,6 +51,8 @@ from vllm_flash_attn_tpu.config import use_interpret
 # exp(m - m) never hits inf - inf -> NaN on fully-masked rows.
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 MIN_LANES = 128
+LOG2E = math.log2(math.e)
+LN2 = math.log(2.0)
 
 
 def _stats_block(block_q: int) -> Tuple[int, int]:
@@ -79,9 +81,13 @@ def _fwd_kernel(
     has_alibi: bool,
     return_lse: bool,
     nk: int,
+    fuse_rowsum: bool = False,
+    d_model: int = 0,
     qmap_ref=None,
     kmap_ref=None,
 ):
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
     if qmap_ref is not None:
         # folded grid: dimension 2 enumerates only ACTIVE (qi, ki) pairs
         t = pl.program_id(2)
@@ -110,16 +116,21 @@ def _fwd_kernel(
 
         min_row = qi * block_q
         max_row = jnp.minimum(min_row + block_q, seqlen_q) - 1
-        q = q_ref[0, 0]  # (block_q, d)
+        q = q_ref[0, 0]  # (block_q, d); pre-scaled by sm_scale*log2(e)
         k = k_ref[0, 0]  # (block_k, d)
         col_base = ki * block_k
+        # Scores live in the log2 domain: sm_scale*log2(e) is folded into q
+        # host-side (the reference's scale_softmax_log2, flash_api.cpp:21-137
+        # used at flash_fwd_kernel.h:318-321), so the kernel runs NO
+        # full-tile scale pass and the softmax uses native exp2.
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (block_q, block_k)
-        s *= sm_scale
         if softcap > 0.0:
-            s = jnp.tanh(s / softcap) * softcap
+            # tanh(nat/cap)*cap*log2e == tanh(s/cap')*cap' with cap'=cap*log2e
+            cap2 = softcap * LOG2E
+            s = jnp.tanh(s / cap2) * cap2
 
         if has_alibi:
             row = (
@@ -130,7 +141,9 @@ def _fwd_kernel(
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
                 + col_base
             )
-            slope = alibi_ref[0, 0]
+            # full (b, h) array lives in SMEM (a (1,1)-blocked SMEM spec
+            # fails Mosaic lowering on hardware); index by grid position
+            slope = alibi_ref[bi, hi]
             s = s - slope * jnp.abs(row + offset - col).astype(jnp.float32)
 
         def online_update(s, masked: bool):
@@ -153,14 +166,17 @@ def _fwd_kernel(
             l_prev = l_scr[...]
             m_cur = jnp.max(s, axis=1, keepdims=True)
             m_next = jnp.maximum(m_prev, m_cur)
-            alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(s - m_next[:, :1])
-            if masked:
-                # all-masked rows would hold exp(MASK-MASK)=1 everywhere
-                p = jnp.where(mask, p, 0.0)
-            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            alpha = jnp.exp2(m_prev - m_next)
+            # Masked entries need no second where: exp2(MASKVAL - m) == 0
+            # whenever the row saw any real key (m real); rows that never do
+            # hold garbage l that the store-time m-based guard zeroes (and
+            # any interim garbage is wiped by alpha == 0 on the first real
+            # block). This deletes one full-tile VPU pass per masked block.
+            p = jnp.exp2(s - m_next[:, :1])
+            if not fuse_rowsum:
+                l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+                l_scr[...] = l_next
             m_scr[...] = m_next
-            l_scr[...] = l_next
             v = v_ref[0, 0]
             if masked and seqlen_k % MIN_LANES != 0:
                 # OOB rows of the kv remainder are undefined; NaN there
@@ -192,14 +208,25 @@ def _fwd_kernel(
 
         @pl.when(ki == last_active)
         def _store():
-            l = l_scr[...][:, :1]
-            l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-            o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+            if fuse_rowsum:
+                # the row-sum rode the PV matmul in v's appended ones lanes
+                # (VPU reduction moved onto the MXU)
+                l = acc_scr[...][:, d_model:d_model + 1]
+            else:
+                l = l_scr[...][:, :1]
+            m_fin = m_scr[...][:, :1]
+            # fully-masked rows: m never left the mask floor and l holds
+            # garbage exp2(0)==1 sums — zero them here (out 0 / lse +inf,
+            # flash_api.cpp:401-407)
+            dead = jnp.logical_or(
+                l == 0.0, m_fin <= 0.5 * DEFAULT_MASK_VALUE
+            )
+            l_inv = jnp.where(dead, 0.0, 1.0 / l)
+            acc = acc_scr[...][:, :d_model] if fuse_rowsum else acc_scr[...]
+            o_ref[0, 0] = (acc * l_inv).astype(o_ref.dtype)
             if return_lse:
-                m_fin = m_scr[...][:, :1]
-                lse = jnp.where(
-                    l == 0.0, jnp.inf, m_fin + jnp.log(l)
-                )  # fully-masked rows: +inf (flash_api.cpp:401-407)
+                # m is log2-domain; natural-log LSE out (flash_api.cpp:418)
+                lse = jnp.where(dead, jnp.inf, m_fin * LN2 + jnp.log(l))
                 lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
@@ -235,6 +262,7 @@ def _flash_attention_impl(
     block_q: int = 1024,
     block_k: int = 1024,
     return_lse: bool = False,
+    fuse_rowsum: Optional[bool] = None,
     interpret: Optional[bool] = None,
 ):
     """Flash attention forward.
@@ -271,6 +299,24 @@ def _flash_attention_impl(
         q = jnp.pad(q, pw)
         k = jnp.pad(k, pw)
         v = jnp.pad(v, pw)
+
+    # Fold sm_scale*log2(e) into q (one tiny O(sq*d) pass XLA fuses into the
+    # producer) so the kernel's O(sq*sk) tiles skip the scale pass and use
+    # native exp2 (scale_softmax_log2, flash_api.cpp:21-137).
+    q = (q * jnp.asarray(sm_scale * LOG2E, q.dtype)).astype(q.dtype)
+
+    # Fused row-sum: append 128 ones-lanes to v so P@[V|1] computes the
+    # softmax denominator on the MXU, deleting the per-block VPU reduction
+    # over the (block_q, block_k) tile (A/B knob PF_ROWSUM while measuring).
+    if fuse_rowsum is None:
+        import os as _os
+
+        fuse_rowsum = _os.environ.get("PF_ROWSUM", "0") == "1"
+    d_v = d + MIN_LANES if fuse_rowsum else d
+    if fuse_rowsum:
+        v = jnp.concatenate(
+            [v, jnp.ones((b, h_k, sk, MIN_LANES), v.dtype)], axis=-1
+        )
 
     block_q = _round_block(sq, block_q)
     block_k = _round_block(sk, block_k)
@@ -312,7 +358,7 @@ def _flash_attention_impl(
             if alibi_slopes.ndim == 1
             else alibi_slopes.astype(jnp.float32),
             (b, h),
-        )
+        ) * LOG2E  # kernel scores are log2-domain
     else:
         alibi_slopes = jnp.zeros((1, 1), jnp.float32)
 
@@ -329,6 +375,8 @@ def _flash_attention_impl(
         has_alibi=has_alibi,
         return_lse=return_lse,
         nk=nk,
+        fuse_rowsum=fuse_rowsum,
+        d_model=d,
     )
 
     if folded:
@@ -347,8 +395,6 @@ def _flash_attention_impl(
         def kv_index(b_, h_, t, qm, km, qpk=q_per_kv):
             return (b_, h_ // qpk, km[t], 0)
 
-        def alibi_index(b_, h_, t, qm, km):
-            return (b_, h_) if has_alibi else (0, 0)
 
         grid = (b, h, len(qmap))
     else:
@@ -364,14 +410,12 @@ def _flash_attention_impl(
         def kv_index(b_, h_, qi, ki, qpk=q_per_kv):
             return (b_, h_ // qpk, ki, 0)
 
-        def alibi_index(b_, h_, qi, ki):
-            return (b_, h_) if has_alibi else (0, 0)
 
     in_specs = [
         pl.BlockSpec((1, 1, block_q, d), q_index),
         pl.BlockSpec((1, 1, block_k, d), kv_index),
-        pl.BlockSpec((1, 1, block_k, d), kv_index),
-        pl.BlockSpec((1, 1), alibi_index, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, block_k, d_v), kv_index),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
     out_shape = [jax.ShapeDtypeStruct((b, h, sq, d), q.dtype)]
     out_specs = [pl.BlockSpec((1, 1, block_q, d), q_index)]
@@ -387,7 +431,7 @@ def _flash_attention_impl(
     scratch_shapes = [
         pltpu.VMEM(_stats_block(block_q), jnp.float32),
         pltpu.VMEM(_stats_block(block_q), jnp.float32),
-        pltpu.VMEM((block_q, d), jnp.float32),
+        pltpu.VMEM((block_q, d_v), jnp.float32),
     ]
 
     if folded:
@@ -437,34 +481,35 @@ def _flash_attention_impl(
 # first-class via a linear-memory XLA backward (kernels/flash_backward.py).
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def _flash_attention_vjp(
     q, k, v, alibi_slopes, causal, sm_scale, window, softcap, block_q, block_k,
-    interpret,
+    fuse_rowsum, interpret,
 ):
     return _flash_attention_impl(
         q, k, v, alibi_slopes if alibi_slopes.size else None,
         causal=causal, sm_scale=sm_scale, window=window,
         softcap=softcap, block_q=block_q, block_k=block_k,
-        return_lse=False, interpret=interpret,
+        return_lse=False, fuse_rowsum=fuse_rowsum, interpret=interpret,
     )
 
 
 def _vjp_fwd(
     q, k, v, alibi_slopes, causal, sm_scale, window, softcap, block_q, block_k,
-    interpret,
+    fuse_rowsum, interpret,
 ):
     out, lse = _flash_attention_impl(
         q, k, v, alibi_slopes if alibi_slopes.size else None,
         causal=causal, sm_scale=sm_scale, window=window,
         softcap=softcap, block_q=block_q, block_k=block_k,
-        return_lse=True, interpret=interpret,
+        return_lse=True, fuse_rowsum=fuse_rowsum, interpret=interpret,
     )
     return out, (q, k, v, alibi_slopes, out, lse)
 
 
 def _vjp_bwd(
-    causal, sm_scale, window, softcap, block_q, block_k, interpret, res, g
+    causal, sm_scale, window, softcap, block_q, block_k, fuse_rowsum,
+    interpret, res, g
 ):
     from vllm_flash_attn_tpu.kernels.flash_backward import mha_backward
 
@@ -484,7 +529,7 @@ _flash_attention_vjp.defvjp(_vjp_fwd, _vjp_bwd)
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "window", "softcap", "block_q", "block_k",
-        "return_lse", "interpret",
+        "return_lse", "fuse_rowsum", "interpret",
     ),
 )
 def flash_attention(
@@ -500,6 +545,7 @@ def flash_attention(
     block_q: int = 1024,
     block_k: int = 1024,
     return_lse: bool = False,
+    fuse_rowsum: Optional[bool] = None,
     interpret: Optional[bool] = None,
 ):
     """Flash attention forward (differentiable when return_lse=False).
@@ -517,7 +563,7 @@ def flash_attention(
         return _flash_attention_impl(
             q, k, v, alibi_slopes, causal=causal, sm_scale=sm_scale,
             window=window, softcap=softcap, block_q=block_q, block_k=block_k,
-            return_lse=True, interpret=interpret,
+            return_lse=True, fuse_rowsum=fuse_rowsum, interpret=interpret,
         )
     if alibi_slopes is None:
         alibi_norm = jnp.zeros((0, 0), jnp.float32)
@@ -529,5 +575,5 @@ def flash_attention(
         alibi_norm = jnp.asarray(alibi_slopes, jnp.float32)
     return _flash_attention_vjp(
         q, k, v, alibi_norm, causal, float(sm_scale), tuple(window),
-        float(softcap), block_q, block_k, interpret,
+        float(softcap), block_q, block_k, fuse_rowsum, interpret,
     )

@@ -28,7 +28,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vllm_flash_attn_tpu.config import use_interpret
-from vllm_flash_attn_tpu.kernels.flash_prefill import DEFAULT_MASK_VALUE, MIN_LANES
+from vllm_flash_attn_tpu.kernels.flash_prefill import (
+    DEFAULT_MASK_VALUE,
+    LN2,
+    LOG2E,
+    MIN_LANES,
+)
 
 
 def build_varlen_metadata(
@@ -170,9 +175,11 @@ def _varlen_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s *= sm_scale
+        # sm_scale*log2(e) is folded into q host-side; scores are log2-domain
+        # (scale_softmax_log2, flash_api.cpp:21-137) — no full-tile scale pass.
         if softcap > 0.0:
-            s = jnp.tanh(s / softcap) * softcap
+            cap2 = softcap * LOG2E
+            s = jnp.tanh(s / cap2) * cap2
 
         q_seg = q_info_ref[0, :][:, None]  # (block_q, 1)
         q_pos = q_info_ref[1, :][:, None]
@@ -193,7 +200,7 @@ def _varlen_kernel(
             mask &= k_pos >= q_pos - wl
 
         if has_alibi:
-            slope = alibi_ref[0, h_]
+            slope = alibi_ref[0, h_]  # pre-scaled by log2(e) host-side
             s = s - slope * jnp.abs(q_pos - k_pos).astype(jnp.float32)
 
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
@@ -202,9 +209,11 @@ def _varlen_kernel(
         l_prev = l_scr[...]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
-        p = jnp.where(mask, p, 0.0)
+        alpha = jnp.exp2(m_prev - m_next)
+        # masked entries need no second where: exp2(MASKVAL - m) == 0 once
+        # any real key raised m; fully-masked rows (q padding tail) are
+        # zeroed by the store-time m-based guard
+        p = jnp.exp2(s - m_next[:, :1])
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
         l_scr[...] = l_next
@@ -224,28 +233,19 @@ def _varlen_kernel(
         @pl.when(ki == last)
         def _store():
             l = l_scr[...][:, :1]
-            l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+            m_fin = m_scr[...][:, :1]
+            # fully-masked rows: m never left the mask floor and l holds
+            # garbage exp2(0)==1 sums (out 0 / lse +inf, flash_api.cpp:401-407)
+            dead = jnp.logical_or(l == 0.0, m_fin <= 0.5 * DEFAULT_MASK_VALUE)
+            l_inv = jnp.where(dead, 0.0, 1.0 / l)
             o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
             if lse_ref is not None:
-                m_fin = m_scr[...][:, :1]
-                lse = jnp.where(l == 0.0, jnp.inf, m_fin + jnp.log(l))
+                # m is log2-domain; natural-log LSE out (flash_api.cpp:418)
+                lse = jnp.where(dead, jnp.inf, m_fin * LN2 + jnp.log(l))
                 lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "causal",
-        "sm_scale",
-        "window",
-        "softcap",
-        "block_q",
-        "block_k",
-        "return_lse",
-        "interpret",
-    ),
-)
-def flash_attention_varlen(
+def _flash_attention_varlen_impl(
     q: jax.Array,  # (h, total_q, d)
     k: jax.Array,  # (h_k, total_k, d)
     v: jax.Array,
@@ -263,13 +263,6 @@ def flash_attention_varlen(
     return_lse: bool = False,
     interpret: Optional[bool] = None,
 ):
-    """Varlen flash attention over head-major packed tokens.
-
-    `alibi_slopes` must be (h,) here — varlen packs the batch, so per-batch
-    slopes are not supported (matches the packed call path of the reference).
-
-    Returns out (h, total_q, d) [, lse (h, total_q) fp32].
-    """
     h, total_q, d = q.shape
     h_k, total_k, _ = k.shape
     assert h % h_k == 0
@@ -288,6 +281,10 @@ def flash_attention_varlen(
         q = jnp.pad(q, pw)
         k = jnp.pad(k, pw)
         v = jnp.pad(v, pw)
+
+    # Fold sm_scale*log2(e) into q so the kernel skips the scale pass and
+    # uses native exp2 (scale_softmax_log2, flash_api.cpp:21-137).
+    q = (q * jnp.asarray(sm_scale * LOG2E, q.dtype)).astype(q.dtype)
 
     block_q = min(block_q, max(MIN_LANES, pl.cdiv(total_q, MIN_LANES) * MIN_LANES))
     block_k = min(block_k, max(MIN_LANES, pl.cdiv(total_k, MIN_LANES) * MIN_LANES))
@@ -311,7 +308,9 @@ def flash_attention_varlen(
 
     has_alibi = alibi_slopes is not None
     if has_alibi:
-        alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32).reshape(1, h)
+        alibi_slopes = (
+            jnp.asarray(alibi_slopes, jnp.float32).reshape(1, h) * LOG2E
+        )  # kernel scores are log2-domain
     else:
         alibi_slopes = jnp.zeros((1, 1), jnp.float32)
 
@@ -390,3 +389,138 @@ def flash_attention_varlen(
         out, lse = results
         return out[..., :d_orig], lse[..., 0]
     return results[0][..., :d_orig]
+
+
+# --------------------------------------------------------------- custom VJP
+# The reference fork ships no varlen backward at all (setup.py:154-171);
+# here packed-batch training (BERT unpad path) backprops through the flash
+# path via a segment-aware linear-memory backward (flash_backward.py).
+
+
+def _int_zeros(x):
+    import numpy as np
+
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+def _varlen_vjp(
+    q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_k, alibi_slopes,
+    causal, sm_scale, window, softcap, block_q, block_k, interpret,
+):
+    return _flash_attention_varlen_impl(
+        q, k, v, cu_seqlens_q, cu_seqlens_k,
+        seqused_k if seqused_k.size else None,
+        alibi_slopes if alibi_slopes.size else None,
+        causal=causal, sm_scale=sm_scale, window=window, softcap=softcap,
+        block_q=block_q, block_k=block_k, return_lse=False,
+        interpret=interpret,
+    )
+
+
+def _varlen_vjp_fwd(
+    q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_k, alibi_slopes,
+    causal, sm_scale, window, softcap, block_q, block_k, interpret,
+):
+    out, lse = _flash_attention_varlen_impl(
+        q, k, v, cu_seqlens_q, cu_seqlens_k,
+        seqused_k if seqused_k.size else None,
+        alibi_slopes if alibi_slopes.size else None,
+        causal=causal, sm_scale=sm_scale, window=window, softcap=softcap,
+        block_q=block_q, block_k=block_k, return_lse=True,
+        interpret=interpret,
+    )
+    res = (q, k, v, out, lse, cu_seqlens_q, cu_seqlens_k, seqused_k,
+           alibi_slopes)
+    return out, res
+
+
+def _varlen_vjp_bwd(
+    causal, sm_scale, window, softcap, block_q, block_k, interpret, res, g,
+):
+    from vllm_flash_attn_tpu.kernels.flash_backward import mha_backward_varlen
+
+    (q, k, v, out, lse, cu_seqlens_q, cu_seqlens_k, seqused_k,
+     alibi_slopes) = res
+    total_q, total_k = q.shape[1], k.shape[1]
+    q_info, k_info = build_varlen_metadata(
+        cu_seqlens_q, cu_seqlens_k, total_q, total_k,
+        seqused_k if seqused_k.size else None,
+    )
+    dq, dk, dv = mha_backward_varlen(
+        q, k, v, out, lse, g, q_info, k_info,
+        alibi_slopes if alibi_slopes.size else None,
+        window=window, softcap=softcap, sm_scale=sm_scale, causal=causal,
+    )
+    return (
+        dq, dk, dv,
+        _int_zeros(cu_seqlens_q), _int_zeros(cu_seqlens_k),
+        _int_zeros(seqused_k), jnp.zeros_like(alibi_slopes),
+    )
+
+
+_varlen_vjp.defvjp(_varlen_vjp_fwd, _varlen_vjp_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal",
+        "sm_scale",
+        "window",
+        "softcap",
+        "block_q",
+        "block_k",
+        "return_lse",
+        "interpret",
+    ),
+)
+def flash_attention_varlen(
+    q: jax.Array,  # (h, total_q, d)
+    k: jax.Array,  # (h_k, total_k, d)
+    v: jax.Array,
+    cu_seqlens_q: jax.Array,  # (b+1,) int32
+    cu_seqlens_k: jax.Array,
+    seqused_k: Optional[jax.Array] = None,
+    alibi_slopes: Optional[jax.Array] = None,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    window: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    block_q: int = 128,
+    block_k: int = 128,
+    return_lse: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """Varlen flash attention over head-major packed tokens.
+
+    `alibi_slopes` must be (h,) here — varlen packs the batch, so per-batch
+    slopes are not supported (matches the packed call path of the reference).
+    Differentiable wrt q/k/v when return_lse=False (segment-aware backward;
+    the reference ships no varlen backward, setup.py:154-171).
+
+    Returns out (h, total_q, d) [, lse (h, total_q) fp32].
+    """
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    if interpret is None:
+        interpret = use_interpret()
+    if return_lse:
+        return _flash_attention_varlen_impl(
+            q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_k, alibi_slopes,
+            causal=causal, sm_scale=sm_scale, window=window, softcap=softcap,
+            block_q=block_q, block_k=block_k, return_lse=True,
+            interpret=interpret,
+        )
+    if seqused_k is None:
+        seqused_k = jnp.zeros((0,), jnp.int32)
+    if alibi_slopes is None:
+        alibi_slopes = jnp.zeros((0,), jnp.float32)
+    else:
+        alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32)
+    return _varlen_vjp(
+        q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_k, alibi_slopes,
+        causal, float(sm_scale), tuple(int(w) for w in window),
+        float(softcap), block_q, block_k, interpret,
+    )

@@ -38,7 +38,12 @@ from jax.experimental.pallas import tpu as pltpu
 import os
 
 from vllm_flash_attn_tpu.config import use_interpret
-from vllm_flash_attn_tpu.kernels.flash_prefill import DEFAULT_MASK_VALUE, MIN_LANES
+from vllm_flash_attn_tpu.kernels.flash_prefill import (
+    DEFAULT_MASK_VALUE,
+    LN2,
+    LOG2E,
+    MIN_LANES,
+)
 
 # perf-archaeology knob: comma-separated stages to skip (WRONG RESULTS) so the
 # per-stage cost can be measured on real hardware. e.g. PD_SKIP=pv,softmax
@@ -106,8 +111,15 @@ def _decode_kernel(
 
         @pl.when(b_ < batch)
         def _():
+            max_pages = block_tables_ref.shape[1]
+            num_pages = k_pages_ref.shape[0]
             for p in range(pages_per_block):
-                page_idx = block_tables_ref[b_, i_ * pages_per_block + p]
+                # Clamp the table index (final block group may be partial) and
+                # the page value (entries past a sequence's allocation are
+                # caller garbage) — an OOB-index DMA is undefined on hardware
+                # even though the fetched rows are masked out of the result.
+                idx = jnp.minimum(i_ * pages_per_block + p, max_pages - 1)
+                page_idx = jnp.clip(block_tables_ref[b_, idx], 0, num_pages - 1)
                 pltpu.make_async_copy(
                     k_pages_ref.at[page_idx], k_buf.at[slot, p], sems.at[slot, 0]
                 ).start()
@@ -186,9 +198,12 @@ def _decode_kernel(
             if q_per_kv > 1:
                 sk = pltpu.repeat(sk, q_per_kv, axis=1)
             s *= sk
-        s *= sm_scale
+        # sm_scale*log2(e) is folded into the block-diagonal q weight
+        # host-side; scores are log2-domain from here (scale_softmax_log2,
+        # flash_api.cpp:21-137) — no per-block scale pass.
         if softcap > 0.0:
-            s = jnp.tanh(s / softcap) * softcap
+            cap2 = softcap * LOG2E
+            s = jnp.tanh(s / cap2) * cap2
 
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * bk
         mask = col < length
@@ -216,9 +231,11 @@ def _decode_kernel(
             l_prev = l_scr[...]
             m_cur = jnp.max(s, axis=0, keepdims=True)
             m_next = jnp.maximum(m_prev, m_cur)
-            alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(s - m_next)
-            p = jnp.where(mask, p, 0.0)
+            alpha = jnp.exp2(m_prev - m_next)
+            # masked entries need no second where: exp2(MASKVAL - m) == 0
+            # once any real key raised m; all-masked columns (length 0) are
+            # zeroed by the store-time m-based guard
+            p = jnp.exp2(s - m_next)
             l_next = alpha * l_prev + jnp.sum(p, axis=0, keepdims=True)
             m_scr[...] = m_next
             l_scr[...] = l_next
@@ -263,11 +280,15 @@ def _decode_kernel(
         @pl.when(i == nb - 1)
         def _store():
             l = l_scr[...]  # (1, hq)
-            l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+            m_fin = m_scr[...]
+            # length-0 sequences: m never left the mask floor and l holds
+            # garbage exp2(0)==1 sums — out 0 / lse +inf (flash_api.cpp:401-407)
+            dead = jnp.logical_or(l == 0.0, m_fin <= 0.5 * mask_value)
+            l_inv = jnp.where(dead, 0.0, 1.0 / l)
             o_ref[...] = (acc_scr[...] * l_inv[0][:, None]).astype(o_ref.dtype)
             if lse_ref is not None:
-                m_fin = m_scr[...]
-                lse = jnp.where(l == 0.0, jnp.inf, m_fin + jnp.log(l))
+                # m is log2-domain; natural-log LSE out (flash_api.cpp:418)
+                lse = jnp.where(dead, jnp.inf, m_fin * LN2 + jnp.log(l))
                 lse_ref[...] = jnp.broadcast_to(
                     lse[0][:, None], lse_ref.shape
                 )
@@ -339,6 +360,10 @@ def paged_attention(
     lengths = lengths.astype(jnp.int32)
     block_tables = block_tables.astype(jnp.int32)
 
+    # Fold sm_scale*log2(e) into q so the kernel runs no per-block scale pass
+    # and uses native exp2 (scale_softmax_log2, flash_api.cpp:21-137).
+    q = (q * jnp.asarray(sm_scale * LOG2E, q.dtype)).astype(q.dtype)
+
     # pltpu.repeat tiles ([k0..kh, k0..kh]) rather than element-repeating, so
     # q head g*qpk+r is placed at lane r*h_kv+g: lane j then pairs with kv
     # head j % h_kv, matching the tiled K/V rows inside the kernel.
@@ -358,7 +383,9 @@ def paged_attention(
         q_blk = q_blk.astype(jnp.bfloat16)
     has_alibi = alibi_slopes is not None
     if has_alibi:
-        alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32).reshape(1, h_q)
+        alibi_slopes = (
+            jnp.asarray(alibi_slopes, jnp.float32).reshape(1, h_q) * LOG2E
+        )  # kernel scores are log2-domain
         if q_per_kv > 1:
             alibi_slopes = (
                 alibi_slopes.reshape(h_kv, q_per_kv).swapaxes(0, 1).reshape(1, h_q)

@@ -32,7 +32,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vllm_flash_attn_tpu.config import use_interpret
-from vllm_flash_attn_tpu.kernels.flash_prefill import DEFAULT_MASK_VALUE, MIN_LANES
+from vllm_flash_attn_tpu.kernels.flash_prefill import (
+    DEFAULT_MASK_VALUE,
+    LN2,
+    LOG2E,
+    MIN_LANES,
+)
 
 
 def _kernel(
@@ -104,16 +109,31 @@ def _kernel(
     active = jnp.logical_and(qi < nq_b, jnp.logical_and(ki >= first, ki <= last))
     active = jnp.logical_and(active, len_k > 0)
 
+    d = k_buf.shape[-1]
+    # The pool arrives as (num_pages, page_size, h_k*d): a single head is a
+    # 128-aligned LANE slice, which DMA supports — slicing the head out of
+    # the 4D (num_pages, page_size, h_k, d) layout is a second-minor-dim
+    # slice that Mosaic's (sublane, lane) tiling rejects on hardware.
+    hk_off = pl.multiple_of(hk_idx * d, 128)
+
     def start_kv_fetch(ki_, slot):
+        max_pages = tables_ref.shape[1]
+        num_pages = k_pages_ref.shape[0]
         for p in range(pages_per_block):
-            page_idx = tables_ref[b, ki_ * pages_per_block + p]
+            # Clamp both the table index (the final block group may be partial
+            # when max_pages % pages_per_block != 0) and the page value (table
+            # entries past a sequence's allocation are caller garbage): an
+            # OOB-index DMA is undefined on hardware even though the fetched
+            # rows are masked out of the result.
+            idx = jnp.minimum(ki_ * pages_per_block + p, max_pages - 1)
+            page_idx = jnp.clip(tables_ref[b, idx], 0, num_pages - 1)
             pltpu.make_async_copy(
-                k_pages_ref.at[page_idx, :, hk_idx],
+                k_pages_ref.at[page_idx, :, pl.ds(hk_off, d)],
                 k_buf.at[slot, p],
                 sems.at[slot, 0],
             ).start()
             pltpu.make_async_copy(
-                v_pages_ref.at[page_idx, :, hk_idx],
+                v_pages_ref.at[page_idx, :, pl.ds(hk_off, d)],
                 v_buf.at[slot, p],
                 sems.at[slot, 1],
             ).start()
@@ -147,16 +167,19 @@ def _kernel(
 
         for p in range(pages_per_block):
             pltpu.make_async_copy(
-                k_pages_ref.at[0, :, 0], k_buf.at[slot, p], sems.at[slot, 0]
+                k_pages_ref.at[0, :, pl.ds(0, d)], k_buf.at[slot, p],
+                sems.at[slot, 0],
             ).wait()
         k = k_buf[slot].reshape(bk, k_buf.shape[-1])  # (bk, d)
         q = q_buf[...]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (block_q, bk)
-        s *= sm_scale
+        # sm_scale*log2(e) is folded into q host-side; scores are log2-domain
+        # (scale_softmax_log2, flash_api.cpp:21-137) — no full-tile scale pass.
         if softcap > 0.0:
-            s = jnp.tanh(s / softcap) * softcap
+            cap2 = softcap * LOG2E
+            s = jnp.tanh(s / cap2) * cap2
 
         row = (
             jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
@@ -168,7 +191,7 @@ def _kernel(
         if wl >= 0:
             mask &= col >= row + offset - wl
         if has_alibi:
-            slope = alibi_ref[0, h_]
+            slope = alibi_ref[0, h_]  # pre-scaled by log2(e) host-side
             s = s - slope * jnp.abs(row + offset - col).astype(jnp.float32)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
@@ -176,16 +199,19 @@ def _kernel(
         l_prev = l_scr[...]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
-        p = jnp.where(mask, p, 0.0)
+        alpha = jnp.exp2(m_prev - m_next)
+        # masked entries need no second where: exp2(MASKVAL - m) == 0 once
+        # any real key raised m; fully-masked rows (q tail past len_q) are
+        # zeroed by the store-time m-based guard
+        p = jnp.exp2(s - m_next[:, :1])
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
         l_scr[...] = l_next
 
         for pg in range(pages_per_block):
             pltpu.make_async_copy(
-                v_pages_ref.at[0, :, 0], v_buf.at[slot, pg], sems.at[slot, 1]
+                v_pages_ref.at[0, :, pl.ds(0, d)], v_buf.at[slot, pg],
+                sems.at[slot, 1],
             ).wait()
         v = v_buf[slot].reshape(bk, v_buf.shape[-1])
         pv = jax.lax.dot(
@@ -196,7 +222,9 @@ def _kernel(
         @pl.when(ki == last)
         def _store_row():
             l = l_scr[...][:, :1]
-            l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+            m_fin = m_scr[...][:, :1]
+            dead = jnp.logical_or(l == 0.0, m_fin <= 0.5 * DEFAULT_MASK_VALUE)
+            l_inv = jnp.where(dead, 0.0, 1.0 / l)
             o_buf[...] = (acc_scr[...] * l_inv).astype(o_buf.dtype)
             copy = pltpu.make_async_copy(
                 o_buf,
@@ -265,15 +293,26 @@ def flash_attention_varlen_paged(
         k_pages = jnp.pad(k_pages, kv_pw)
         v_pages = jnp.pad(v_pages, kv_pw)
 
+    # Fold sm_scale*log2(e) into q so the kernel skips the scale pass and
+    # uses native exp2 (scale_softmax_log2, flash_api.cpp:21-137).
+    q = (q * jnp.asarray(sm_scale * LOG2E, q.dtype)).astype(q.dtype)
+
     # pad the packed q stream so every block_q window DMA is in-bounds
     total_pad = (pl.cdiv(total_q, block_q) + 1) * block_q
     q = jnp.pad(q, [(0, 0), (0, total_pad - total_q), (0, 0)])
 
     has_alibi = alibi_slopes is not None
     if has_alibi:
-        alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32).reshape(1, h)
+        alibi_slopes = (
+            jnp.asarray(alibi_slopes, jnp.float32).reshape(1, h) * LOG2E
+        )  # kernel scores are log2-domain
     else:
         alibi_slopes = jnp.zeros((1, 1), jnp.float32)
+
+    # Collapse (h_k, d) so the kernel can DMA one head as an aligned lane
+    # slice (see _kernel.start_kv_fetch); metadata-only reshape.
+    k_pages = k_pages.reshape(num_pages, page_size, h_k * d)
+    v_pages = v_pages.reshape(num_pages, page_size, h_k * d)
 
     kernel = functools.partial(
         _kernel,

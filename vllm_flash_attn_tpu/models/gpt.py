@@ -22,7 +22,10 @@ from vllm_flash_attn_tpu.modules.block import Block
 from vllm_flash_attn_tpu.modules.embedding import GPT2Embeddings
 from vllm_flash_attn_tpu.modules.mha import MHA
 from vllm_flash_attn_tpu.modules.mlp import GatedMlp, Mlp
-from vllm_flash_attn_tpu.ops.cross_entropy import cross_entropy_loss
+from vllm_flash_attn_tpu.ops.cross_entropy import (
+    cross_entropy_loss,
+    fused_linear_cross_entropy,
+)
 from vllm_flash_attn_tpu.ops.layer_norm import dropout_add_layer_norm
 
 
@@ -58,6 +61,11 @@ class GPTConfig:
     embd_pdrop: float = 0.0
     pad_vocab_size_multiple: int = 1
     window_size: tuple = (-1, -1)
+    # rows per chunk for the fused LM-head+CE loss path (0 = unfused): the
+    # (rows, vocab) logits are never materialized in HBM — each chunk's
+    # logits are recomputed in the backward under jax.checkpoint
+    # (the csrc/xentropy fusion idea taken one level higher)
+    fused_ce_chunk: int = 0
 
     @property
     def padded_vocab(self) -> int:
@@ -133,7 +141,7 @@ class GPTLMHeadModel:
             }
         return params
 
-    def apply(
+    def hidden_states(
         self,
         params,
         input_ids,  # (b, s) int32
@@ -141,9 +149,8 @@ class GPTLMHeadModel:
         inference_params=None,
         rngs=None,
         train: bool = False,
-        num_last_tokens: int = 0,
     ):
-        """Returns logits (b, s[, num_last_tokens], padded_vocab)."""
+        """Final-norm hidden states (b, s, n_embd) — the LM head's input."""
         c = self.config
         hidden = self.embeddings.apply(
             params["embeddings"], input_ids, position_ids
@@ -159,11 +166,28 @@ class GPTLMHeadModel:
                 params["layers"][i], hidden, residual,
                 inference_params=inference_params, rngs=layer_rngs, train=train,
             )
-        hidden = dropout_add_layer_norm(
+        return dropout_add_layer_norm(
             hidden, residual,
             params["ln_f"]["weight"], params["ln_f"].get("bias"),
             dropout_p=0.0, epsilon=c.layer_norm_epsilon,
             residual_in_fp32=c.residual_in_fp32, is_rms_norm=c.rms_norm,
+        )
+
+    def apply(
+        self,
+        params,
+        input_ids,  # (b, s) int32
+        position_ids=None,
+        inference_params=None,
+        rngs=None,
+        train: bool = False,
+        num_last_tokens: int = 0,
+    ):
+        """Returns logits (b, s[, num_last_tokens], padded_vocab)."""
+        c = self.config
+        hidden = self.hidden_states(
+            params, input_ids, position_ids=position_ids,
+            inference_params=inference_params, rngs=rngs, train=train,
         )
         if num_last_tokens > 0:
             hidden = hidden[:, -num_last_tokens:]
@@ -182,6 +206,20 @@ class GPTLMHeadModel:
     def loss(self, params, input_ids, labels, rngs=None, train: bool = True):
         """labels are position-aligned targets (already shifted: labels[t] is
         the next token after input_ids[t]); ignore_index=-100 masks positions."""
+        c = self.config
+        if c.fused_ce_chunk > 0:
+            hidden = self.hidden_states(params, input_ids, rngs=rngs, train=train)
+            w = (
+                params["lm_head"]["weight"]
+                if "lm_head" in params
+                else params["embeddings"]["word_embeddings"]
+            )
+            bias = params.get("lm_head", {}).get("bias")
+            return fused_linear_cross_entropy(
+                hidden.reshape(-1, hidden.shape[-1]), w, labels.reshape(-1),
+                bias=bias, logit_scale=c.logits_scale,
+                chunk_rows=c.fused_ce_chunk,
+            )
         logits = self.apply(params, input_ids, rngs=rngs, train=train)
         return cross_entropy_loss(
             logits.reshape(-1, logits.shape[-1]), labels.reshape(-1)

@@ -109,3 +109,60 @@ class CrossEntropyLoss:
             axis_name=self.axis_name,
             vocab_start=vocab_start,
         )
+
+
+def fused_linear_cross_entropy(
+    hidden: jax.Array,  # (rows, d)
+    weight: jax.Array,  # (vocab, d)
+    labels: jax.Array,  # (rows,) int
+    bias: Optional[jax.Array] = None,  # (vocab,) or None
+    *,
+    logit_scale: float = 1.0,
+    label_smoothing: float = 0.0,
+    ignore_index: int = -100,
+    chunk_rows: int = 2048,
+) -> jax.Array:
+    """LM-head matmul + CE without materializing the (rows, vocab) logits.
+
+    The full logits tensor is the dominant HBM tensor of a small-model train
+    step (rows x vocab fp32 read/written several times in fwd+bwd); here rows
+    are processed in chunks of `chunk_rows` inside a lax.scan whose body is
+    jax.checkpoint'ed: forward keeps only per-chunk loss sums, backward
+    recomputes each chunk's logits and feeds dW/dhidden straight into the
+    matmul transposes. One chunk's logits live in VMEM-scale working set.
+    This takes /root/reference/csrc/xentropy's softmax+CE fusion one level
+    higher (fusing the matmul too); mean reduction over `labels !=
+    ignore_index`, matching cross_entropy_loss.
+    """
+    rows, d = hidden.shape
+    n = -(-rows // chunk_rows)
+    pad = n * chunk_rows - rows
+    if pad:
+        hidden = jnp.pad(hidden, ((0, pad), (0, 0)))
+        labels = jnp.pad(labels, (0, pad), constant_values=ignore_index)
+    hs = hidden.reshape(n, chunk_rows, d)
+    ls = labels.reshape(n, chunk_rows)
+
+    @jax.checkpoint
+    def chunk_loss(h_c, l_c):
+        logits = jnp.einsum(
+            "rd,vd->rv", h_c, weight, preferred_element_type=jnp.float32
+        )
+        if bias is not None:
+            logits = logits + bias
+        loss = cross_entropy_loss(
+            logits, l_c, label_smoothing=label_smoothing,
+            logit_scale=logit_scale, ignore_index=ignore_index,
+            reduction="sum",
+        )
+        return loss, jnp.sum(l_c != ignore_index)
+
+    def body(acc, xs):
+        h_c, l_c = xs
+        s, c = chunk_loss(h_c, l_c)
+        return (acc[0] + s, acc[1] + c), None
+
+    (total, count), _ = jax.lax.scan(
+        body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)), (hs, ls)
+    )
+    return total / jnp.maximum(count, 1)

@@ -170,21 +170,32 @@ class JsonlLogger:
 
 
 class CsvLogger:
+    """Buffers rows until close() so the header covers the union of metric
+    keys — keys that first appear mid-run (e.g. 'mfu' once SpeedMonitor has a
+    throughput sample) are not silently dropped from every row."""
+
     def __init__(self, path):
         self._path = path
-        self._f = open(path, "a", buffering=1)
-        self._keys = None
+        self._rows = []
+        self._keys = ["step"]
 
     def log(self, step, metrics):
-        keys = ["step"] + sorted(metrics)
-        if self._keys is None:
-            self._keys = keys
-            self._f.write(",".join(keys) + "\n")
-        row = {"step": step, **metrics}
-        self._f.write(",".join(str(row.get(k, "")) for k in self._keys) + "\n")
+        for k in sorted(metrics):
+            if k not in self._keys:
+                self._keys.append(k)
+        self._rows.append({"step": step, **metrics})
+
+    def _flush(self):
+        with open(self._path, "a", buffering=1) as f:
+            f.write(",".join(self._keys) + "\n")
+            for row in self._rows:
+                f.write(
+                    ",".join(str(row.get(k, "")) for k in self._keys) + "\n"
+                )
+        self._rows = []
 
     def close(self):
-        self._f.close()
+        self._flush()
 
 
 class StdoutLogger:

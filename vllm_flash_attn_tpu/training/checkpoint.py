@@ -188,7 +188,21 @@ class BestCheckpointPolicy:
         self.mgr = manager
         self.top_k = top_k
         self.sign = 1.0 if mode == "min" else -1.0
+        # Rebuild _kept from disk so a resumed run evicts/dedups correctly
+        # against the checkpoints the previous run left behind.
         self._kept: list = []  # [(signed_metric, tag)]
+        import json as _json
+
+        root = manager.directory
+        if root.exists():
+            for p in sorted(root.glob("best_step_*")):
+                extra_path = p / "extra.json"
+                try:
+                    metric = _json.loads(extra_path.read_text())["metric"]
+                except Exception:
+                    continue
+                self._kept.append((self.sign * float(metric), p.name))
+            self._kept.sort()
 
     def maybe_save(self, metric: float, step: int, state, extra=None) -> bool:
         """Save iff `metric` ranks in the current top-k; returns whether it
@@ -200,6 +214,9 @@ class BestCheckpointPolicy:
             return False
         tag = f"best_step_{step}"
         self.mgr.save(tag, state, dict(extra or {}, metric=float(metric)))
+        # same step saved twice (e.g. after resume): the directory was
+        # overwritten, so drop any stale _kept entry with the same tag
+        self._kept = [(v, t) for v, t in self._kept if t != tag]
         self._kept.append((m, tag))
         self._kept.sort()
         while len(self._kept) > self.top_k:

@@ -522,11 +522,13 @@ def _zero_flat_update(
 
     idx = jax.lax.axis_index(data_axis)
     if zero2:
-        # reduce-and-shard in one collective: each rank owns the summed chunk
+        # reduce-and-shard in one collective: each rank owns the summed chunk.
+        # The collective runs in flat_g's dtype so grad_compress_dtype=bf16
+        # actually halves the wire traffic (the fp16_compress-hook analog);
+        # the owned chunk is upcast (and averaged) after the scatter.
         g_s = jax.lax.psum_scatter(
-            flat_g.astype(jnp.float32), data_axis, scatter_dimension=0,
-            tiled=True,
-        ) / dp
+            flat_g, data_axis, scatter_dimension=0, tiled=True,
+        ).astype(jnp.float32) / dp
     else:
         g_s = jax.lax.dynamic_slice_in_dim(flat_g, idx * chunk, chunk).astype(
             jnp.float32
