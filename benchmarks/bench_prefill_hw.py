@@ -54,6 +54,25 @@ VARIANTS = {
     "bq2048": dict(block_q=2048),
 }
 
+# env-knob variants (read at trace time inside _flash_attention_impl; each
+# variant gets a fresh jit trace, so setting os.environ between variants
+# works within one process)
+ENV_VARIANTS = {
+    "il2": {"PF_INTERLEAVE": "2"},
+    "il4": {"PF_INTERLEAVE": "4"},
+    "il8": {"PF_INTERLEAVE": "8"},
+    "pbf16": {"PF_PBF16": "1"},
+    "il4p": {"PF_INTERLEAVE": "4", "PF_PBF16": "1"},
+    "il2p": {"PF_INTERLEAVE": "2", "PF_PBF16": "1"},
+    "dense": {"PF_DENSE": "1"},
+    "il4bq512": {"PF_INTERLEAVE": "4"},
+    # stage isolation: what's left when a stage is skipped
+    "sk_sm": {"PF_SKIP": "softmax"},        # overhead+DMA+both GEMMs
+    "sk_qkpv": {"PF_SKIP": "qk,pv"},        # overhead+DMA+softmax VPU
+    "sk_smqk": {"PF_SKIP": "qk,softmax,pv"},  # overhead+DMA only
+}
+_ENV_KEYS = ("PF_INTERLEAVE", "PF_PBF16", "PF_DENSE", "PF_ROWSUM", "PF_SKIP")
+
 
 def main():
     from vllm_flash_attn_tpu.kernels.flash_prefill import flash_attention
@@ -67,7 +86,13 @@ def main():
     flops = 4 * b * s * s * h * d / 2
 
     for name in names:
-        kw = VARIANTS[name]
+        for ek in _ENV_KEYS:
+            os.environ.pop(ek, None)
+        if name in ENV_VARIANTS:
+            os.environ.update(ENV_VARIANTS[name])
+            kw = dict(block_q=512) if name == "il4bq512" else dict()
+        else:
+            kw = VARIANTS[name]
 
         def step(q, k, v, kw=kw):
             return flash_attention(q, k, v, causal=True, **kw)

@@ -217,3 +217,78 @@ def test_splitkv_matches_single():
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(base), atol=2e-5, rtol=2e-5
         ), ns
+
+
+def test_splitkv_single_call_window_alibi_lse():
+    """The single-pallas_call split-KV (virtual rows + combine) supports
+    window/alibi with GLOBAL positions and returns a correctly merged LSE
+    (reference split kernel semantics, flash_fwd_kernel.h:475-512,
+    1093-1252)."""
+    from vllm_flash_attn_tpu.kernels.paged_decode import paged_attention_splitkv
+
+    rng = np.random.default_rng(12)
+    lengths = [700, 260, 64]
+    k_pages, v_pages, bt = make_paged_cache(
+        rng, 3, lengths, 2, 128, 16, jnp.float32
+    )
+    q = jnp.asarray(rng.standard_normal((3, 4, 128)), jnp.float32)
+    lens = jnp.asarray(lengths, jnp.int32)
+    slopes = jnp.asarray(rng.uniform(0.01, 0.3, (4,)), jnp.float32)
+
+    base, lse_base = paged_attention(
+        q, k_pages, v_pages, lens, bt, slopes, window=(128, -1),
+        pages_per_compute_block=4, return_lse=True,
+    )
+    for ns in (2, 4):
+        out, lse = paged_attention_splitkv(
+            q, k_pages, v_pages, lens, bt, slopes, window=(128, -1),
+            num_splits=ns, pages_per_compute_block=4, return_lse=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(base), atol=2e-5, rtol=2e-5
+        )
+        fin = np.isfinite(np.asarray(lse_base))
+        np.testing.assert_array_equal(fin, np.isfinite(np.asarray(lse)))
+        np.testing.assert_allclose(
+            np.asarray(lse)[fin], np.asarray(lse_base)[fin], atol=1e-5,
+            rtol=1e-5,
+        )
+
+
+def test_num_splits_heuristic():
+    """Auto split count: never split when batch rows cover the cores (the
+    TPU reading of the reference occupancy rule, flash_api.cpp:154-192)."""
+    from vllm_flash_attn_tpu.kernels.paged_decode import num_splits_heuristic
+
+    assert num_splits_heuristic(8, 64, n_cores=1) == 1
+    assert num_splits_heuristic(1, 64, n_cores=1) == 1  # 1 core: DMA-bound
+    assert num_splits_heuristic(1, 64, n_cores=2) == 2  # megacore
+    assert num_splits_heuristic(2, 64, n_cores=2) == 1
+    assert num_splits_heuristic(1, 1, n_cores=8) == 1  # capped by pages
+    assert num_splits_heuristic(3, 64, n_cores=8) == 3  # ceil(8/3)
+
+
+def test_decode_100k_keys():
+    """Long-context decode: 100k keys through the paged kernel (the
+    reference tests seqlen_k to 100k, tests/test_flash_attn.py:1700-1718).
+    Small heads keep the interpret-mode walk tractable."""
+    rng = np.random.default_rng(13)
+    ctx = 100_000
+    page_size = 512
+    nps = -(-ctx // page_size)
+    k_pages, v_pages, bt = make_paged_cache(
+        rng, 1, [ctx], 1, 128, page_size, jnp.float32, overalloc=1
+    )
+    q = jnp.asarray(rng.standard_normal((1, 2, 128)), jnp.float32)
+    lens = jnp.asarray([ctx], jnp.int32)
+    out = paged_attention(
+        q, k_pages, v_pages, lens, bt, pages_per_compute_block=8
+    )
+    # oracle: dense softmax over the gathered cache
+    ks = dense_view(k_pages, bt, [ctx])[0]  # (ctx, 1, d)
+    vs = dense_view(v_pages, bt, [ctx])[0]
+    s = np.einsum("hd,khd->hk", np.asarray(q[0]), ks.repeat(2, 1)) / np.sqrt(128)
+    p = np.exp(s - s.max(axis=1, keepdims=True))
+    p /= p.sum(axis=1, keepdims=True)
+    ref = np.einsum("hk,khd->hd", p, vs.repeat(2, 1))
+    np.testing.assert_allclose(np.asarray(out[0]), ref, atol=3e-5, rtol=3e-3)

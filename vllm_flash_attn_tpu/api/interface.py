@@ -290,9 +290,10 @@ def flash_attn_with_kvcache(
 
     Functional-JAX divergence: when k/v are given the updated caches are
     RETURNED — `(out, (k_cache, v_cache))` (+lse first if requested) — instead
-    of mutated. `num_splits` is accepted for signature parity; the TPU kernel's
-    DMA pipeline replaces the split-KV occupancy heuristic
-    (flash_api.cpp:154-192).
+    of mutated. `num_splits` routes the single-token path through the
+    split-KV kernel (0 = auto via num_splits_heuristic, matching the intent
+    of flash_api.cpp:154-192: split only onto idle TensorCores — on v5e the
+    kernel's DMA pipeline already saturates HBM without splitting).
     """
     b, sq, h, d = q.shape
     paged = block_table is not None
@@ -352,8 +353,13 @@ def flash_attn_with_kvcache(
 
     # --- attention ---
     if sq == 1:
-        out = paged_attention(
+        from vllm_flash_attn_tpu.kernels.paged_decode import (
+            paged_attention_splitkv,
+        )
+
+        out = paged_attention_splitkv(
             q[:, 0], k_pages, v_pages, total_lens, tables, alibi_slopes,
+            num_splits=num_splits,
             sm_scale=softmax_scale, window=tuple(window_size), softcap=softcap,
             return_lse=return_softmax_lse,
         )

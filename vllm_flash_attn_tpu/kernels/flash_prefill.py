@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -82,6 +83,9 @@ def _fwd_kernel(
     return_lse: bool,
     nk: int,
     fuse_rowsum: bool = False,
+    p_bf16: bool = False,
+    interleave: int = 1,
+    debug_skip: Tuple[str, ...] = (),
     d_model: int = 0,
     qmap_ref=None,
     kmap_ref=None,
@@ -115,96 +119,171 @@ def _fwd_kernel(
             acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
         min_row = qi * block_q
-        max_row = jnp.minimum(min_row + block_q, seqlen_q) - 1
-        q = q_ref[0, 0]  # (block_q, d); pre-scaled by sm_scale*log2(e)
         k = k_ref[0, 0]  # (block_k, d)
         col_base = ki * block_k
-        # Scores live in the log2 domain: sm_scale*log2(e) is folded into q
-        # host-side (the reference's scale_softmax_log2, flash_api.cpp:21-137
-        # used at flash_fwd_kernel.h:318-321), so the kernel runs NO
-        # full-tile scale pass and the softmax uses native exp2.
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (block_q, block_k)
-        if softcap > 0.0:
-            # tanh(nat/cap)*cap*log2e == tanh(s/cap')*cap' with cap'=cap*log2e
-            cap2 = softcap * LOG2E
-            s = jnp.tanh(s / cap2) * cap2
+        # The q block is processed as `interleave` INDEPENDENT sub-q chains.
+        # Each chain is QK-matmul -> softmax -> PV-matmul with no data
+        # dependence on its siblings (separate scratch rows), so Mosaic's
+        # instruction scheduler can overlap one chain's VPU softmax with
+        # another chain's MXU matmuls — the per-step critical path drops
+        # from VPU+MXU (serial) toward max(VPU, MXU). interleave=1 keeps
+        # the original single-chain body.
+        sub = block_q // interleave
 
-        if has_alibi:
-            row = (
-                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-                + min_row
-            )
-            col = (
-                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-                + col_base
-            )
-            # full (b, h) array lives in SMEM (a (1,1)-blocked SMEM spec
-            # fails Mosaic lowering on hardware); index by grid position
-            slope = alibi_ref[bi, hi]
-            s = s - slope * jnp.abs(row + offset - col).astype(jnp.float32)
+        def chain(ii):
+            r0 = ii * sub
+            rows = slice(r0, r0 + sub)
+            min_row_i = min_row + r0
+            max_row_i = jnp.minimum(min_row_i + sub, seqlen_q) - 1
+            q = q_ref[0, 0, rows]  # (sub, d); pre-scaled by sm_scale*log2(e)
+            # Scores live in the log2 domain: sm_scale*log2(e) is folded
+            # into q host-side (the reference's scale_softmax_log2,
+            # flash_api.cpp:21-137 used at flash_fwd_kernel.h:318-321), so
+            # the kernel runs NO full-tile scale pass and the softmax uses
+            # native exp2.
+            if "qk" in debug_skip:
+                # stage isolation: pseudo-scores from a cheap vreg tile of q
+                # (data-dependent so softmax stays honest; the k/v block
+                # fetches are emitted by the Pallas pipeline regardless)
+                s = pltpu.repeat(
+                    q[:, :MIN_LANES].astype(jnp.float32),
+                    block_k // MIN_LANES, axis=1,
+                )
+            else:
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (sub, block_k)
+            if softcap > 0.0:
+                # tanh(nat/cap)*cap*log2e == tanh(s/c')*c' with c'=cap*log2e
+                cap2 = softcap * LOG2E
+                s = jnp.tanh(s / cap2) * cap2
 
-        def online_update(s, masked: bool):
-            if masked:
+            if has_alibi:
                 row = (
-                    jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-                    + min_row
+                    jax.lax.broadcasted_iota(jnp.int32, (sub, block_k), 0)
+                    + min_row_i
                 )
                 col = (
-                    jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+                    jax.lax.broadcasted_iota(jnp.int32, (sub, block_k), 1)
                     + col_base
                 )
-                mask = col < seqlen_k
-                if wr >= 0:
-                    mask &= col <= row + offset + wr
-                if wl >= 0:
-                    mask &= col >= row + offset - wl
-                s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
-            m_prev = m_scr[...]  # (block_q, 128)
-            l_prev = l_scr[...]
-            m_cur = jnp.max(s, axis=1, keepdims=True)
-            m_next = jnp.maximum(m_prev, m_cur)
-            alpha = jnp.exp2(m_prev - m_next)
-            # Masked entries need no second where: exp2(MASKVAL - m) == 0
-            # whenever the row saw any real key (m real); rows that never do
-            # hold garbage l that the store-time m-based guard zeroes (and
-            # any interim garbage is wiped by alpha == 0 on the first real
-            # block). This deletes one full-tile VPU pass per masked block.
-            p = jnp.exp2(s - m_next[:, :1])
-            if not fuse_rowsum:
-                l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-                l_scr[...] = l_next
-            m_scr[...] = m_next
-            v = v_ref[0, 0]
-            if masked and seqlen_k % MIN_LANES != 0:
-                # OOB rows of the kv remainder are undefined; NaN there
-                # would poison P@V even though the matching P entry is 0.
-                valid = (
-                    jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) + col_base
-                    < seqlen_k
-                )
-                v = jnp.where(valid, v, 0)
-            pv = jax.lax.dot(
-                p.astype(v.dtype), v, preferred_element_type=jnp.float32
-            )
-            acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+                # full (b, h) array lives in SMEM (a (1,1)-blocked SMEM spec
+                # fails Mosaic lowering on hardware); index by grid position
+                slope = alibi_ref[bi, hi]
+                s = s - slope * jnp.abs(row + offset - col).astype(jnp.float32)
 
-        any_mask = (wl >= 0) or (wr >= 0) or (seqlen_k % block_k != 0)
-        if not any_mask:
-            online_update(s, False)
-        else:
-            needs = col_base + block_k > seqlen_k
-            if wr >= 0:
-                needs |= col_base + block_k - 1 > min_row + offset + wr
-            if wl >= 0:
-                needs |= col_base < max_row + offset - wl
-            jax.lax.cond(
-                needs,
-                lambda: online_update(s, True),
-                lambda: online_update(s, False),
-            )
+            def online_update(s, masked: bool):
+                if masked:
+                    row = (
+                        jax.lax.broadcasted_iota(jnp.int32, (sub, block_k), 0)
+                        + min_row_i
+                    )
+                    col = (
+                        jax.lax.broadcasted_iota(jnp.int32, (sub, block_k), 1)
+                        + col_base
+                    )
+                    mask = col < seqlen_k
+                    if wr >= 0:
+                        mask &= col <= row + offset + wr
+                    if wl >= 0:
+                        mask &= col >= row + offset - wl
+                    s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+                if "softmax" in debug_skip:
+                    # stage isolation: raw scores as p, running stats frozen
+                    m_scr[rows] = jnp.zeros(_stats_block(sub), jnp.float32)
+                    l_scr[rows] = jnp.ones(_stats_block(sub), jnp.float32)
+                    v = v_ref[0, 0]
+                    if "pv" in debug_skip:
+                        dv_ = acc_scr.shape[-1]
+                        pv = s[:, :dv_]
+                    else:
+                        pv = jax.lax.dot(
+                            s.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32,
+                        )
+                    acc_scr[rows] = acc_scr[rows] + pv
+                    return
+                m_prev = m_scr[rows]  # (sub, 128)
+                l_prev = l_scr[rows]
+                m_cur = jnp.max(s, axis=1, keepdims=True)
+                m_next = jnp.maximum(m_prev, m_cur)
+                alpha = jnp.exp2(m_prev - m_next)
+                # Masked entries need no second where: exp2(MASKVAL - m) == 0
+                # whenever the row saw any real key (m real); rows that never
+                # do hold garbage l that the store-time m-based guard zeroes
+                # (and any interim garbage is wiped by alpha == 0 on the
+                # first real block). This deletes one full-tile VPU pass per
+                # masked block.
+                # Subtract a lane-TILED max, never a 1-lane broadcast: m_next
+                # is (sub, 128) lane-replicated, and pltpu.repeat copies whole
+                # vregs across the (sub, block_k) tile. Broadcasting
+                # m_next[:, :1] instead is a 1-lane->N-lane broadcast Mosaic
+                # lowers poorly (CLAUDE.md gotcha; same trick as jnp.tile in
+                # the stock jax flash kernel).
+                nrep = block_k // MIN_LANES
+                m_big = (
+                    pltpu.repeat(m_next, nrep, axis=1) if nrep > 1 else m_next
+                )
+                if p_bf16:
+                    # exp2 on bf16 lanes; p lands directly in the PV matmul
+                    # dtype (deletes the fp32->bf16 cast pass)
+                    p = jnp.exp2((s - m_big).astype(jnp.bfloat16))
+                else:
+                    p = jnp.exp2(s - m_big)
+                if not fuse_rowsum:
+                    l_next = alpha * l_prev + jnp.sum(
+                        p, axis=1, keepdims=True, dtype=jnp.float32
+                    )
+                    l_scr[rows] = l_next
+                m_scr[rows] = m_next
+                v = v_ref[0, 0]
+                if masked and seqlen_k % MIN_LANES != 0:
+                    # OOB rows of the kv remainder are undefined; NaN there
+                    # would poison P@V even though the matching P entry is 0.
+                    valid = (
+                        jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+                        + col_base
+                        < seqlen_k
+                    )
+                    v = jnp.where(valid, v, 0)
+                if "pv" in debug_skip:
+                    # stage isolation: p feeds the acc, no matmul
+                    pv = p[:, : acc_scr.shape[-1]].astype(jnp.float32)
+                else:
+                    pv = jax.lax.dot(
+                        p.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32,
+                    )
+                # same lane-tile rule for the (sub, d_v) acc rescale
+                dv_ = acc_scr.shape[-1]
+                if dv_ % MIN_LANES == 0:
+                    arep = dv_ // MIN_LANES
+                    alpha_acc = (
+                        pltpu.repeat(alpha, arep, axis=1) if arep > 1
+                        else alpha
+                    )
+                else:
+                    alpha_acc = alpha[:, :1]
+                acc_scr[rows] = acc_scr[rows] * alpha_acc + pv
+
+            any_mask = (wl >= 0) or (wr >= 0) or (seqlen_k % block_k != 0)
+            if not any_mask:
+                online_update(s, False)
+            else:
+                needs = col_base + block_k > seqlen_k
+                if wr >= 0:
+                    needs |= col_base + block_k - 1 > min_row_i + offset + wr
+                if wl >= 0:
+                    needs |= col_base < max_row_i + offset - wl
+                jax.lax.cond(
+                    needs,
+                    lambda: online_update(s, True),
+                    lambda: online_update(s, False),
+                )
+
+        for ii in range(interleave):
+            chain(ii)
 
         @pl.when(ki == last_active)
         def _store():
@@ -263,6 +342,10 @@ def _flash_attention_impl(
     block_k: int = 1024,
     return_lse: bool = False,
     fuse_rowsum: Optional[bool] = None,
+    p_bf16: bool = False,
+    interleave: int = 1,
+    force_dense: bool = False,
+    debug_skip: Tuple[str, ...] = (),
     interpret: Optional[bool] = None,
 ):
     """Flash attention forward.
@@ -309,9 +392,7 @@ def _flash_attention_impl(
     # softmax denominator on the MXU, deleting the per-block VPU reduction
     # over the (block_q, block_k) tile (A/B knob PF_ROWSUM while measuring).
     if fuse_rowsum is None:
-        import os as _os
-
-        fuse_rowsum = _os.environ.get("PF_ROWSUM", "0") == "1"
+        fuse_rowsum = False
     d_v = d + MIN_LANES if fuse_rowsum else d
     if fuse_rowsum:
         v = jnp.concatenate(
@@ -320,6 +401,11 @@ def _flash_attention_impl(
 
     block_q = _round_block(sq, block_q)
     block_k = _round_block(sk, block_k)
+    # sub-chain rows must stay (8,128)-tileable
+    while interleave > 1 and (
+        block_q % interleave != 0 or (block_q // interleave) % 8 != 0
+    ):
+        interleave //= 2
     nq = pl.cdiv(sq, block_q)
     nk = pl.cdiv(sk, block_k)
     grid = (b, h, nq, nk)
@@ -328,7 +414,7 @@ def _flash_attention_impl(
     # so masked-out blocks cost no grid steps. The maps are tiny int32 arrays
     # scalar-prefetched into SMEM. ---
     _wl0, _wr0 = int(window[0]), (0 if causal else int(window[1]))
-    folded = _wl0 >= 0 or _wr0 >= 0
+    folded = (_wl0 >= 0 or _wr0 >= 0) and not force_dense
     if folded:
         offset = sk - sq
         qmap, kmap = [], []
@@ -376,6 +462,9 @@ def _flash_attention_impl(
         return_lse=return_lse,
         nk=nk,
         fuse_rowsum=fuse_rowsum,
+        p_bf16=p_bf16,
+        interleave=interleave,
+        debug_skip=tuple(debug_skip),
         d_model=d,
     )
 
@@ -467,6 +556,9 @@ def _flash_attention_impl(
                 dimension_semantics=(
                     "parallel", "parallel", "parallel", "arbitrary"
                 ),
+                # big-block configs (2048-row tiles) exceed the default 16MB
+                # scoped-vmem budget
+                vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
         )(q, k, v, alibi_slopes)
@@ -481,35 +573,42 @@ def _flash_attention_impl(
 # first-class via a linear-memory XLA backward (kernels/flash_backward.py).
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+@functools.partial(
+    jax.custom_vjp,
+    nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15),
+)
 def _flash_attention_vjp(
     q, k, v, alibi_slopes, causal, sm_scale, window, softcap, block_q, block_k,
-    fuse_rowsum, interpret,
+    fuse_rowsum, p_bf16, interleave, force_dense, debug_skip, interpret,
 ):
     return _flash_attention_impl(
         q, k, v, alibi_slopes if alibi_slopes.size else None,
         causal=causal, sm_scale=sm_scale, window=window,
         softcap=softcap, block_q=block_q, block_k=block_k,
-        return_lse=False, fuse_rowsum=fuse_rowsum, interpret=interpret,
+        return_lse=False, fuse_rowsum=fuse_rowsum, p_bf16=p_bf16,
+        interleave=interleave, force_dense=force_dense,
+        debug_skip=debug_skip, interpret=interpret,
     )
 
 
 def _vjp_fwd(
     q, k, v, alibi_slopes, causal, sm_scale, window, softcap, block_q, block_k,
-    fuse_rowsum, interpret,
+    fuse_rowsum, p_bf16, interleave, force_dense, debug_skip, interpret,
 ):
     out, lse = _flash_attention_impl(
         q, k, v, alibi_slopes if alibi_slopes.size else None,
         causal=causal, sm_scale=sm_scale, window=window,
         softcap=softcap, block_q=block_q, block_k=block_k,
-        return_lse=True, fuse_rowsum=fuse_rowsum, interpret=interpret,
+        return_lse=True, fuse_rowsum=fuse_rowsum, p_bf16=p_bf16,
+        interleave=interleave, force_dense=force_dense,
+        debug_skip=debug_skip, interpret=interpret,
     )
     return out, (q, k, v, alibi_slopes, out, lse)
 
 
 def _vjp_bwd(
     causal, sm_scale, window, softcap, block_q, block_k, fuse_rowsum,
-    interpret, res, g
+    p_bf16, interleave, force_dense, debug_skip, interpret, res, g
 ):
     from vllm_flash_attn_tpu.kernels.flash_backward import mha_backward
 
@@ -529,9 +628,38 @@ _flash_attention_vjp.defvjp(_vjp_fwd, _vjp_bwd)
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "window", "softcap", "block_q", "block_k",
-        "return_lse", "fuse_rowsum", "interpret",
+        "return_lse", "fuse_rowsum", "p_bf16", "interleave", "force_dense",
+        "debug_skip", "interpret",
     ),
 )
+def _flash_attention_jit(
+    q, k, v, alibi_slopes, *, causal, sm_scale, window, softcap, block_q,
+    block_k, return_lse, fuse_rowsum, p_bf16, interleave, force_dense,
+    debug_skip, interpret,
+):
+    if return_lse:
+        return _flash_attention_impl(
+            q, k, v, alibi_slopes, causal=causal, sm_scale=sm_scale,
+            window=window, softcap=softcap, block_q=block_q, block_k=block_k,
+            return_lse=True, fuse_rowsum=fuse_rowsum, p_bf16=p_bf16,
+            interleave=interleave, force_dense=force_dense,
+            debug_skip=debug_skip, interpret=interpret,
+        )
+    if alibi_slopes is None:
+        alibi_norm = jnp.zeros((0, 0), jnp.float32)
+    elif alibi_slopes.ndim == 1:
+        alibi_norm = jnp.broadcast_to(
+            jnp.asarray(alibi_slopes, jnp.float32)[None], (q.shape[0], q.shape[1])
+        )
+    else:
+        alibi_norm = jnp.asarray(alibi_slopes, jnp.float32)
+    return _flash_attention_vjp(
+        q, k, v, alibi_norm, causal, float(sm_scale), tuple(window),
+        float(softcap), block_q, block_k, fuse_rowsum, p_bf16, interleave,
+        force_dense, debug_skip, interpret,
+    )
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -546,6 +674,10 @@ def flash_attention(
     block_k: int = 1024,
     return_lse: bool = False,
     fuse_rowsum: Optional[bool] = None,
+    p_bf16: Optional[bool] = None,
+    interleave: Optional[int] = None,
+    force_dense: Optional[bool] = None,
+    debug_skip: Optional[Tuple[str, ...]] = None,
     interpret: Optional[bool] = None,
 ):
     """Flash attention forward (differentiable when return_lse=False).
@@ -554,26 +686,34 @@ def flash_attention(
     flash_attn_interface.py:1046-1049). Causal is bottom-right aligned;
     window is the inclusive (left, right) sliding window, -1 = unbounded.
     Returns out (b, h, sq, d) [, fp32 lse (b, h, sq)].
+
+    Perf knobs (env default so A/B runs need no code change; resolved HERE,
+    outside the jit, so each setting gets its own executable-cache entry):
+    fuse_rowsum/PF_ROWSUM, p_bf16/PF_PBF16 (bf16 exp2 softmax),
+    interleave/PF_INTERLEAVE (independent sub-q chains per grid step),
+    force_dense/PF_DENSE (dense grid even for causal/window).
     """
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
     if interpret is None:
         interpret = use_interpret()
-    if return_lse:
-        return _flash_attention_impl(
-            q, k, v, alibi_slopes, causal=causal, sm_scale=sm_scale,
-            window=window, softcap=softcap, block_q=block_q, block_k=block_k,
-            return_lse=True, fuse_rowsum=fuse_rowsum, interpret=interpret,
+    if fuse_rowsum is None:
+        fuse_rowsum = os.environ.get("PF_ROWSUM", "0") == "1"
+    if p_bf16 is None:
+        p_bf16 = os.environ.get("PF_PBF16", "0") == "1"
+    if interleave is None:
+        interleave = int(os.environ.get("PF_INTERLEAVE", "1"))
+    if force_dense is None:
+        force_dense = os.environ.get("PF_DENSE", "0") == "1"
+    if debug_skip is None:
+        debug_skip = tuple(
+            s for s in os.environ.get("PF_SKIP", "").split(",") if s
         )
-    if alibi_slopes is None:
-        alibi_norm = jnp.zeros((0, 0), jnp.float32)
-    elif alibi_slopes.ndim == 1:
-        alibi_norm = jnp.broadcast_to(
-            jnp.asarray(alibi_slopes, jnp.float32)[None], (q.shape[0], q.shape[1])
-        )
-    else:
-        alibi_norm = jnp.asarray(alibi_slopes, jnp.float32)
-    return _flash_attention_vjp(
-        q, k, v, alibi_norm, causal, float(sm_scale), tuple(window),
-        float(softcap), block_q, block_k, fuse_rowsum, interpret,
+    return _flash_attention_jit(
+        q, k, v, alibi_slopes, causal=causal, sm_scale=float(sm_scale),
+        window=tuple(window), softcap=float(softcap), block_q=block_q,
+        block_k=block_k, return_lse=return_lse, fuse_rowsum=bool(fuse_rowsum),
+        p_bf16=bool(p_bf16), interleave=int(interleave),
+        force_dense=bool(force_dense), debug_skip=tuple(debug_skip),
+        interpret=interpret,
     )

@@ -54,8 +54,14 @@ _DEBUG_SKIP = frozenset(
 
 def _decode_kernel(
     # scalar prefetch
-    lengths_ref,  # (b,)
+    lengths_ref,  # (b,) keys THIS row sweeps (local to its KV-range split)
     block_tables_ref,  # (b, max_pages)
+    col_base_ref,  # (b,) global column of this row's first key (0 unless
+    #               split-KV: virtual row (split s, seq b) starts at its
+    #               split's global offset so window/alibi positions stay
+    #               global — reference splits are position-global too,
+    #               flash_fwd_kernel.h:475-512)
+    total_lens_ref,  # (b,) FULL sequence length (decode q position = total-1)
     # inputs
     q_ref,  # (1, h_kv*d, hq) VMEM — block-diagonal query weight
     k_pages_ref,  # (num_pages, page_size, h_k, d) ANY/HBM
@@ -206,17 +212,20 @@ def _decode_kernel(
             s = jnp.tanh(s / cap2) * cap2
 
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * bk
-        mask = col < length
+        mask = col < length  # local: keys this row actually owns
+        # window/alibi positions are GLOBAL: offset by this row's split base;
+        # the decode query position is total_length-1 (one new token per seq)
+        qpos = total_lens_ref[jnp.minimum(b, batch - 1)] - 1
+        col_g = col + col_base_ref[jnp.minimum(b, batch - 1)]
         wl, wr = window
-        # decode query position is length-1 (one new token per sequence)
         if wl >= 0:
-            mask &= col >= length - 1 - wl
+            mask &= col_g >= qpos - wl
         if wr >= 0:
-            mask &= col <= length - 1 + wr
+            mask &= col_g <= qpos + wr
 
         if has_alibi:
             slopes = alibi_ref[...]  # (1, hq)
-            dist = jnp.abs((length - 1) - col).astype(jnp.float32)
+            dist = jnp.abs(qpos - col_g).astype(jnp.float32)
             s = s - slopes * dist
 
         s = jnp.where(mask, s, mask_value)
@@ -251,6 +260,14 @@ def _decode_kernel(
             )[0][:, None]
             return
         v = v_buf[slot].reshape(bk, v_buf.shape[-2], v_buf.shape[-1])
+        if quantized:
+            # int8/fp8 payloads are exact in bf16; cast once (packed pass)
+            # so the PV products run on the same packed-bf16 path as the
+            # unquantized case instead of full fp32 products. Cast BEFORE the
+            # q_per_kv head repeat: the pre-repeat tile is q_per_kv times
+            # smaller, and the repeat itself then copies bf16 vregs that the
+            # PV multiply consumes directly.
+            v = v.astype(jnp.bfloat16)
         if q_per_kv > 1:
             v = pltpu.repeat(v, q_per_kv, axis=1)
         if quantized:
@@ -263,11 +280,6 @@ def _decode_kernel(
             if q_per_kv > 1:
                 sv = pltpu.repeat(sv, q_per_kv, axis=1)
             p = p * sv  # dequant folds INTO p before the PV reduction
-        if quantized:
-            # int8/fp8 payloads are exact in bf16; cast once (packed pass)
-            # so the PV products run on the same packed-bf16 path as the
-            # unquantized case instead of full fp32 products
-            v = v.astype(jnp.bfloat16)
         # expand p's minor dim in fp32 (Mosaic 32-bit rule), then cast so
         # the multiply runs packed
         pv = jnp.sum(
@@ -318,6 +330,8 @@ def paged_attention(
     softcap: float = 0.0,
     pages_per_compute_block: Optional[int] = None,
     return_lse: bool = False,
+    col_base: Optional[jax.Array] = None,  # (b,) split-KV global col offsets
+    total_lens: Optional[jax.Array] = None,  # (b,) full lengths (q position)
     interpret: Optional[bool] = None,
 ):
     """Single-token decode over a paged KV cache (reference cache layout).
@@ -359,6 +373,15 @@ def paged_attention(
     num_blocks_grid = pl.cdiv(max_pages, ppb)
     lengths = lengths.astype(jnp.int32)
     block_tables = block_tables.astype(jnp.int32)
+    # split-KV plumbing: global column base + full length per (virtual) row;
+    # plain decode rows start at column 0 with total == local length
+    col_base = (
+        jnp.zeros_like(lengths) if col_base is None
+        else col_base.astype(jnp.int32)
+    )
+    total_lens = (
+        lengths if total_lens is None else total_lens.astype(jnp.int32)
+    )
 
     # Fold sm_scale*log2(e) into q so the kernel runs no per-block scale pass
     # and uses native exp2 (scale_softmax_log2, flash_api.cpp:21-137).
@@ -408,8 +431,11 @@ def paged_attention(
     if not return_lse:
         body = kernel
 
-        def kernel(l_r, bt_r, q_r, k_r, v_r, ks_r, vs_r, a_r, o_r, *scr):  # noqa: F811
-            body(l_r, bt_r, q_r, k_r, v_r, ks_r, vs_r, a_r, o_r, None, *scr)
+        def kernel(l_r, bt_r, cb_r, tl_r, q_r, k_r, v_r, ks_r, vs_r, a_r, o_r, *scr):  # noqa: F811
+            body(
+                l_r, bt_r, cb_r, tl_r, q_r, k_r, v_r, ks_r, vs_r, a_r, o_r,
+                None, *scr,
+            )
 
     ncores = 1  # megacore split reserved (v5e has a single TensorCore)
     grid = (ncores, batch, num_blocks_grid)
@@ -432,7 +458,7 @@ def paged_attention(
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -475,8 +501,8 @@ def paged_attention(
         ),
         interpret=interpret,
     )(
-        lengths, block_tables, q_blk, k_pages, v_pages, k_scales, v_scales,
-        alibi_slopes,
+        lengths, block_tables, col_base, total_lens, q_blk, k_pages, v_pages,
+        k_scales, v_scales, alibi_slopes,
     )
 
     def unshuffle(x):
@@ -494,69 +520,117 @@ def paged_attention(
     return unshuffle(results[0])[..., :d_orig]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "num_splits", "sm_scale", "pages_per_compute_block", "interpret"
-    ),
-)
+def num_splits_heuristic(
+    batch: int, max_pages: int, n_cores: int = 1, max_splits: int = 128
+) -> int:
+    """Pick the KV split count for decode (the reference's occupancy
+    heuristic, flash_api.cpp:154-192, re-derived for TPU cost structure).
+
+    GPU splits exist to fill idle SMs. The TPU analogs of "idle SMs" are
+    idle TensorCores (v5p megacore: 2); within one core the sequential
+    page-DMA walk already saturates HBM, so extra splits only add merge
+    work. Split therefore only when there are fewer batch rows than cores,
+    and never beyond the page count.
+    """
+    if batch >= n_cores:
+        return 1
+    want = -(-n_cores // max(batch, 1))
+    return max(1, min(want, max_pages, max_splits))
+
+
 def paged_attention_splitkv(
     q: jax.Array,
     k_pages: jax.Array,
     v_pages: jax.Array,
     lengths: jax.Array,
     block_tables: jax.Array,
+    alibi_slopes: Optional[jax.Array] = None,
     *,
-    num_splits: int = 2,
+    num_splits: int = 0,
     sm_scale: Optional[float] = None,
+    window: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
     pages_per_compute_block: Optional[int] = None,
+    return_lse: bool = False,
     interpret: Optional[bool] = None,
 ):
-    """Split-KV decode: the KV range is partitioned into `num_splits` chunks,
-    each computed as an independent paged_attention (partial out + LSE), then
-    LSE-merged — the TPU analog of the reference's flash-decoding grid split +
-    combine kernel (flash_fwd_kernel.h:475-1055, 1093-1252; num_splits
-    heuristic flash_api.cpp:154-192).
+    """Split-KV decode in ONE kernel invocation: each (split, sequence) pair
+    becomes a virtual batch row of the decode kernel sweeping only its slice
+    of the page table, with fp32 partial (out, LSE) outputs LSE-merged by a
+    combine pass — the TPU analog of the reference's flash-decoding split
+    grid + combine kernel (flash_fwd_kernel.h:475-1055, 1093-1252). Window
+    and ALiBi are supported: the kernel receives each row's global column
+    base so positions are absolute (flash_fwd_kernel.h:505-512 semantics).
 
-    On a 1-TensorCore chip (v5e) the sequential DMA walk already saturates
-    HBM, so this exists for (a) API/semantics parity and (b) multi-core parts
-    (v5p megacore) where the splits can map to separate cores. Plain decode
-    only (no window/alibi — positions inside a split are range-relative).
+    num_splits=0 picks automatically (num_splits_heuristic): on a
+    1-TensorCore chip (v5e) the sequential DMA walk already saturates HBM
+    and a single pallas_call has ONE fixed dispatch cost, so auto never
+    splits there; on multi-core parts splits map to real cores. Works for
+    bf16 and quantized (QuantizedPages) caches.
     """
     batch, h_q, d = q.shape
-    _, page_size, _, _ = k_pages.shape
-    max_pages = block_tables.shape[1]
-    cp = pl.cdiv(max_pages, num_splits)  # pages per split
-    lengths = lengths.astype(jnp.int32)
+    from vllm_flash_attn_tpu.kernels.kv_quant import QuantizedPages
 
-    outs, lses = [], []
-    for j in range(num_splits):
-        tables_j = block_tables[:, j * cp : (j + 1) * cp]
-        if tables_j.shape[1] == 0:
-            continue
-        lens_j = jnp.clip(lengths - j * cp * page_size, 0, cp * page_size)
-        o_j, lse_j = paged_attention(
-            q, k_pages, v_pages, lens_j, tables_j,
-            sm_scale=sm_scale,
-            pages_per_compute_block=pages_per_compute_block,
-            return_lse=True, interpret=interpret,
+    page_size = (
+        k_pages.data.shape[1]
+        if isinstance(k_pages, QuantizedPages) else k_pages.shape[1]
+    )
+    max_pages = block_tables.shape[1]
+    if num_splits <= 0:
+        num_splits = num_splits_heuristic(batch, max_pages)
+    S = min(num_splits, max_pages)
+    common = dict(
+        sm_scale=sm_scale, window=window, softcap=softcap,
+        pages_per_compute_block=pages_per_compute_block, interpret=interpret,
+    )
+    if S <= 1:
+        return paged_attention(
+            q, k_pages, v_pages, lengths, block_tables, alibi_slopes,
+            return_lse=return_lse, **common,
         )
-        outs.append(o_j)
-        lses.append(lse_j)
+
+    cp = pl.cdiv(max_pages, S)  # pages per split
+    S = pl.cdiv(max_pages, cp)
+    lengths = lengths.astype(jnp.int32)
+    block_tables = block_tables.astype(jnp.int32)
+
+    # virtual rows r = sp*batch + bb
+    pad = S * cp - max_pages
+    tables_p = jnp.pad(block_tables, [(0, 0), (0, pad)])
+    tables_v = (
+        tables_p.reshape(batch, S, cp).swapaxes(0, 1).reshape(S * batch, cp)
+    )
+    starts = (
+        jnp.arange(S, dtype=jnp.int32)[:, None] * (cp * page_size)
+    )  # (S, 1)
+    lens_v = jnp.clip(lengths[None] - starts, 0, cp * page_size).reshape(-1)
+    col_base_v = jnp.broadcast_to(starts, (S, batch)).reshape(-1)
+    tot_v = jnp.tile(lengths, (S,))
+    q_v = jnp.tile(q, (S, 1, 1))
+    alibi_v = None
+    if alibi_slopes is not None:
+        a = jnp.asarray(alibi_slopes, jnp.float32)
+        alibi_v = a if a.ndim == 1 else jnp.tile(a, (S, 1))
+
+    out_v, lse_v = paged_attention(
+        q_v, k_pages, v_pages, lens_v, tables_v, alibi_v,
+        return_lse=True, col_base=col_base_v, total_lens=tot_v, **common,
+    )
+    out_v = out_v.astype(jnp.float32).reshape(S, batch, h_q, d)
+    lse = lse_v.reshape(S, batch, h_q)
 
     # -inf-safe LSE merge (flash_fwd_kernel.h:1156-1164 semantics: empty
     # splits carry lse=+inf/out=0 from the kernel's zero-length convention —
     # mask them out of the max)
-    lse = jnp.stack(lses)  # (S, b, h)
-    out = jnp.stack([o.astype(jnp.float32) for o in outs])  # (S, b, h, d)
     valid = jnp.isfinite(lse)
     neg = jnp.where(valid, lse, -jnp.inf)
     m = jnp.max(neg, axis=0)  # (b, h)
     w = jnp.where(valid, jnp.exp(neg - m[None]), 0.0)  # (S, b, h)
     denom = jnp.maximum(jnp.sum(w, axis=0), 1e-38)
-    merged = jnp.sum(out * w[..., None], axis=0) / denom[..., None]
-    # all splits empty (length 0): kernel convention is out = 0
-    merged = jnp.where(
-        jnp.all(~valid, axis=0)[..., None], 0.0, merged
-    )
+    merged = jnp.sum(out_v * w[..., None], axis=0) / denom[..., None]
+    none_valid = jnp.all(~valid, axis=0)
+    merged = jnp.where(none_valid[..., None], 0.0, merged)
+    if return_lse:
+        mlse = jnp.where(none_valid, jnp.inf, m + jnp.log(denom))
+        return merged.astype(q.dtype), mlse
     return merged.astype(q.dtype)

@@ -96,58 +96,66 @@ def ring_attention(
 ):
     """Ring attention over a context-parallel axis (must run inside shard_map).
 
-    KV blocks rotate around the ring via ppermute while each step's partial
-    attention (with LSE) merges online — communication fully overlapped with
-    the local flash kernel. Bottom-right causal alignment is preserved by
-    tracking each block's global offset.
+    KV blocks rotate around the ring via ppermute; each ring step runs the
+    LOCAL FLASH KERNEL (O(s_loc·d) memory — no s_loc² score matrix) and its
+    normalized partial output merges into the running result via the
+    -inf-safe LSE merge (same math as the reference's split-KV combine,
+    flash_fwd_kernel.h:1156-1164). The next block's ppermute is issued
+    before the current step's kernel so XLA's latency-hiding scheduler can
+    overlap communication with compute. Under causal, ring steps whose KV
+    block is entirely in the masked future are skipped via lax.cond
+    (compute only; the rotation still happens). Forward-only (the merge
+    consumes the kernel's LSE output, which bypasses the custom-VJP path).
+
+    Block-to-rank causal geometry: q rows of rank r span
+    [r·s_loc, (r+1)·s_loc); at ring step t the resident KV block came from
+    rank src = (r - t) % n. src == r is the causal diagonal (local flash
+    causal), src < r is fully visible, src > r fully masked.
     """
     n = jax.lax.psum(1, axis_name)
     my = jax.lax.axis_index(axis_name)
     b, h, s_loc, d = q.shape
-    if sm_scale is None:
-        sm_scale = 1.0 / (d ** 0.5)
     perm = [(i, (i + 1) % n) for i in range(n)]
-    NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
 
-    def partial_attn(q_, k_, v_, shift):
-        """Returns unnormalized (o, m, l) for one block pair; shift = global
-        column offset minus row offset (None = no causal mask)."""
-        s = jnp.einsum(
-            "bhqd,bhkd->bhqk",
-            q_.astype(jnp.float32), k_.astype(jnp.float32),
-        ) * sm_scale
-        if shift is not None:
-            row = jax.lax.broadcasted_iota(jnp.int32, (s_loc, s_loc), 0)
-            col = jax.lax.broadcasted_iota(jnp.int32, (s_loc, s_loc), 1)
-            mask = (col + shift) <= row
-            s = jnp.where(mask[None, None], s, NEG)
-        m = jnp.max(s, axis=-1)
-        p = jnp.exp(s - m[..., None])
-        if shift is not None:
-            p = jnp.where(mask[None, None], p, 0.0)
-        l = jnp.sum(p, axis=-1)
-        o = jnp.einsum("bhqk,bhkd->bhqd", p, v_.astype(jnp.float32))
-        return o, m, l
+    def flash_part(q_, k_, v_, diag: bool):
+        return flash_attention(
+            q_, k_, v_, causal=(causal and diag), sm_scale=sm_scale,
+            return_lse=True,
+        )
 
-    acc = jnp.zeros((b, h, s_loc, d), jnp.float32)
-    m_run = jnp.full((b, h, s_loc), -jnp.inf, jnp.float32)
-    l_run = jnp.zeros((b, h, s_loc), jnp.float32)
+    # step 0: the local (diagonal) block
+    o0, lse_run = flash_part(q, k, v, diag=True)
+    acc = o0.astype(jnp.float32)
     k_blk, v_blk = k, v
-    q_off = my * s_loc
 
-    for step in range(n):
+    for step in range(1, n):
+        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
         src = (my - step) % n
-        shift = src * s_loc - q_off if causal else None
-        o_p, m_p, l_p = partial_attn(q, k_blk, v_blk, shift)
-        m_new = jnp.maximum(m_run, m_p)
-        a_old = jnp.exp(m_run - m_new)
-        a_p = jnp.exp(m_p - m_new)
-        acc = acc * a_old[..., None] + o_p * a_p[..., None]
-        l_run = l_run * a_old + l_p * a_p
-        m_run = m_new
-        if step < n - 1:
-            k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
-            v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
 
-    out = acc / jnp.maximum(l_run, 1e-38)[..., None]
-    return out.astype(q.dtype)
+        if causal:
+            o_p, lse_p = jax.lax.cond(
+                src < my,
+                lambda k_=k_blk, v_=v_blk: tuple(
+                    (x.astype(jnp.float32) if i == 0 else x)
+                    for i, x in enumerate(flash_part(q, k_, v_, diag=False))
+                ),
+                lambda: (
+                    jnp.zeros((b, h, s_loc, d), jnp.float32),
+                    jnp.full((b, h, s_loc), -jnp.inf, jnp.float32),
+                ),
+            )
+        else:
+            o_p, lse_p = flash_part(q, k_blk, v_blk, diag=False)
+            o_p = o_p.astype(jnp.float32)
+
+        # merge two normalized partials by their LSEs (stable; lse_run is
+        # finite after step 0 — every causal row sees >=1 key on the diagonal)
+        m = jnp.maximum(lse_run, lse_p)
+        w_run = jnp.exp(lse_run - m)
+        w_p = jnp.where(jnp.isfinite(lse_p), jnp.exp(lse_p - m), 0.0)
+        denom = w_run + w_p
+        acc = (acc * w_run[..., None] + o_p * w_p[..., None]) / denom[..., None]
+        lse_run = m + jnp.log(denom)
+
+    return acc.astype(q.dtype)

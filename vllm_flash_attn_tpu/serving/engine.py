@@ -5,8 +5,10 @@ it. Here the loop is part of the framework (SURVEY.md §7 layer 6): a
 C++ page allocator handles the host-side scheduling tick
 (serving/page_allocator.py), two jitted device programs handle compute:
 
-- prefill: one admitted request at a time, prompt padded to a shape bucket
-  (recompile cap), K/V bulk-appended into its pages, causal flash attention
+- prefill: all admissible pending requests in ONE device call — prompts
+  padded to a shared length bucket, batch padded to a power-of-2 bucket
+  (recompile cap on both axes), K/V bulk-appended into each request's pages,
+  causal flash attention
 - decode: ALL slots every step in one fixed-shape program (inactive slots ride
   along with length 0 — paged_attention outputs zeros for them), caches
   donated so XLA updates pages in place
@@ -35,12 +37,40 @@ class Request:
     prompt_tokens: List[int]
     max_new_tokens: int = 64
     eos_token_id: Optional[int] = None
+    # sampling: temperature 0.0 (or top_k 1) = greedy; otherwise softmax
+    # sampling over the top_k logits (0 = full vocab), seeded per request so
+    # outputs are deterministic regardless of scheduling order
+    temperature: float = 0.0
+    top_k: int = 0
+    seed: int = 0
     output_tokens: List[int] = dataclasses.field(default_factory=list)
     finished: bool = False
     # set when the request could not run to completion: "rejected" (prompt can
     # never fit max_pages_per_seq) or "truncated" (hit the per-seq page cap
     # mid-decode; output_tokens holds what was generated up to the cap)
     error: Optional[str] = None
+    _rng: Optional[np.random.Generator] = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
+
+    def sample(self, logits: np.ndarray) -> int:
+        """Pick the next token from a (vocab,) fp32 logits row (host-side;
+        mirrors utils.generation._sample semantics). Sampling happens on the
+        host because the logits row is already materialized there each tick;
+        per-request RNG state survives preemption restarts only in the sense
+        that a restarted request resamples from a fresh stream."""
+        if self.temperature == 0.0 or self.top_k == 1:
+            return int(np.argmax(logits))
+        if self._rng is None:
+            self._rng = np.random.default_rng(self.seed)
+        x = logits.astype(np.float64) / self.temperature
+        if self.top_k > 1:
+            kth = np.partition(x, -self.top_k)[-self.top_k]
+            x = np.where(x < kth, -np.inf, x)
+        x -= x.max()
+        p = np.exp(x)
+        p /= p.sum()
+        return int(self._rng.choice(len(p), p=p))
 
 
 def _bucket(n: int, buckets=(32, 64, 128, 256, 512, 1024, 2048, 4096)) -> int:
@@ -170,14 +200,20 @@ class LLMEngine:
     def _build_prefill(self, padded_len):
         model, vocab = self.model, self.vocab
 
-        def step(params, ids, kc, vc, tables, true_len):
-            lengths = jnp.zeros((1,), jnp.int32)
-            num_new = true_len[None]
-            state = PagedState(kc, vc, lengths, tables, num_new, "prefill")
+        def step(params, ids, kc, vc, tables, true_lens):
+            # batched admission: ids (B, padded), true_lens (B,) — rows with
+            # true_len 0 are padding riders (num_new 0 appends nothing; their
+            # logits row is discarded host-side)
+            B = ids.shape[0]
+            lengths = jnp.zeros((B,), jnp.int32)
+            state = PagedState(kc, vc, lengths, tables, true_lens, "prefill")
             logits = model.apply(params, ids, inference_params=state)
             if self.mesh is not None:
                 logits = jax.lax.all_gather(logits, "model", axis=2, tiled=True)
-            last = logits[0, true_len - 1, :vocab]
+            last_idx = jnp.maximum(true_lens - 1, 0)
+            last = jnp.take_along_axis(
+                logits, last_idx[:, None, None], axis=1
+            )[:, 0, :vocab]
             return last, state.k_pages, state.v_pages
 
         if self.mesh is not None:
@@ -199,47 +235,67 @@ class LLMEngine:
     def add_request(self, req: Request):
         self.pending.append(req)
 
-    def _admit_one(self) -> bool:
-        if not self.pending:
-            return False
-        req = self.pending[0]
-        L = len(req.prompt_tokens)
-        need_pages = -(-L // self.page_size) + 1
-        if need_pages > self.max_pages_per_seq:
-            # can never fit — reject instead of stalling the queue forever
+    def _admit_batch(self) -> bool:
+        """Admit as many pending prompts as fit (slots + pages) in ONE
+        prefill device call — ids padded to a shared length bucket, batch
+        padded to a power-of-2 bucket (recompile cap on both axes)."""
+        batch = []  # (req, slot, L)
+        while self.pending and len(self.active) + len(batch) < self.max_seqs:
+            req = self.pending[0]
+            L = len(req.prompt_tokens)
+            need_pages = -(-L // self.page_size) + 1
+            if need_pages > self.max_pages_per_seq:
+                # can never fit — reject instead of stalling the queue forever
+                self.pending.pop(0)
+                req.finished = True
+                req.error = "rejected"
+                self._finished.append(req)
+                continue
+            if self.allocator.num_free_pages() < need_pages:
+                break
+            slot = self.allocator.alloc_seq()
+            if slot < 0:
+                break
             self.pending.pop(0)
-            req.finished = True
-            req.error = "rejected"
-            self._finished.append(req)
-            return True
-        if self.allocator.num_free_pages() < need_pages:
+            assert self.allocator.extend(slot, L) == L
+            batch.append((req, slot, L))
+        if not batch:
             return False
-        slot = self.allocator.alloc_seq()
-        if slot < 0:
-            return False
-        self.pending.pop(0)
-        assert self.allocator.extend(slot, L) == L
-        tables, _ = self.allocator.gather([slot])
 
-        padded = _bucket(L)
-        if padded not in self._prefill_fns:
-            self._prefill_fns[padded] = self._build_prefill(padded)
-        ids = np.zeros((1, padded), np.int32)
-        ids[0, :L] = req.prompt_tokens
-        last_logits, self.k_pages, self.v_pages = self._prefill_fns[padded](
+        B = 1
+        while B < len(batch):
+            B *= 2
+        padded = _bucket(max(L for _, _, L in batch))
+        tables, _ = self.allocator.gather([slot for _, slot, _ in batch])
+        tables = np.asarray(tables)
+        if B > len(batch):
+            pad = np.zeros((B - len(batch), tables.shape[1]), tables.dtype)
+            tables = np.concatenate([tables, pad], axis=0)
+        ids = np.zeros((B, padded), np.int32)
+        true_lens = np.zeros((B,), np.int32)
+        for i, (req, _, L) in enumerate(batch):
+            ids[i, :L] = req.prompt_tokens
+            true_lens[i] = L
+
+        key = (B, padded)
+        if key not in self._prefill_fns:
+            self._prefill_fns[key] = self._build_prefill(padded)
+        last_logits, self.k_pages, self.v_pages = self._prefill_fns[key](
             self.params,
             jnp.asarray(ids),
             self.k_pages,
             self.v_pages,
             jnp.asarray(tables),
-            jnp.asarray(L, jnp.int32),
+            jnp.asarray(true_lens),
         )
-        tok = int(np.argmax(np.asarray(last_logits)))
-        req.output_tokens.append(tok)
-        self._last_token[slot] = tok
-        self.active[slot] = req
-        self._admit_order.append(slot)
-        self._maybe_finish(slot)
+        last_logits = np.asarray(last_logits)
+        for i, (req, slot, _) in enumerate(batch):
+            tok = req.sample(last_logits[i])
+            req.output_tokens.append(tok)
+            self._last_token[slot] = tok
+            self.active[slot] = req
+            self._admit_order.append(slot)
+            self._maybe_finish(slot)
         return True
 
     def _maybe_finish(self, slot: int):
@@ -279,7 +335,7 @@ class LLMEngine:
 
     def step(self) -> List[Request]:
         """One scheduling tick: admit then decode. Returns finished requests."""
-        while len(self.active) < self.max_seqs and self._admit_one():
+        while len(self.active) < self.max_seqs and self._admit_batch():
             pass
 
         if not self.active:
@@ -335,9 +391,9 @@ class LLMEngine:
             jnp.asarray(tables),
             jnp.asarray(num_new),
         )
-        next_tokens = np.argmax(np.asarray(logits), axis=-1)
+        logits_np = np.asarray(logits)
         for slot, req in list(self.active.items()):
-            tok = int(next_tokens[slot])
+            tok = req.sample(logits_np[slot])
             req.output_tokens.append(tok)
             self._last_token[slot] = tok
             self._maybe_finish(slot)
