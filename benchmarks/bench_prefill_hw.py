@@ -52,6 +52,9 @@ VARIANTS = {
     "bk512": dict(block_k=512),
     "b512": dict(block_q=512, block_k=512),
     "bq2048": dict(block_q=2048),
+    "bk2048": dict(block_k=2048),
+    "b2048": dict(block_q=2048, block_k=2048),
+    "nc": dict(causal=False),
 }
 
 # env-knob variants (read at trace time inside _flash_attention_impl; each
@@ -70,8 +73,24 @@ ENV_VARIANTS = {
     "sk_sm": {"PF_SKIP": "softmax"},        # overhead+DMA+both GEMMs
     "sk_qkpv": {"PF_SKIP": "qk,pv"},        # overhead+DMA+softmax VPU
     "sk_smqk": {"PF_SKIP": "qk,softmax,pv"},  # overhead+DMA only
+    "sk_all_dense": {"PF_SKIP": "qk,softmax,pv", "PF_DENSE": "1"},
+    # chunked-sweep kernel: kv tiles loop inside the grid step
+    "ck2k": {"PF_CHUNK": "2048"},
+    "ck4k": {"PF_CHUNK": "4096"},
+    "ck8k": {"PF_CHUNK": "8192"},
+    # + software-pipelined inner loop (QK of tile j+1 issued before
+    # softmax/PV of tile j)
+    "ckp4k": {"PF_CHUNK": "4096", "PF_PIPE": "1"},
+    "ckp4kbk512": {"PF_CHUNK": "4096", "PF_PIPE": "1"},
+    "ckp4kbq512": {"PF_CHUNK": "4096", "PF_PIPE": "1"},
+    # combined VMEM-traffic cuts on the stepped kernel
+    "pr": {"PF_PBF16": "1", "PF_ROWSUM": "1"},
+    "prd": {"PF_PBF16": "1", "PF_ROWSUM": "1", "PF_DENSE": "1"},
 }
-_ENV_KEYS = ("PF_INTERLEAVE", "PF_PBF16", "PF_DENSE", "PF_ROWSUM", "PF_SKIP")
+_ENV_KEYS = (
+    "PF_INTERLEAVE", "PF_PBF16", "PF_DENSE", "PF_ROWSUM", "PF_SKIP",
+    "PF_CHUNK", "PF_PIPE",
+)
 
 
 def main():
@@ -90,12 +109,20 @@ def main():
             os.environ.pop(ek, None)
         if name in ENV_VARIANTS:
             os.environ.update(ENV_VARIANTS[name])
-            kw = dict(block_q=512) if name == "il4bq512" else dict()
+            kw = dict()
+            if name.endswith("bq512") and name != "il4bq512":
+                kw = dict(block_q=512)
+            elif name == "il4bq512":
+                kw = dict(block_q=512)
+            elif name.endswith("bk512"):
+                kw = dict(block_k=512)
         else:
             kw = VARIANTS[name]
 
-        def step(q, k, v, kw=kw):
-            return flash_attention(q, k, v, causal=True, **kw)
+        causal = kw.pop("causal", True) if isinstance(kw, dict) else True
+
+        def step(q, k, v, kw=kw, causal=causal):
+            return flash_attention(q, k, v, causal=causal, **kw)
 
         dt, t_c = timed(step, q0, k, v)
         print(

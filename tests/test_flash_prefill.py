@@ -145,3 +145,63 @@ def test_causal_equals_window():
     # causal == window (-1, 0) on asymmetric lengths (bottom-right alignment)
     run_case(96, 160, causal=True)
     run_case(96, 160, window=(-1, 0))
+
+
+def test_chunked_sweep_matches_stepped():
+    """kv_chunk>0 routes through _fwd_kernel_chunked (kv tiles loop inside
+    the grid step over a VMEM-resident chunk); must be bit-identical to the
+    stepped kernel across causal/window/alibi/GQA/ragged shapes."""
+    rng = np.random.default_rng(21)
+    cases = [
+        dict(b=1, h=2, hk=2, sq=512, sk=512, d=128, causal=True,
+             window=(-1, -1), alibi=False, softcap=0.0),
+        dict(b=1, h=4, hk=2, sq=384, sk=640, d=128, causal=True,
+             window=(-1, -1), alibi=False, softcap=0.0),
+        dict(b=2, h=2, hk=2, sq=300, sk=300, d=64, causal=False,
+             window=(100, 30), alibi=True, softcap=10.0),
+    ]
+    for c in cases:
+        q = jnp.asarray(
+            rng.standard_normal((c["b"], c["h"], c["sq"], c["d"])), jnp.float32
+        )
+        k = jnp.asarray(
+            rng.standard_normal((c["b"], c["hk"], c["sk"], c["d"])), jnp.float32
+        )
+        v = jnp.asarray(
+            rng.standard_normal((c["b"], c["hk"], c["sk"], c["d"])), jnp.float32
+        )
+        al = (
+            jnp.asarray(rng.uniform(0.01, 0.3, (c["h"],)), jnp.float32)
+            if c["alibi"] else None
+        )
+        kw = dict(
+            causal=c["causal"], window=c["window"], softcap=c["softcap"],
+            block_q=256, block_k=256, interpret=True,
+        )
+        base, lse_b = flash_attention(q, k, v, al, return_lse=True, **kw)
+        out, lse_c = flash_attention(
+            q, k, v, al, return_lse=True, kv_chunk=512, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
+        fin = np.isfinite(np.asarray(lse_b))
+        np.testing.assert_array_equal(fin, np.isfinite(np.asarray(lse_c)))
+        np.testing.assert_allclose(
+            np.asarray(lse_c)[fin], np.asarray(lse_b)[fin], atol=1e-5,
+            rtol=1e-5,
+        )
+
+
+def test_ragged_lane_multiple_tail():
+    """seqlen_k that is a 128-multiple but NOT a block_k multiple: the final
+    kv tile's OOB rows are undefined (NaN in interpret mode) and must be
+    zeroed before P@V — regression for the %MIN_LANES guard bug."""
+    rng = np.random.default_rng(22)
+    q = jnp.asarray(rng.standard_normal((1, 2, 384, 128)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 2, 384, 128)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 2, 384, 128)), jnp.float32)
+    for kc in (0, 512):
+        out = flash_attention(
+            q, k, v, causal=True, block_q=256, block_k=256, kv_chunk=kc,
+            interpret=True,
+        )
+        assert bool(jnp.all(jnp.isfinite(out))), f"kv_chunk={kc}"

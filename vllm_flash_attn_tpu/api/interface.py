@@ -15,6 +15,10 @@ functional model, all documented per-function:
 - `return_attn_probs` returns the fp32 LSE in place of the dropout-encoded S
   matrix (which only existed for dropout verification,
   flash_api.cpp:352-356).
+- `out=` (the reference's pre-allocated output buffer,
+  flash_attn_interface.py:1137) is accepted for signature parity but the
+  result is RETURNED, never written into `out` — under XLA, buffer reuse is
+  what donation does; pass `donate_argnums` at your jit boundary instead.
 
 Layouts follow the reference: batch APIs take (batch, seqlen, nheads, d),
 varlen APIs take (total, nheads, d), paged caches are
@@ -32,7 +36,7 @@ import jax.numpy as jnp
 
 from vllm_flash_attn_tpu.kernels.flash_prefill import flash_attention
 from vllm_flash_attn_tpu.kernels.flash_varlen import flash_attention_varlen
-from vllm_flash_attn_tpu.kernels.kv_cache import append_kv_paged, gather_kv_paged
+from vllm_flash_attn_tpu.kernels.kv_cache import append_kv_paged
 from vllm_flash_attn_tpu.kernels.paged_decode import paged_attention
 from vllm_flash_attn_tpu.kernels.varlen_paged import flash_attention_varlen_paged
 from vllm_flash_attn_tpu.layers.rotary import apply_rotary_emb
@@ -62,6 +66,7 @@ def flash_attn_func(
     alibi_slopes=None,
     deterministic: bool = False,
     return_attn_probs: bool = False,
+    out=None,
 ):
     """Batch fixed-length attention (flash_attn_interface.py:793-869 semantics).
 
@@ -96,6 +101,7 @@ def flash_attn_qkvpacked_func(
     alibi_slopes=None,
     deterministic: bool = False,
     return_attn_probs: bool = False,
+    out=None,
 ):
     """qkv: (b, s, 3, h, d) (flash_attn_interface.py:658-715)."""
     return flash_attn_func(
@@ -116,6 +122,7 @@ def flash_attn_kvpacked_func(
     alibi_slopes=None,
     deterministic: bool = False,
     return_attn_probs: bool = False,
+    out=None,
 ):
     """kv: (b, s, 2, h_k, d) (flash_attn_interface.py:716-792)."""
     return flash_attn_func(
@@ -147,6 +154,7 @@ def flash_attn_varlen_func(
     return_attn_probs: bool = False,
     block_table=None,
     seqused_k=None,
+    out=None,
 ):
     """Packed ragged-batch attention (flash_attn_interface.py:1026-1118).
 
@@ -160,9 +168,10 @@ def flash_attn_varlen_func(
     cu_q = jnp.asarray(cu_seqlens_q, jnp.int32)
     cu_k = jnp.asarray(cu_seqlens_k, jnp.int32)
 
-    if block_table is not None and not return_attn_probs:
+    if block_table is not None:
         # paged varlen: the ragged paged kernel walks the block table
-        # directly — no dense gather (utils.h:412-428 analog)
+        # directly — no dense gather (utils.h:412-428 analog); LSE comes
+        # straight from the kernel
         lens = (
             jnp.asarray(seqused_k, jnp.int32)
             if seqused_k is not None
@@ -172,26 +181,7 @@ def flash_attn_varlen_func(
             _thd_to_htd(q), k, v, cu_q, lens, block_table, max_seqlen_q,
             alibi_slopes, causal=causal, sm_scale=softmax_scale,
             window=tuple(window_size), softcap=softcap,
-        )
-    elif block_table is not None:
-        # LSE requested: gather fallback (the paged-varlen kernel is fwd-only)
-        b = block_table.shape[0]
-        nb_, ps, h_k, d = k.shape
-        lens = (
-            jnp.asarray(seqused_k, jnp.int32)
-            if seqused_k is not None
-            else cu_k[1:] - cu_k[:-1]
-        )
-        kd, vd = gather_kv_paged(k, v, block_table, max_seqlen_k)
-        # (b, h_k, len, d) -> head-major packed stream (h_k, b*len, d)
-        k_stream = kd.transpose(1, 0, 2, 3).reshape(h_k, -1, d)
-        v_stream = vd.transpose(1, 0, 2, 3).reshape(h_k, -1, d)
-        cu_k_stream = jnp.arange(b + 1, dtype=jnp.int32) * max_seqlen_k
-        out = flash_attention_varlen(
-            _thd_to_htd(q), k_stream, v_stream,
-            cu_q, cu_k_stream, seqused_k=lens, alibi_slopes=alibi_slopes,
-            causal=causal, sm_scale=softmax_scale, window=tuple(window_size),
-            softcap=softcap, return_lse=return_attn_probs,
+            return_lse=return_attn_probs,
         )
     else:
         out = flash_attention_varlen(
@@ -218,6 +208,7 @@ def flash_attn_varlen_qkvpacked_func(
     alibi_slopes=None,
     deterministic: bool = False,
     return_attn_probs: bool = False,
+    out=None,
 ):
     """qkv: (total, 3, h, d) (flash_attn_interface.py:870-934)."""
     return flash_attn_varlen_func(
@@ -242,6 +233,7 @@ def flash_attn_varlen_kvpacked_func(
     alibi_slopes=None,
     deterministic: bool = False,
     return_attn_probs: bool = False,
+    out=None,
 ):
     """kv: (total_k, 2, h_k, d) (flash_attn_interface.py:935-1025)."""
     return flash_attn_varlen_func(
@@ -277,6 +269,7 @@ def flash_attn_with_kvcache(
     alibi_slopes=None,
     num_splits: int = 0,
     return_softmax_lse: bool = False,
+    out=None,
 ):
     """Decode/incremental attention over a KV cache
     (flash_attn_interface.py:1119-1253, mha_fwd_kvcache flash_api.cpp:671-936).
@@ -381,19 +374,14 @@ def flash_attn_with_kvcache(
         )
         out = o.transpose(1, 0, 2).reshape(b, sq, h, d)
     else:
-        # LSE requested: gather path (the paged-varlen kernel is fwd-only)
-        max_len = min(tables.shape[1] * ps, k_pages.shape[0] * ps)
-        kd, vd = gather_kv_paged(k_pages, v_pages, tables, max_len)
-        k_stream = kd.transpose(1, 0, 2, 3).reshape(h_k, -1, d)
-        v_stream = vd.transpose(1, 0, 2, 3).reshape(h_k, -1, d)
+        # multi-token + LSE: the ragged paged kernel emits LSE directly —
+        # no dense cache gather
         cu_q = jnp.arange(b + 1, dtype=jnp.int32) * sq
-        cu_k = jnp.arange(b + 1, dtype=jnp.int32) * max_len
         q_stream = q.reshape(b * sq, h, d).transpose(1, 0, 2)
-        o, lse_flat = flash_attention_varlen(
-            q_stream, k_stream, v_stream, cu_q, cu_k, seqused_k=total_lens,
-            alibi_slopes=alibi_slopes, causal=causal,
-            sm_scale=softmax_scale, window=tuple(window_size), softcap=softcap,
-            return_lse=True,
+        o, lse_flat = flash_attention_varlen_paged(
+            q_stream, k_pages, v_pages, cu_q, total_lens, tables, sq,
+            alibi_slopes, causal=causal, sm_scale=softmax_scale,
+            window=tuple(window_size), softcap=softcap, return_lse=True,
         )
         lse = lse_flat.reshape(h, b, sq).transpose(1, 0, 2)
         out = o.transpose(1, 0, 2).reshape(b, sq, h, d)

@@ -238,9 +238,13 @@ def _fwd_kernel(
                     l_scr[rows] = l_next
                 m_scr[rows] = m_next
                 v = v_ref[0, 0]
-                if masked and seqlen_k % MIN_LANES != 0:
-                    # OOB rows of the kv remainder are undefined; NaN there
-                    # would poison P@V even though the matching P entry is 0.
+                if masked and seqlen_k % block_k != 0:
+                    # OOB rows of a partial final kv tile are undefined (NaN
+                    # in interpret mode, stale VMEM on hardware); 0*NaN would
+                    # poison P@V even though the matching P entry is 0. Any
+                    # tile straddling seqlen_k needs this, not just sub-lane
+                    # remainders (the old % MIN_LANES condition missed
+                    # 128-multiple ragged lengths).
                     valid = (
                         jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
                         + col_base
@@ -309,6 +313,223 @@ def _fwd_kernel(
                 lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
+def _fwd_kernel_chunked(
+    q_ref,  # (1, 1, block_q, d) VMEM
+    k_ref,  # (1, 1, kv_chunk, d) VMEM — a whole KV chunk resident
+    v_ref,  # (1, 1, kv_chunk, d_v)
+    alibi_ref,  # SMEM (b, h) or (1, 1)
+    o_ref,
+    lse_ref,
+    m_scr,  # (block_q, 128)
+    l_scr,
+    acc_scr,  # (block_q, d_v)
+    *,
+    causal: bool,
+    window: Tuple[int, int],
+    softcap: float,
+    block_q: int,
+    block_k: int,  # inner sweep tile within the chunk
+    kv_chunk: int,
+    seqlen_q: int,
+    seqlen_k: int,
+    has_alibi: bool,
+    return_lse: bool,
+    pipe: bool = False,
+    d_model: int = 0,
+):
+    """Chunked-sweep forward: the kv loop runs INSIDE one grid step over a
+    VMEM-resident chunk (lax.fori_loop over block_k tiles), so the per-tile
+    cost is pure compute — hardware isolation showed the per-grid-step
+    pipeline overhead (~6 us) dominating both GEMMs (+softmax) in the
+    stepped kernel. Grid: (b, h, nq, num_chunks); Pallas prefetches chunk
+    ci+1 while ci's tiles compute (static index maps). The online-softmax
+    state persists in VMEM scratch across the (serial, innermost) chunk
+    axis. The CUDA analog of the inner loop is the reverse n-block sweep of
+    compute_attn_1rowblock (flash_fwd_kernel.h:281-404)."""
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    qi = pl.program_id(2)
+    ci = pl.program_id(3)
+
+    offset = seqlen_k - seqlen_q
+    wl, wr = window
+    if causal:
+        wr = 0
+
+    nk_in = pl.cdiv(seqlen_k, block_k)  # inner tiles, global units
+    first_active, last_active = _active_range(
+        qi, nk_in, block_q, block_k, seqlen_q, offset, wl, wr
+    )
+    bpc = kv_chunk // block_k
+    chunk_lo = ci * bpc
+    lo = jnp.maximum(first_active, chunk_lo)
+    hi_ = jnp.minimum(last_active, chunk_lo + bpc - 1)
+
+    min_row = qi * block_q
+    max_row = jnp.minimum(min_row + block_q, seqlen_q) - 1
+
+    @pl.when(lo <= hi_)
+    def _run():
+        @pl.when(first_active >= chunk_lo)
+        def _init():
+            m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+            l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+            acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+        q = q_ref[0, 0]  # (block_q, d); pre-scaled by sm_scale*log2(e)
+
+        def compute_s(j):
+            jj = j - chunk_lo  # tile index within the resident chunk
+            col_base = j * block_k
+            k = k_ref[0, 0, pl.ds(jj * block_k, block_k)]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (block_q, block_k); log2-domain (scale folded into q)
+            if softcap > 0.0:
+                cap2 = softcap * LOG2E
+                s = jnp.tanh(s / cap2) * cap2
+            if has_alibi:
+                row = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (block_q, block_k), 0
+                    )
+                    + min_row
+                )
+                col = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (block_q, block_k), 1
+                    )
+                    + col_base
+                )
+                slope = alibi_ref[bi, hi]
+                s = s - slope * jnp.abs(
+                    row + offset - col
+                ).astype(jnp.float32)
+            return s
+
+        def consume(j, s):
+            jj = j - chunk_lo
+            col_base = j * block_k
+
+            def update(s, masked: bool):
+                if masked:
+                    row = (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (block_q, block_k), 0
+                        )
+                        + min_row
+                    )
+                    col = (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (block_q, block_k), 1
+                        )
+                        + col_base
+                    )
+                    mask = col < seqlen_k
+                    if wr >= 0:
+                        mask &= col <= row + offset + wr
+                    if wl >= 0:
+                        mask &= col >= row + offset - wl
+                    s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+                m_prev = m_scr[...]
+                l_prev = l_scr[...]
+                m_cur = jnp.max(s, axis=1, keepdims=True)
+                m_next = jnp.maximum(m_prev, m_cur)
+                alpha = jnp.exp2(m_prev - m_next)
+                nrep = block_k // MIN_LANES
+                m_big = (
+                    pltpu.repeat(m_next, nrep, axis=1) if nrep > 1 else m_next
+                )
+                p = jnp.exp2(s - m_big)
+                l_scr[...] = alpha * l_prev + jnp.sum(
+                    p, axis=1, keepdims=True, dtype=jnp.float32
+                )
+                m_scr[...] = m_next
+                v = v_ref[0, 0, pl.ds(jj * block_k, block_k)]
+                if masked and seqlen_k % block_k != 0:
+                    # partial final tile: zero undefined OOB v rows (see the
+                    # stepped kernel's note — 0*NaN poisons P@V)
+                    valid = (
+                        jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+                        + col_base
+                        < seqlen_k
+                    )
+                    v = jnp.where(valid, v, 0)
+                pv = jax.lax.dot(
+                    p.astype(v.dtype), v, preferred_element_type=jnp.float32
+                )
+                dv_ = acc_scr.shape[-1]
+                if dv_ % MIN_LANES == 0:
+                    arep = dv_ // MIN_LANES
+                    alpha_acc = (
+                        pltpu.repeat(alpha, arep, axis=1) if arep > 1
+                        else alpha
+                    )
+                else:
+                    alpha_acc = alpha[:, :1]
+                acc_scr[...] = acc_scr[...] * alpha_acc + pv
+
+            needs = col_base + block_k > seqlen_k
+            if wr >= 0:
+                needs |= col_base + block_k - 1 > min_row + offset + wr
+            if wl >= 0:
+                needs |= col_base < max_row + offset - wl
+            if (wl >= 0) or (wr >= 0) or (seqlen_k % block_k != 0):
+                jax.lax.cond(
+                    needs, lambda: update(s, True), lambda: update(s, False)
+                )
+            else:
+                update(s, False)
+
+        if pipe:
+            # software pipeline: tile j+1's QK matmul is issued BEFORE tile
+            # j's softmax/PV consume it, so the per-tile critical path can
+            # drop from MXU+VPU (serial) toward max(MXU, VPU) — the two have
+            # no data dependence across adjacent tiles (the CUDA kernel gets
+            # this from its cp.async/GEMM interleave,
+            # flash_fwd_kernel.h:281-352).
+            def tile_p(j, s_cur):
+                s_next = compute_s(jnp.minimum(j + 1, hi_))
+                consume(j, s_cur)
+                return s_next
+
+            jax.lax.fori_loop(lo, hi_ + 1, tile_p, compute_s(lo))
+        else:
+
+            def tile(j, _):
+                consume(j, compute_s(j))
+                return 0
+
+            jax.lax.fori_loop(lo, hi_ + 1, tile, 0)
+
+        @pl.when(last_active <= chunk_lo + bpc - 1)
+        def _store():
+            l = l_scr[...][:, :1]
+            m_fin = m_scr[...][:, :1]
+            # fully-masked rows: out 0 / lse +inf (flash_api.cpp:401-407)
+            dead = jnp.logical_or(l == 0.0, m_fin <= 0.5 * DEFAULT_MASK_VALUE)
+            l_inv = jnp.where(dead, 0.0, 1.0 / l)
+            o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+            if return_lse:
+                # m is log2-domain; natural-log LSE out (flash_api.cpp:418)
+                lse = jnp.where(dead, jnp.inf, m_fin * LN2 + jnp.log(l))
+                lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+    # first chunk of an all-masked q row (cannot happen under causal; possible
+    # under extreme windows): the dense grid still visits (qi, 0) — emit the
+    # zero/inf convention so the output block is defined
+    if not causal and (wl >= 0 or wr >= 0):
+
+        @pl.when(jnp.logical_and(first_active > last_active, ci == 0))
+        def _dead_row():
+            o_ref[0, 0] = jnp.zeros(o_ref.shape[2:], o_ref.dtype)
+            if return_lse:
+                lse_ref[0, 0] = jnp.full(
+                    lse_ref.shape[2:], jnp.inf, jnp.float32
+                )
+
+
 def _active_range(qi, nk, block_q, block_k, seqlen_q, offset, wl, wr):
     """[first, last] kv blocks this q block attends to (scalar int32)."""
     min_row = qi * block_q
@@ -346,6 +567,8 @@ def _flash_attention_impl(
     interleave: int = 1,
     force_dense: bool = False,
     debug_skip: Tuple[str, ...] = (),
+    kv_chunk: int = 0,
+    pipe: bool = False,
     interpret: Optional[bool] = None,
 ):
     """Flash attention forward.
@@ -409,6 +632,97 @@ def _flash_attention_impl(
     nq = pl.cdiv(sq, block_q)
     nk = pl.cdiv(sk, block_k)
     grid = (b, h, nq, nk)
+
+    if kv_chunk > 0 and not fuse_rowsum:
+        # chunked-sweep path: kv tiles loop INSIDE the grid step over a
+        # VMEM-resident chunk (see _fwd_kernel_chunked)
+        kc = max(kv_chunk // block_k, 1) * block_k
+        nkc = pl.cdiv(sk, kc)
+        cgrid = (b, h, nq, nkc)
+        ckernel = functools.partial(
+            _fwd_kernel_chunked,
+            causal=causal,
+            window=tuple(int(w) for w in window),
+            softcap=float(softcap),
+            block_q=block_q,
+            block_k=block_k,
+            kv_chunk=kc,
+            seqlen_q=sq,
+            seqlen_k=sk,
+            has_alibi=alibi_slopes is not None,
+            return_lse=return_lse,
+            pipe=pipe,
+            d_model=d,
+        )
+
+        def ckern(q_r, k_r, v_r, a_r, o_r, *rest):
+            lse_r = rest[0] if return_lse else None
+            scr = rest[1:] if return_lse else rest
+            ckernel(q_r, k_r, v_r, a_r, o_r, lse_r, *scr)
+
+        alibi_c = (
+            jnp.broadcast_to(
+                jnp.asarray(alibi_slopes, jnp.float32).reshape(-1, h)[:1]
+                if alibi_slopes.ndim == 1
+                else alibi_slopes.astype(jnp.float32),
+                (b, h),
+            ) * LOG2E
+            if alibi_slopes is not None
+            else jnp.zeros((1, 1), jnp.float32)
+        )
+        c_in_specs = [
+            pl.BlockSpec(
+                (1, 1, block_q, d), lambda b_, h_, qi, ci: (b_, h_, qi, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, kc, d),
+                lambda b_, h_, qi, ci, qpk=q_per_kv: (b_, h_ // qpk, ci, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, kc, d),
+                lambda b_, h_, qi, ci, qpk=q_per_kv: (b_, h_ // qpk, ci, 0),
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        c_out_shape = [jax.ShapeDtypeStruct((b, h, sq, d), q.dtype)]
+        c_out_specs = [
+            pl.BlockSpec(
+                (1, 1, block_q, d), lambda b_, h_, qi, ci: (b_, h_, qi, 0)
+            )
+        ]
+        if return_lse:
+            c_out_shape.append(
+                jax.ShapeDtypeStruct((b, h, sq, MIN_LANES), jnp.float32)
+            )
+            c_out_specs.append(
+                pl.BlockSpec(
+                    (1, 1, block_q, MIN_LANES),
+                    lambda b_, h_, qi, ci: (b_, h_, qi, 0),
+                )
+            )
+        results = pl.pallas_call(
+            ckern,
+            grid=cgrid,
+            in_specs=c_in_specs,
+            out_specs=c_out_specs,
+            out_shape=c_out_shape,
+            scratch_shapes=[
+                pltpu.VMEM(_stats_block(block_q), jnp.float32),
+                pltpu.VMEM(_stats_block(block_q), jnp.float32),
+                pltpu.VMEM((block_q, d), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(
+                    "parallel", "parallel", "parallel", "arbitrary"
+                ),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(q, k, v, alibi_c)
+        if return_lse:
+            out, lse = results
+            return out[..., :d_orig], lse[..., 0]
+        return results[0][..., :d_orig]
 
     # --- folded causal/window grid: enumerate only the active (qi, ki) pairs
     # so masked-out blocks cost no grid steps. The maps are tiny int32 arrays
@@ -575,11 +889,12 @@ def _flash_attention_impl(
 
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15),
+    nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17),
 )
 def _flash_attention_vjp(
     q, k, v, alibi_slopes, causal, sm_scale, window, softcap, block_q, block_k,
-    fuse_rowsum, p_bf16, interleave, force_dense, debug_skip, interpret,
+    fuse_rowsum, p_bf16, interleave, force_dense, debug_skip, kv_chunk,
+    pipe, interpret,
 ):
     return _flash_attention_impl(
         q, k, v, alibi_slopes if alibi_slopes.size else None,
@@ -587,13 +902,15 @@ def _flash_attention_vjp(
         softcap=softcap, block_q=block_q, block_k=block_k,
         return_lse=False, fuse_rowsum=fuse_rowsum, p_bf16=p_bf16,
         interleave=interleave, force_dense=force_dense,
-        debug_skip=debug_skip, interpret=interpret,
+        debug_skip=debug_skip, kv_chunk=kv_chunk, pipe=pipe,
+        interpret=interpret,
     )
 
 
 def _vjp_fwd(
     q, k, v, alibi_slopes, causal, sm_scale, window, softcap, block_q, block_k,
-    fuse_rowsum, p_bf16, interleave, force_dense, debug_skip, interpret,
+    fuse_rowsum, p_bf16, interleave, force_dense, debug_skip, kv_chunk,
+    pipe, interpret,
 ):
     out, lse = _flash_attention_impl(
         q, k, v, alibi_slopes if alibi_slopes.size else None,
@@ -601,14 +918,16 @@ def _vjp_fwd(
         softcap=softcap, block_q=block_q, block_k=block_k,
         return_lse=True, fuse_rowsum=fuse_rowsum, p_bf16=p_bf16,
         interleave=interleave, force_dense=force_dense,
-        debug_skip=debug_skip, interpret=interpret,
+        debug_skip=debug_skip, kv_chunk=kv_chunk, pipe=pipe,
+        interpret=interpret,
     )
     return out, (q, k, v, alibi_slopes, out, lse)
 
 
 def _vjp_bwd(
     causal, sm_scale, window, softcap, block_q, block_k, fuse_rowsum,
-    p_bf16, interleave, force_dense, debug_skip, interpret, res, g
+    p_bf16, interleave, force_dense, debug_skip, kv_chunk, pipe, interpret,
+    res, g
 ):
     from vllm_flash_attn_tpu.kernels.flash_backward import mha_backward
 
@@ -629,13 +948,13 @@ _flash_attention_vjp.defvjp(_vjp_fwd, _vjp_bwd)
     static_argnames=(
         "causal", "sm_scale", "window", "softcap", "block_q", "block_k",
         "return_lse", "fuse_rowsum", "p_bf16", "interleave", "force_dense",
-        "debug_skip", "interpret",
+        "debug_skip", "kv_chunk", "pipe", "interpret",
     ),
 )
 def _flash_attention_jit(
     q, k, v, alibi_slopes, *, causal, sm_scale, window, softcap, block_q,
     block_k, return_lse, fuse_rowsum, p_bf16, interleave, force_dense,
-    debug_skip, interpret,
+    debug_skip, kv_chunk, pipe, interpret,
 ):
     if return_lse:
         return _flash_attention_impl(
@@ -643,7 +962,8 @@ def _flash_attention_jit(
             window=window, softcap=softcap, block_q=block_q, block_k=block_k,
             return_lse=True, fuse_rowsum=fuse_rowsum, p_bf16=p_bf16,
             interleave=interleave, force_dense=force_dense,
-            debug_skip=debug_skip, interpret=interpret,
+            debug_skip=debug_skip, kv_chunk=kv_chunk, pipe=pipe,
+            interpret=interpret,
         )
     if alibi_slopes is None:
         alibi_norm = jnp.zeros((0, 0), jnp.float32)
@@ -656,7 +976,7 @@ def _flash_attention_jit(
     return _flash_attention_vjp(
         q, k, v, alibi_norm, causal, float(sm_scale), tuple(window),
         float(softcap), block_q, block_k, fuse_rowsum, p_bf16, interleave,
-        force_dense, debug_skip, interpret,
+        force_dense, debug_skip, kv_chunk, pipe, interpret,
     )
 
 
@@ -678,6 +998,8 @@ def flash_attention(
     interleave: Optional[int] = None,
     force_dense: Optional[bool] = None,
     debug_skip: Optional[Tuple[str, ...]] = None,
+    kv_chunk: Optional[int] = None,
+    pipe: Optional[bool] = None,
     interpret: Optional[bool] = None,
 ):
     """Flash attention forward (differentiable when return_lse=False).
@@ -709,11 +1031,15 @@ def flash_attention(
         debug_skip = tuple(
             s for s in os.environ.get("PF_SKIP", "").split(",") if s
         )
+    if kv_chunk is None:
+        kv_chunk = int(os.environ.get("PF_CHUNK", "0"))
+    if pipe is None:
+        pipe = os.environ.get("PF_PIPE", "0") == "1"
     return _flash_attention_jit(
         q, k, v, alibi_slopes, causal=causal, sm_scale=float(sm_scale),
         window=tuple(window), softcap=float(softcap), block_q=block_q,
         block_k=block_k, return_lse=return_lse, fuse_rowsum=bool(fuse_rowsum),
         p_bf16=bool(p_bf16), interleave=int(interleave),
         force_dense=bool(force_dense), debug_skip=tuple(debug_skip),
-        interpret=interpret,
+        kv_chunk=int(kv_chunk), pipe=bool(pipe), interpret=interpret,
     )

@@ -52,9 +52,11 @@ def _kernel(
     alibi_ref,  # SMEM (1, h) or (1, 1)
     # outputs
     o_hbm,  # (h, total_q_padded, d) ANY
+    lse_hbm,  # (h, total_q_padded, MIN_LANES) fp32 ANY, or None
     # scratch
     q_buf,  # (block_q, d)
     o_buf,  # (block_q, d)
+    lse_buf,  # (block_q, MIN_LANES) fp32
     k_buf,  # (2, ppb, page_size, d)  — single kv head
     v_buf,
     sems,  # DMA (2, 2)
@@ -73,6 +75,7 @@ def _kernel(
     window: Tuple[int, int],
     softcap: float,
     has_alibi: bool,
+    return_lse: bool = False,
 ):
     h_ = pl.program_id(0)
     b = pl.program_id(1)
@@ -233,13 +236,24 @@ def _kernel(
             )
             copy.start()
             copy.wait()
+            if return_lse:
+                # m is log2-domain; natural-log LSE (flash_api.cpp:418)
+                lse = jnp.where(dead, jnp.inf, m_fin * LN2 + jnp.log(l))
+                lse_buf[...] = jnp.broadcast_to(lse, lse_buf.shape)
+                lcopy = pltpu.make_async_copy(
+                    lse_buf,
+                    lse_hbm.at[h_, pl.ds(q_start + qi * block_q, block_q)],
+                    qo_sem.at[1],
+                )
+                lcopy.start()
+                lcopy.wait()
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "max_seqlen_q", "causal", "sm_scale", "window", "softcap", "block_q",
-        "pages_per_compute_block", "interpret",
+        "pages_per_compute_block", "return_lse", "interpret",
     ),
 )
 def flash_attention_varlen_paged(
@@ -258,13 +272,14 @@ def flash_attention_varlen_paged(
     softcap: float = 0.0,
     block_q: int = 256,
     pages_per_compute_block: Optional[int] = None,
+    return_lse: bool = False,
     interpret: Optional[bool] = None,
 ):
     """Varlen queries attending over a paged KV cache, zero dense gathering.
 
     Causal is bottom-right aligned per sequence (query i of sequence b sits at
     key position i + lens_k[b] - len_q[b], flash_attn_interface.py:1051-1061).
-    Returns out (h, total_q, d).
+    Returns out (h, total_q, d) [, fp32 lse (h, total_q) if return_lse].
     """
     h, total_q, d = q.shape
     num_pages, page_size, h_k, _ = k_pages.shape
@@ -326,7 +341,13 @@ def flash_attention_varlen_paged(
         window=tuple(int(w) for w in window),
         softcap=float(softcap),
         has_alibi=has_alibi,
+        return_lse=return_lse,
     )
+    if not return_lse:
+        body = kernel
+
+        def kernel(cu_r, lk_r, bt_r, q_r, k_r, v_r, a_r, o_r, *scr):  # noqa: F811
+            body(cu_r, lk_r, bt_r, q_r, k_r, v_r, a_r, o_r, None, *scr)
 
     grid = (h, batch, nq, nkb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -338,10 +359,14 @@ def flash_attention_varlen_paged(
             pl.BlockSpec(memory_space=pl.ANY),  # v pages
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(
+            [pl.BlockSpec(memory_space=pl.ANY)] * 2
+            if return_lse else [pl.BlockSpec(memory_space=pl.ANY)]
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, d), q.dtype),
             pltpu.VMEM((block_q, d), q.dtype),
+            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
             pltpu.VMEM((2, ppb, page_size, d), k_pages.dtype),
             pltpu.VMEM((2, ppb, page_size, d), v_pages.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
@@ -351,10 +376,15 @@ def flash_attention_varlen_paged(
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
     )
-    out = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((h, total_pad, d), q.dtype)]
+    if return_lse:
+        out_shape.append(
+            jax.ShapeDtypeStruct((h, total_pad, MIN_LANES), jnp.float32)
+        )
+    results = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((h, total_pad, d), q.dtype)],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(
                 "arbitrary", "arbitrary", "arbitrary", "arbitrary"
@@ -370,5 +400,8 @@ def flash_attention_varlen_paged(
         k_pages,
         v_pages,
         alibi_slopes,
-    )[0]
-    return out[:, :total_q, :d_orig]
+    )
+    out = results[0][:, :total_q, :d_orig]
+    if return_lse:
+        return out, results[1][:, :total_q, 0]
+    return out
