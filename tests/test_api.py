@@ -285,3 +285,28 @@ def test_kvcache_cross_product(paged, interleaved, s_new):
             q_rot, jnp.asarray(kd)[None], jnp.asarray(vd)[None], causal=True,
         )
         check_close(out[i], ref[0], pt[0], mult=3.0, what=f"seq{i}")
+
+
+def test_kvcache_num_splits_routes_and_matches():
+    """`num_splits` on flash_attn_with_kvcache routes through the split-KV
+    kernel (r2 verdict: it was silently ignored) and matches num_splits=1."""
+    from vllm_flash_attn_tpu import flash_attn_with_kvcache
+
+    rng = np.random.default_rng(31)
+    h, hk, d, ps, npages = 4, 2, 64, 16, 64
+    kc = jnp.asarray(rng.standard_normal((npages, ps, hk, d)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((npages, ps, hk, d)), jnp.float32)
+    bt = jnp.asarray(rng.permutation(npages)[:16].reshape(2, 8).astype(np.int32))
+    lens = jnp.asarray([100, 37], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((2, 1, h, d)), jnp.float32)
+    base = flash_attn_with_kvcache(
+        q, kc, vc, cache_seqlens=lens, block_table=bt, num_splits=1
+    )
+    for ns in (0, 4):
+        out = flash_attn_with_kvcache(
+            q, kc, vc, cache_seqlens=lens, block_table=bt, num_splits=ns
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(base), atol=2e-5, rtol=2e-5,
+            err_msg=f"num_splits={ns}",
+        )

@@ -387,3 +387,65 @@ def test_logger_backends(tmp_path):
     assert _json.loads(lines[1]) == {"step": 10, "loss": 1.2, "ppl": 3.32}
     rows = cl.read_text().strip().splitlines()
     assert rows[0] == "step,loss,ppl" and rows[2].startswith("10,")
+
+
+def test_config_resolvers_and_overlays():
+    """Hydra-resolver parity (training/run.py:11-15): ${eval:}, ${div_up:},
+    dotted interpolation, and __scratch-key stripping, through the real
+    experiment overlays."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from training_run import (
+        _resolve_interpolations,
+        _strip_scratch,
+        load_experiment,
+    )
+    from vllm_flash_attn_tpu.training.trainer import TrainConfig
+
+    t = {
+        "__bs": 64,
+        "model": {"n_embd": 768, "n_inner": "${eval:${model.n_embd}*4}"},
+        "global_batch_size": "${__bs}",
+        "accum": "${div_up:${__bs},12}",
+        "name": "gpt-${model.n_embd}",
+    }
+    r = _strip_scratch(_resolve_interpolations(t))
+    assert r["model"]["n_inner"] == 3072
+    assert r["global_batch_size"] == 64 and r["accum"] == 6
+    assert r["name"] == "gpt-768" and "__bs" not in r
+
+    cfg = TrainConfig()
+    load_experiment(cfg, "/root/repo/configs/experiments/gpt3/gpt3s-8k.yaml")
+    assert cfg.seq_len == 8192
+    assert cfg.global_batch_size == 64  # div_up(524288, 8192)
+    assert cfg.model.n_embd == 768  # via nested include chain
+    assert not hasattr(cfg, "__tokens_per_batch")
+
+
+def test_remat_blocks_grad_parity():
+    """config.remat in {dots, full} must not change loss or grads (pure
+    recompute), only activation memory."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from vllm_flash_attn_tpu.models.gpt import GPTLMHeadModel
+
+    cfg = GPTConfig(
+        vocab_size=128, n_positions=0, n_embd=64, n_layer=2, n_head=4,
+        rotary_emb_dim=16,
+    )
+    model = GPTLMHeadModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 128, (2, 32)), jnp.int32)
+    loss0, g0 = jax.value_and_grad(model.loss)(params, ids, ids)
+    for mode in ("dots", "full"):
+        m2 = GPTLMHeadModel(dataclasses.replace(cfg, remat=mode))
+        loss1, g1 = jax.value_and_grad(m2.loss)(params, ids, ids)
+        assert abs(float(loss0 - loss1)) < 1e-6, mode
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1
+        )
+        assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5, mode

@@ -88,8 +88,77 @@ def _deep_merge(dst: dict, src: dict):
             dst[k] = v
 
 
+_INNER = __import__("re").compile(r"\$\{([^${}]+)\}")
+
+
+def _resolve_one(body: str, root: dict):
+    """Resolve one innermost interpolation body: `eval:expr`, `div_up:a,b`
+    (the reference's OmegaConf resolvers, training/run.py:11-15), or a
+    dotted key reference."""
+    if body.startswith("eval:"):
+        return eval(body[5:], {"__builtins__": {}}, {})  # noqa: S307
+    if body.startswith("div_up:"):
+        a, b = (int(float(x)) for x in body[7:].split(","))
+        return -(-a // b)
+    cur = root
+    for part in body.split("."):
+        cur = cur[part]
+    return cur
+
+
+def _resolve_interpolations(root: dict):
+    """Fixpoint-resolve `${...}` interpolations over the merged tree.
+    Nested forms like `${eval:${model.n_embd}*4}` resolve inside-out. A
+    value that is exactly one interpolation keeps its native type."""
+    def resolve_str(s):
+        m = _INNER.fullmatch(s.strip())
+        if m:
+            return _resolve_one(m.group(1), root)
+        return _INNER.sub(lambda mm: str(_resolve_one(mm.group(1), root)), s)
+
+    for _ in range(20):
+        changed = False
+
+        def walk(node):
+            nonlocal changed
+            if isinstance(node, dict):
+                return {k: walk(v) for k, v in node.items()}
+            if isinstance(node, list):
+                return [walk(v) for v in node]
+            if isinstance(node, str) and "${" in node:
+                new = resolve_str(node)
+                if new != node:
+                    changed = True
+                return new
+            return node
+
+        new_root = walk(root)
+        root.clear()
+        root.update(new_root)
+        if not changed:
+            break
+    else:
+        raise ValueError("config interpolation did not converge (cycle?)")
+    return root
+
+
+def _strip_scratch(node):
+    """Drop `__`-prefixed scratch keys after resolution (the reference
+    strips them the same way, training/run.py:36-38)."""
+    if isinstance(node, dict):
+        return {
+            k: _strip_scratch(v)
+            for k, v in node.items()
+            if not k.startswith("__")
+        }
+    if isinstance(node, list):
+        return [_strip_scratch(v) for v in node]
+    return node
+
+
 def load_experiment(cfg, path: str):
     data = _load_yaml_composed(Path(path))
+    data = _strip_scratch(_resolve_interpolations(data))
     model = data.pop("model", {})
     for k, v in model.items():
         setattr(cfg.model, k, v)

@@ -25,13 +25,19 @@ MQA/GQA head broadcast, fp32 LSE output, fully-masked rows -> out 0 / lse +inf
 
 Internal layout is (b, h, s, d): the trailing (s, d) pair maps onto MXU tiles.
 
-Perf notes (v5e, 4k, bf16, 1024x1024 blocks): ~80 TFLOP/s non-causal, ~46
-TFLOP/s causal-convention. The kernel is VPU-softmax-bound per step (~4us VPU
-vs ~2.7us for both MXU GEMMs); a one-step software pipeline staging raw scores
-through a VMEM scratch was tried and measured SLOWER (Mosaic does not overlap
-the independent stages and the 4MB scratch round-trip adds two passes), as was
-two-level inner-k chunking (round 1). Remaining headroom is in cutting softmax
-VPU passes, not in grid shaping.
+Perf notes (v5e, 4k, bf16, 1024x1024 blocks): ~80 TFLOP/s non-causal, ~43-52
+TFLOP/s causal-convention (run-to-run relay noise ~15%). Round-3 stage
+isolation (PF_SKIP knobs, one process): softmax VPU ~1.8us/tile, both MXU
+GEMMs ~2.6us/tile, and ~5.9us/tile REMAINS with qk+softmax+pv all skipped —
+the cost is VMEM tile traffic + per-step machinery, scaling with block size
+(2048-blocks are slower per FLOP, so it is not a fixed per-step constant).
+Measured dead ends: interleaved independent sub-q chains (45.8), bf16-exp2
+softmax (48 vs 51.6 base), dense vs folded grid (~equal), kv-chunked inner
+fori_loop (~equal), software-pipelined inner loop (38.9 — the s carry adds
+traffic and Mosaic does not overlap MXU/VPU across tiles), one-step VMEM
+score staging (round 2), inner-k chunking (round 1). All knobs kept
+(default off) for reproducibility: PF_INTERLEAVE/PF_PBF16/PF_DENSE/
+PF_ROWSUM/PF_CHUNK/PF_PIPE/PF_SKIP.
 """
 
 from __future__ import annotations

@@ -66,6 +66,12 @@ class GPTConfig:
     # logits are recomputed in the backward under jax.checkpoint
     # (the csrc/xentropy fusion idea taken one level higher)
     fused_ce_chunk: int = 0
+    # per-block rematerialization during training: "none" keeps all
+    # activations; "dots" saves matmul outputs only
+    # (dots_with_no_batch_dims_saveable); "full" saves nothing — the
+    # activation-memory/FLOPs trade the reference gets from PL's
+    # activation checkpointing configs
+    remat: str = "none"
 
     @property
     def padded_vocab(self) -> int:
@@ -158,14 +164,34 @@ class GPTLMHeadModel:
         if c.embeddings_scale != 1.0:
             hidden = hidden * c.embeddings_scale
         residual = None
+        use_remat = (
+            c.remat != "none" and train and inference_params is None
+        )
+        if use_remat:
+            policy = (
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                if c.remat == "dots" else None
+            )
         for i, blk in enumerate(self.blocks):
             layer_rngs = (
                 jax.random.split(rngs[i], 2) if rngs is not None else None
             )
-            hidden, residual = blk.apply(
-                params["layers"][i], hidden, residual,
-                inference_params=inference_params, rngs=layer_rngs, train=train,
-            )
+            if use_remat:
+                def blk_fn(p_, h_, r_, rng_, blk=blk):
+                    return blk.apply(
+                        p_, h_, r_, inference_params=None, rngs=rng_,
+                        train=True,
+                    )
+
+                hidden, residual = jax.checkpoint(
+                    blk_fn, policy=policy
+                )(params["layers"][i], hidden, residual, layer_rngs)
+            else:
+                hidden, residual = blk.apply(
+                    params["layers"][i], hidden, residual,
+                    inference_params=inference_params, rngs=layer_rngs,
+                    train=train,
+                )
         return dropout_add_layer_norm(
             hidden, residual,
             params["ln_f"]["weight"], params["ln_f"].get("bias"),
