@@ -351,3 +351,46 @@ def test_engine_sampling_seeded_determinism():
         model, params, jnp.asarray([prompt], jnp.int32), max_new_tokens=6
     )
     assert g.output_tokens == np.asarray(out)[0, len(prompt):].tolist()
+
+
+def test_engine_chunked_prefill_matches():
+    """prefill_chunk: long prompts prefill chunk-by-chunk across ticks
+    (interleaved with decode of running sequences) and produce exactly the
+    same outputs as the monolithic-prefill engine."""
+    model = GPTLMHeadModel(CFG)
+    params = model.init(jax.random.PRNGKey(11))
+    rng = np.random.default_rng(11)
+    prompts = [
+        rng.integers(0, CFG.vocab_size, (n,)).tolist() for n in (37, 5, 23)
+    ]
+    max_new = 4
+    ref = LLMEngine(
+        model, params, page_size=16, num_pages=64, max_seqs=4,
+        max_pages_per_seq=8,
+    ).run([Request(i, p, max_new_tokens=max_new) for i, p in enumerate(prompts)])
+
+    engine = LLMEngine(
+        model, params, page_size=16, num_pages=64, max_seqs=4,
+        max_pages_per_seq=8, prefill_chunk=8,
+    )
+    for i, p in enumerate(prompts):
+        engine.add_request(Request(i, p, max_new_tokens=max_new))
+    # tick manually; the short prompts must start decoding while the long
+    # prompts are still mid-prefill
+    saw_interleave = False
+    done = []
+    for _ in range(64):
+        done.extend(engine.step())
+        if engine.prefilling and engine.active:
+            saw_interleave = True
+        if not (engine.pending or engine.active or engine.prefilling):
+            break
+    assert saw_interleave, "chunked prefill never overlapped with decode"
+    assert len(done) == 3
+    for r, e in zip(
+        sorted(done, key=lambda r: r.request_id),
+        sorted(ref, key=lambda r: r.request_id),
+    ):
+        assert r.output_tokens == e.output_tokens, (
+            r.request_id, r.output_tokens, e.output_tokens
+        )

@@ -99,6 +99,35 @@ def paged_cache_attention(
             state.block_tables, alibi_slopes,
             sm_scale=softmax_scale, window=window_size,
         )[:, None]  # (b, 1, h, d)
+    if state.mode == "chunked_prefill":
+        # incremental prefill over a NON-empty cache: the chunk's rows attend
+        # to all cached keys plus the intra-chunk causal prefix via the
+        # ragged paged kernel. Alignment trick for padded tails: len_k is
+        # taken as lengths + s_len (the PADDED chunk), so real row t lands at
+        # global position lengths + t regardless of each row's true num_new;
+        # causal then stops real rows at their own position (never inside
+        # the unappended tail), and padded rows' garbage is discarded by the
+        # engine. Kernel clamps page ids, so reads past the allocation are
+        # defined.
+        from vllm_flash_attn_tpu.kernels.varlen_paged import (
+            flash_attention_varlen_paged,
+        )
+
+        assert not quantized, (
+            "chunked prefill over a quantized cache is not wired (the "
+            "varlen-paged kernel reads bf16 pools); admit short prompts or "
+            "use a bf16 cache"
+        )
+        b, s_len = q.shape[:2]
+        h = q.shape[2]
+        cu_q = jnp.arange(b + 1, dtype=jnp.int32) * s_len
+        q_stream = q.reshape(b * s_len, h, -1).transpose(1, 0, 2)
+        o = flash_attention_varlen_paged(
+            q_stream, kp, vp, cu_q, state.lengths + s_len,
+            state.block_tables, s_len, alibi_slopes,
+            causal=causal, sm_scale=softmax_scale, window=window_size,
+        )
+        return o.transpose(1, 0, 2).reshape(b, s_len, h, -1)
     # prefill over the prompt itself (padded tail rows are discarded by the
     # engine; under causal masking they cannot affect earlier rows)
     return flash_attention(

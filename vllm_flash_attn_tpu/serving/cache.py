@@ -20,8 +20,10 @@ import jax.numpy as jnp
 class PagedState:
     """Per-step view of the paged cache (a jax pytree; `mode` is static).
 
-    mode: "decode" (one new token per active sequence) or "prefill"
-    (multi-token; `num_new` masks padded tail tokens out of the append).
+    mode: "decode" (one new token per active sequence), "prefill"
+    (multi-token into an EMPTY per-seq cache; `num_new` masks padded tail
+    tokens out of the append), or "chunked_prefill" (multi-token into a
+    non-empty cache at offset `lengths` — vLLM-style chunked prefill).
     """
 
     k_pages: jax.Array  # (n_layer, num_pages, page_size, h_kv, d)

@@ -92,11 +92,19 @@ class LLMEngine:
         max_pages_per_seq: int = 256,
         cache_dtype=None,
         mesh=None,
+        prefill_chunk: int = 0,
     ):
         """mesh: optional jax Mesh with a 'model' axis for tensor-parallel
         serving — `model` must then be a ParallelGPTLMHeadModel and `params`
         the FULL (unsharded) tree; the engine shards params and the page
         pools (kv heads over 'model') and runs each device step in shard_map.
+
+        prefill_chunk > 0 enables vLLM-style chunked prefill: prompts longer
+        than the chunk are admitted immediately (pages preallocated) and
+        prefilled `prefill_chunk` tokens per tick in ONE device call for all
+        such sequences, interleaved with decode ticks of the already-running
+        sequences — long prompts no longer stall the running batch for their
+        whole prefill.
         """
         self.model = model
         self.mesh = mesh
@@ -159,8 +167,16 @@ class LLMEngine:
         self.allocator = PageAllocator(
             num_pages, max_seqs, max_pages_per_seq, page_size
         )
+        self.prefill_chunk = int(prefill_chunk)
+        if self.prefill_chunk and cache_dtype in ("int8", "fp8"):
+            raise NotImplementedError(
+                "chunked prefill over a quantized cache is not wired"
+            )
         self.pending: List[Request] = []
         self.active: Dict[int, Request] = {}  # slot -> request
+        self.prefilling: Dict[int, Request] = {}  # slot -> mid-prefill req
+        self._prefill_pos: Dict[int, int] = {}  # slot -> tokens prefilled
+        self._chunk_fns = {}
         self._finished: List[Request] = []  # drained by step()
         self._admit_order: List[int] = []
         self._last_token = np.zeros((max_seqs,), np.int32)
@@ -230,6 +246,44 @@ class LLMEngine:
             )
         return jax.jit(step, donate_argnums=(2, 3))
 
+    def _build_chunk_prefill(self, chunk):
+        model, vocab = self.model, self.vocab
+
+        def step(params, ids, kc, vc, tables, lengths, num_new):
+            # chunked prefill: ids (B, chunk) are the next chunk of each
+            # mid-prefill prompt, appended at offset `lengths`; rows with
+            # num_new 0 are padding riders
+            state = PagedState(
+                kc, vc, lengths, tables, num_new, "chunked_prefill"
+            )
+            pos_ids = lengths[:, None] + jnp.arange(
+                ids.shape[1], dtype=jnp.int32
+            )[None]
+            logits = model.apply(
+                params, ids, position_ids=pos_ids, inference_params=state
+            )
+            if self.mesh is not None:
+                logits = jax.lax.all_gather(logits, "model", axis=2, tiled=True)
+            last_idx = jnp.maximum(num_new - 1, 0)
+            last = jnp.take_along_axis(
+                logits, last_idx[:, None, None], axis=1
+            )[:, 0, :vocab]
+            return last, state.k_pages, state.v_pages
+
+        if self.mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            cs = self._cache_spec
+            step = shard_map(
+                step,
+                mesh=self.mesh,
+                in_specs=(self._param_spec_tree, P(), cs, cs, P(), P(), P()),
+                out_specs=(P(), cs, cs),
+                check_vma=False,
+            )
+        return jax.jit(step, donate_argnums=(2, 3))
+
     # -------------------------------------------------------------- scheduling
 
     def add_request(self, req: Request):
@@ -240,7 +294,10 @@ class LLMEngine:
         prefill device call — ids padded to a shared length bucket, batch
         padded to a power-of-2 bucket (recompile cap on both axes)."""
         batch = []  # (req, slot, L)
-        while self.pending and len(self.active) + len(batch) < self.max_seqs:
+        while self.pending and (
+            len(self.active) + len(self.prefilling) + len(batch)
+            < self.max_seqs
+        ):
             req = self.pending[0]
             L = len(req.prompt_tokens)
             need_pages = -(-L // self.page_size) + 1
@@ -258,6 +315,13 @@ class LLMEngine:
                 break
             self.pending.pop(0)
             assert self.allocator.extend(slot, L) == L
+            if self.prefill_chunk and L > self.prefill_chunk:
+                # long prompt: pages preallocated, tokens fed chunk-by-chunk
+                # across ticks (_chunk_tick) instead of one monolithic call
+                self.prefilling[slot] = req
+                self._prefill_pos[slot] = 0
+                self._admit_order.append(slot)
+                continue
             batch.append((req, slot, L))
         if not batch:
             return False
@@ -326,17 +390,77 @@ class LLMEngine:
 
     def _preempt_youngest(self):
         slot = self._admit_order[-1]
-        req = self.active.pop(slot)
+        if slot in self.prefilling:
+            req = self.prefilling.pop(slot)
+            self._prefill_pos.pop(slot, None)
+        else:
+            req = self.active.pop(slot)
         self._admit_order.remove(slot)
         self.allocator.free_seq(slot)
         req.output_tokens = []  # restart-on-preempt
         self.pending.insert(0, req)
         return slot
 
+    def _chunk_tick(self):
+        """Advance every mid-prefill sequence by one chunk in ONE device
+        call; sequences whose prompt completes sample their first token and
+        join the decode set."""
+        if not self.prefilling:
+            return
+        chunk = self.prefill_chunk
+        slots = sorted(self.prefilling.keys())
+        B = 1
+        while B < len(slots):
+            B *= 2
+        tables, _ = self.allocator.gather(slots)
+        tables = np.asarray(tables)
+        if B > len(slots):
+            pad = np.zeros((B - len(slots), tables.shape[1]), tables.dtype)
+            tables = np.concatenate([tables, pad], axis=0)
+        ids = np.zeros((B, chunk), np.int32)
+        lengths = np.zeros((B,), np.int32)
+        num_new = np.zeros((B,), np.int32)
+        for i, slot in enumerate(slots):
+            req = self.prefilling[slot]
+            pos = self._prefill_pos[slot]
+            n = min(len(req.prompt_tokens) - pos, chunk)
+            ids[i, :n] = req.prompt_tokens[pos:pos + n]
+            lengths[i] = pos
+            num_new[i] = n
+        key = (B, chunk)
+        if key not in self._chunk_fns:
+            self._chunk_fns[key] = self._build_chunk_prefill(chunk)
+        last_logits, self.k_pages, self.v_pages = self._chunk_fns[key](
+            self.params,
+            jnp.asarray(ids),
+            self.k_pages,
+            self.v_pages,
+            jnp.asarray(tables),
+            jnp.asarray(lengths),
+            jnp.asarray(num_new),
+        )
+        last_logits = np.asarray(last_logits)
+        for i, slot in enumerate(slots):
+            req = self.prefilling[slot]
+            self._prefill_pos[slot] += int(num_new[i])
+            if self._prefill_pos[slot] >= len(req.prompt_tokens):
+                del self.prefilling[slot]
+                del self._prefill_pos[slot]
+                tok = req.sample(last_logits[i])
+                req.output_tokens.append(tok)
+                self._last_token[slot] = tok
+                self.active[slot] = req
+                self._maybe_finish(slot)
+
     def step(self) -> List[Request]:
-        """One scheduling tick: admit then decode. Returns finished requests."""
-        while len(self.active) < self.max_seqs and self._admit_batch():
+        """One scheduling tick: admit, advance chunked prefills, then
+        decode. Returns finished requests."""
+        while (
+            len(self.active) + len(self.prefilling) < self.max_seqs
+            and self._admit_batch()
+        ):
             pass
+        self._chunk_tick()
 
         if not self.active:
             out, self._finished = self._finished, []
@@ -405,6 +529,6 @@ class LLMEngine:
         for r in requests:
             self.add_request(r)
         done: List[Request] = []
-        while self.pending or self.active:
+        while self.pending or self.active or self.prefilling:
             done.extend(self.step())
         return done
