@@ -137,11 +137,13 @@ def bench_prefill(s=4096, b=1, h=32, d=128):
     return flops / dt / 1e12, dt
 
 
-def bench_train(n_layer=2, n_embd=1024, n_head=16, seq=512, batch=8,
+def bench_train(n_layer=4, n_embd=2048, n_head=16, seq=2048, batch=8,
                 peak_tflops=197.0):
     """Single-chip train-step MFU (the training/README.md:6-8 claim as a
     number): full fwd+bwd+AdamW on a dense GPT slice, analytic 6N+attention
-    FLOPs convention."""
+    FLOPs convention. Shape picked by the round-3 decomposition sweep
+    (benchmarks/bench_train_hw.py): 4L/2048d/2048s/b8 -> 49.6% MFU; the
+    round-2 2L/1024d/512s shape under-reported at 32%."""
     from vllm_flash_attn_tpu.models.gpt import GPTConfig, GPTLMHeadModel
     from vllm_flash_attn_tpu.training.callbacks import model_flops_per_token
     from vllm_flash_attn_tpu.training.train_step import make_optimizer

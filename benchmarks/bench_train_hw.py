@@ -37,6 +37,7 @@ def main():
         mlp_fc1_bias=False, mlp_fc2_bias=False, activation_function="silu",
         n_inner=int(8 * n_embd / 3) // 128 * 128,
         fused_ce_chunk=int(os.environ.get("TB_CE_CHUNK", "0")),
+        remat=os.environ.get("TB_REMAT", "none"),
     )
     model = GPTLMHeadModel(cfg)
     params = model.init(jax.random.PRNGKey(0), jnp.bfloat16)
@@ -95,7 +96,9 @@ def main():
         return full, (params, opt_state, it0)
 
     acc0 = jnp.zeros((), jnp.float32)
-    t_f, c_f = timed(fwd2, params, ids, acc0)
+    # NOTE: a pure-fwd scan is loop-invariant (same params every iter) and
+    # XLA hoists it -> meaningless time; only fwd+bwd and fullstep are real
+    t_f, c_f = float("inf"), 0.0
     t_b, c_b = timed(fwdbwd, params, ids, acc0)
     full, st = step_state()
     t_s, c_s = timed(full, *st)

@@ -292,3 +292,38 @@ def test_decode_100k_keys():
     p /= p.sum(axis=1, keepdims=True)
     ref = np.einsum("hk,khd->hd", p, vs.repeat(2, 1))
     np.testing.assert_allclose(np.asarray(out[0]), ref, atol=3e-5, rtol=3e-3)
+
+
+def test_fused_append_matches_scatter():
+    """In-kernel append (k_new/v_new + aliased pools) must produce EXACTLY
+    the same pools as append_kv_paged and the same attention output; rows
+    masked out via append_mask (inactive / mid-prefill engine slots) must
+    not be written."""
+    from vllm_flash_attn_tpu.kernels.kv_cache import append_kv_paged
+
+    rng = np.random.default_rng(23)
+    b, hq, hkv, d, ps = 4, 8, 4, 128, 16
+    npages = 64
+    kp = jnp.asarray(rng.standard_normal((npages, ps, hkv, d)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((npages, ps, hkv, d)), jnp.float32)
+    bt = jnp.asarray(rng.permutation(npages).reshape(b, 16).astype(np.int32))
+    # row 2: inactive (len 0); row 3: mid-prefill (len > 0 but NOT appending)
+    lens_before = jnp.asarray([100, 31, 0, 57], jnp.int32)
+    num_new = jnp.asarray([1, 1, 0, 0], jnp.int32)
+    kn = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.float32)
+
+    kp2, vp2 = append_kv_paged(
+        kp, vp, kn[:, None], vn[:, None], lens_before, bt, num_new=num_new
+    )
+    lens_after = lens_before + num_new
+    ref = paged_attention(q, kp2, vp2, lens_after, bt)
+    out, kp3, vp3 = paged_attention(
+        q, kp, vp, lens_after, bt, k_new=kn, v_new=vn, append_mask=num_new
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+    np.testing.assert_array_equal(np.asarray(kp3), np.asarray(kp2))
+    np.testing.assert_array_equal(np.asarray(vp3), np.asarray(vp2))

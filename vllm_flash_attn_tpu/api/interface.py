@@ -337,15 +337,43 @@ def flash_attn_with_kvcache(
 
     # --- append (flash_api.cpp:830-868) ---
     appended = k is not None
-    if appended:
+    # single-token decode + single-token append fuses into the kernel (the
+    # reference's Append_KV prologue, flash_fwd_kernel.h:671-785): one less
+    # XLA pass per step; multi-token/odd-d/split appends use the functional
+    # scatter
+    import os as _os
+
+    fused_append = (
+        appended and sq == 1 and k.shape[1] == 1 and num_splits <= 1
+        and d % 128 == 0
+        # opt-in until the in-kernel prologue's hardware cost is pinned down
+        # (see modules/mha.py note); the XLA scatter measured ~free
+        and _os.environ.get("VFA_FUSED_APPEND", "0") == "1"
+    )
+    if appended and not fused_append:
         assert v is not None
         k_pages, v_pages = append_kv_paged(k_pages, v_pages, k, v, lens, tables)
         total_lens = lens + k.shape[1]
+    elif appended:
+        total_lens = lens + 1
     else:
         total_lens = lens
 
     # --- attention ---
-    if sq == 1:
+    if sq == 1 and fused_append:
+        out = paged_attention(
+            q[:, 0], k_pages, v_pages, total_lens, tables, alibi_slopes,
+            sm_scale=softmax_scale, window=tuple(window_size), softcap=softcap,
+            return_lse=return_softmax_lse,
+            k_new=k[:, 0], v_new=v[:, 0],
+        )
+        if return_softmax_lse:
+            out, lse, k_pages, v_pages = out
+            lse = lse[:, None, :].transpose(0, 2, 1)  # (b, h, sq=1)
+        else:
+            out, k_pages, v_pages = out
+        out = out[:, None]  # (b, 1, h, d)
+    elif sq == 1:
         from vllm_flash_attn_tpu.kernels.paged_decode import (
             paged_attention_splitkv,
         )

@@ -62,6 +62,7 @@ def _decode_kernel(
     #               global — reference splits are position-global too,
     #               flash_fwd_kernel.h:475-512)
     total_lens_ref,  # (b,) FULL sequence length (decode q position = total-1)
+    append_mask_ref,  # (b,) int32 — 1 = this row appends its k_new/v_new
     # inputs
     q_ref,  # (1, h_kv*d, hq) VMEM — block-diagonal query weight
     k_pages_ref,  # (num_pages, page_size, h_k, d) ANY/HBM
@@ -69,6 +70,8 @@ def _decode_kernel(
     k_scales_ref,  # (num_pages, page_size, h_k) ANY/HBM or None
     v_scales_ref,
     alibi_ref,  # SMEM (1, hq) or (1, 1)
+    k_new_ref,  # (batch, h_k, d) VMEM — this step's new tokens, or (1,1,1)
+    v_new_ref,
     # outputs
     o_ref,  # (1, hq, d)
     lse_ref,  # (1, hq, MIN_LANES) or None
@@ -78,6 +81,7 @@ def _decode_kernel(
     ks_buf,  # (2, ppb, page_size, h_k) fp32 or None
     vs_buf,
     sems,  # DMA (2, 4)
+    append_sem,  # DMA (2,)
     m_scr,  # (1, hq)
     l_scr,  # (1, hq)
     acc_scr,  # (1, hq, d)
@@ -92,6 +96,7 @@ def _decode_kernel(
     has_alibi: bool,
     softcap: float,
     quantized: bool = False,
+    append: bool = False,
     mask_value: float = DEFAULT_MASK_VALUE,
 ):
     core = pl.program_id(0)
@@ -148,6 +153,47 @@ def _decode_kernel(
     def _run():
         @pl.when(is_first_step)
         def _prefetch_first():
+            if append and "append" not in _DEBUG_SKIP:
+                # In-kernel cache append (flash_fwd_kernel.h:671-785 analog):
+                # write every row's new k/v token into its page slot BEFORE
+                # the first page prefetch, so the sweep (lengths includes the
+                # new token) reads it back. One (h_k, d) DMA per row per
+                # side; all issued, then all awaited — a few KB, latency-
+                # bound, once per kernel invocation.
+                # single-core only (host asserts ncores == 1 with append):
+                # with multiple cores another core's first prefetch could
+                # race these writes
+                page_size_ = k_buf.shape[2]
+                num_pages_ = k_pages_ref.shape[0]
+                max_pages_ = block_tables_ref.shape[1]
+                for bb in range(batch):
+                    # masked-out rows (inactive or mid-prefill engine slots)
+                    # append nothing; start+wait inside the cond keeps
+                    # semaphore counts matched
+                    @pl.when(
+                        jnp.logical_and(
+                            lengths_ref[bb] > 0, append_mask_ref[bb] > 0
+                        )
+                    )
+                    def _append_row(bb=bb):
+                        pos = lengths_ref[bb] - 1
+                        idx = jnp.minimum(pos // page_size_, max_pages_ - 1)
+                        pg = jnp.clip(
+                            block_tables_ref[bb, idx], 0, num_pages_ - 1
+                        )
+                        row = jax.lax.rem(pos, page_size_)
+                        ck = pltpu.make_async_copy(
+                            k_new_ref.at[bb], k_pages_ref.at[pg, row],
+                            append_sem.at[0],
+                        )
+                        cv = pltpu.make_async_copy(
+                            v_new_ref.at[bb], v_pages_ref.at[pg, row],
+                            append_sem.at[1],
+                        )
+                        ck.start()
+                        cv.start()
+                        ck.wait()
+                        cv.wait()
             buf_idx_ref[0] = 0
             start_fetch(b, i, 0)
 
@@ -332,15 +378,32 @@ def paged_attention(
     return_lse: bool = False,
     col_base: Optional[jax.Array] = None,  # (b,) split-KV global col offsets
     total_lens: Optional[jax.Array] = None,  # (b,) full lengths (q position)
+    k_new: Optional[jax.Array] = None,  # (b, h_kv, d): fused in-kernel append
+    v_new: Optional[jax.Array] = None,
+    append_mask: Optional[jax.Array] = None,  # (b,) rows that append (def all)
     interpret: Optional[bool] = None,
 ):
     """Single-token decode over a paged KV cache (reference cache layout).
+
+    With k_new/v_new, the kernel itself writes each row's new token into its
+    page slot at position lengths-1 BEFORE the sweep (in-kernel append,
+    flash_fwd_kernel.h:671-785 analog; rows with lengths 0 skip the write);
+    `lengths` must then already INCLUDE the new token, and the (donated,
+    aliased) updated pools are returned after the attention output:
+    (out[, lse], k_pages, v_pages).
 
     Returns out (batch, num_q_heads, head_dim) [, lse (batch, num_q_heads)].
     """
     from vllm_flash_attn_tpu.kernels.kv_quant import QuantizedPages
 
     quantized = isinstance(k_pages, QuantizedPages)
+    append = k_new is not None
+    if append:
+        assert v_new is not None
+        assert not quantized, (
+            "fused in-kernel append requires a bf16/fp32 cache (quantized "
+            "caches append via append_kv_paged_quantized)"
+        )
     if quantized:
         k_scales, v_scales = k_pages.scales, v_pages.scales
         k_pages, v_pages = k_pages.data, v_pages.data
@@ -360,6 +423,11 @@ def paged_attention(
     # exotic dims, not the serving fast path (production dims are 64/128/256).
     d_orig = d
     if d % 128 != 0:
+        assert not append, (
+            "fused append requires a lane-aligned head dim (the pad path "
+            "copies the pool, defeating in-place aliasing); pre-pad the "
+            "pool or use append_kv_paged"
+        )
         d = pl.cdiv(d, 128) * 128
         q = jnp.pad(q, [(0, 0), (0, 0), (0, d - d_orig)])
         kv_pw = [(0, 0), (0, 0), (0, 0), (0, d - d_orig)]
@@ -382,6 +450,12 @@ def paged_attention(
     total_lens = (
         lengths if total_lens is None else total_lens.astype(jnp.int32)
     )
+    if append_mask is None:
+        append_mask = (
+            jnp.ones_like(lengths) if append else jnp.zeros_like(lengths)
+        )
+    else:
+        append_mask = append_mask.astype(jnp.int32)
 
     # Fold sm_scale*log2(e) into q so the kernel runs no per-block scale pass
     # and uses native exp2 (scale_softmax_log2, flash_api.cpp:21-137).
@@ -427,17 +501,20 @@ def paged_attention(
         has_alibi=has_alibi,
         softcap=float(softcap),
         quantized=quantized,
+        append=append,
     )
     if not return_lse:
         body = kernel
 
-        def kernel(l_r, bt_r, cb_r, tl_r, q_r, k_r, v_r, ks_r, vs_r, a_r, o_r, *scr):  # noqa: F811
+        def kernel(l_r, bt_r, cb_r, tl_r, am_r, q_r, k_r, v_r, ks_r, vs_r,
+                   a_r, kn_r, vn_r, o_r, *rest):  # noqa: F811
             body(
-                l_r, bt_r, cb_r, tl_r, q_r, k_r, v_r, ks_r, vs_r, a_r, o_r,
-                None, *scr,
+                l_r, bt_r, cb_r, tl_r, am_r, q_r, k_r, v_r, ks_r, vs_r, a_r,
+                kn_r, vn_r, o_r, None, *rest,
             )
 
     ncores = 1  # megacore split reserved (v5e has a single TensorCore)
+    # (the in-kernel append prologue assumes one core — see _decode_kernel)
     grid = (ncores, batch, num_blocks_grid)
 
     out_shape = [jax.ShapeDtypeStruct((batch, h_q, d), q.dtype)]
@@ -458,7 +535,7 @@ def paged_attention(
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -470,6 +547,8 @@ def paged_attention(
             pl.BlockSpec(memory_space=pl.ANY),  # k_scales
             pl.BlockSpec(memory_space=pl.ANY),  # v_scales
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # k_new
+            pl.BlockSpec(memory_space=pl.ANY),  # v_new
         ],
         out_specs=out_specs,
         scratch_shapes=[
@@ -484,6 +563,7 @@ def paged_attention(
                 jnp.float32,
             ),
             pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((1, h_q), jnp.float32),
             pltpu.VMEM((1, h_q), jnp.float32),
             pltpu.VMEM((1, h_q, d), jnp.float32),
@@ -491,18 +571,64 @@ def paged_attention(
         ],
     )
 
+    if append:
+        k_new = k_new.astype(k_pages.dtype)
+        v_new = v_new.astype(v_pages.dtype)
+        # aliased pool passthrough: the kernel's append DMAs write the input
+        # refs; aliasing makes those the same buffers as these outputs
+        out_shape = out_shape + [
+            jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+            jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
+        ]
+        out_specs = out_specs + [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=grid,
+            in_specs=grid_spec.in_specs,
+            out_specs=out_specs,
+            scratch_shapes=grid_spec.scratch_shapes,
+        )
+        body2 = kernel
+
+        def kernel(l_r, bt_r, cb_r, tl_r, am_r, q_r, k_r, v_r, ks_r, vs_r,
+                   a_r, kn_r, vn_r, o_r, *rest):  # noqa: F811
+            # The aliased pool OUTPUT refs replace the input pool refs for
+            # the whole kernel: on hardware they are the same HBM buffers
+            # (input_output_aliases); in interpret mode the outputs are
+            # seeded with the input values, so append writes and sweep
+            # reads both see a consistent, mutating pool either way.
+            nlse = 1 if return_lse else 0
+            lse_outs = rest[:nlse]
+            kp_out, vp_out = rest[nlse], rest[nlse + 1]
+            scr = rest[nlse + 2:]
+            body2(
+                l_r, bt_r, cb_r, tl_r, am_r, q_r, kp_out, vp_out, ks_r, vs_r,
+                a_r, kn_r, vn_r, o_r, *lse_outs, *scr,
+            )
+    else:
+        k_new = jnp.zeros((1, 1, 1), k_pages.dtype)
+        v_new = jnp.zeros((1, 1, 1), v_pages.dtype)
+
+    # input_output_aliases indices count ALL pallas_call operands including
+    # the scalar-prefetch ones: k_pages is operand 6, v_pages 7
+    aliases = {6: 1 + (1 if return_lse else 0),
+               7: 2 + (1 if return_lse else 0)} if append else {}
     results = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
-        lengths, block_tables, col_base, total_lens, q_blk, k_pages, v_pages,
-        k_scales, v_scales, alibi_slopes,
+        lengths, block_tables, col_base, total_lens, append_mask, q_blk,
+        k_pages, v_pages, k_scales, v_scales, alibi_slopes, k_new, v_new,
     )
 
     def unshuffle(x):
@@ -514,6 +640,16 @@ def paged_attention(
             )
         return x
 
+    if append:
+        pools = tuple(results[-2:])
+        results = results[:-2]
+        if return_lse:
+            out, lse = results
+            return (
+                unshuffle(out)[..., :d_orig],
+                unshuffle(lse[..., 0:1])[..., 0],
+            ) + pools
+        return (unshuffle(results[0])[..., :d_orig],) + pools
     if return_lse:
         out, lse = results
         return unshuffle(out)[..., :d_orig], unshuffle(lse[..., 0:1])[..., 0]

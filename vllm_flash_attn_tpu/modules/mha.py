@@ -71,6 +71,36 @@ def paged_cache_attention(
         k = apply_rotary_emb(k, cos, sin, rotary_interleaved, positions=pos)
 
     quantized = isinstance(state.k_pages, QuantizedPages)
+    d_model = q.shape[-1]
+    import os as _os
+
+    if (
+        state.mode == "decode"
+        and not quantized
+        and d_model % 128 == 0
+        # opt-in while the hardware cost is being pinned down: the fused
+        # prologue's serialized per-row DMA start+wait pairs measured ~+500us
+        # per call in one (noisy, cross-process) reading vs the XLA scatter's
+        # ~0; semantics are exactness-tested either way
+        and _os.environ.get("VFA_FUSED_APPEND", "0") == "1"
+    ):
+        # fused in-kernel append + attention (flash_fwd_kernel.h:671-785
+        # analog): the kernel writes each active row's new token into its
+        # page slot before the sweep — no separate XLA scatter pass.
+        # Mid-prefill / inactive slots are masked out via num_new.
+        out, kp, vp = paged_attention(
+            q[:, 0], state.k_pages[li], state.v_pages[li],
+            state.lengths + state.num_new, state.block_tables, alibi_slopes,
+            sm_scale=softmax_scale, window=window_size,
+            k_new=k[:, 0], v_new=v[:, 0], append_mask=state.num_new,
+        )
+        state.k_pages = jax.lax.dynamic_update_index_in_dim(
+            state.k_pages, kp, li, 0
+        )
+        state.v_pages = jax.lax.dynamic_update_index_in_dim(
+            state.v_pages, vp, li, 0
+        )
+        return out[:, None]  # (b, 1, h, d)
     if quantized:
         kp, vp = append_kv_paged_quantized(
             state.k_pages[li], state.v_pages[li], k, v,
