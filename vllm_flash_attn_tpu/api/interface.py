@@ -346,9 +346,9 @@ def flash_attn_with_kvcache(
     fused_append = (
         appended and sq == 1 and k.shape[1] == 1 and num_splits <= 1
         and d % 128 == 0
-        # opt-in until the in-kernel prologue's hardware cost is pinned down
-        # (see modules/mha.py note); the XLA scatter measured ~free
-        and _os.environ.get("VFA_FUSED_APPEND", "0") == "1"
+        # default ON (see modules/mha.py: fused measured free on hardware);
+        # VFA_FUSED_APPEND=0 falls back to the XLA scatter
+        and _os.environ.get("VFA_FUSED_APPEND", "1") == "1"
     )
     if appended and not fused_append:
         assert v is not None

@@ -50,6 +50,11 @@ from vllm_flash_attn_tpu.kernels.flash_prefill import (
 _DEBUG_SKIP = frozenset(
     s for s in os.environ.get("PD_SKIP", "").split(",") if s
 )
+# int8 cache experiment: run QK as an int8x int8 MXU matmul against a
+# host-quantized block-diagonal q weight (per-q-head absmax scales folded
+# into the existing per-token k-scale multiply) instead of casting the K
+# block to bf16. Read per process like PD_SKIP.
+_QINT8 = os.environ.get("PD_QINT8", "0") == "1"
 
 
 def _decode_kernel(
@@ -70,6 +75,7 @@ def _decode_kernel(
     k_scales_ref,  # (num_pages, page_size, h_k) ANY/HBM or None
     v_scales_ref,
     alibi_ref,  # SMEM (1, hq) or (1, 1)
+    q_scale_ref,  # (1, hq) fp32 VMEM — per-head q dequant scales (qint8)
     k_new_ref,  # (batch, h_k, d) VMEM — this step's new tokens, or (1,1,1)
     v_new_ref,
     # outputs
@@ -228,12 +234,20 @@ def _decode_kernel(
         # what turns the per-head matvec (M=1, unusable) into one fat matmul.
         k_tok = k_buf[slot].reshape(bk, h_kv * k_buf.shape[-1])
         q_blk = q_ref[0]  # (h_kv*d, hq) block-diagonal
-        if quantized:
+        qint8 = quantized and _QINT8 and k_buf.dtype == jnp.int8
+        if quantized and not qint8:
             # int8/fp8 payloads are exact in bf16 (<= 8 mantissa bits); cast so
             # the dot stays on the fast bf16 MXU path (scales fold in below)
             k_tok = k_tok.astype(jnp.bfloat16)
         if "qk" in _DEBUG_SKIP:
             s = jnp.zeros((bk, q_blk.shape[-1]), jnp.float32) + i
+        elif qint8:
+            # int8 x int8 MXU matmul with int32 accumulate — no K cast pass;
+            # the per-head q scale folds into the per-token k-scale multiply
+            s = jax.lax.dot_general(
+                k_tok, q_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * q_scale_ref[0]
         else:
             s = jax.lax.dot_general(
                 k_tok, q_blk, (((1,), (0,)), ((), ())),
@@ -476,7 +490,23 @@ def paged_attention(
         jnp.arange(h_kv)[:, None] == jnp.arange(h_q)[None, :] % h_kv
     ).astype(q.dtype)
     q_blk = jnp.einsum("bjr,gj->bgrj", q, eye).reshape(batch, h_kv * d, h_q)
-    if quantized:
+    q_scales = jnp.ones((1, h_q), jnp.float32)
+    if quantized and _QINT8 and k_pages.dtype == jnp.int8:
+        # per-(batch, q-head) absmax quantization of the block-diagonal
+        # weight; sm_scale*log2e is already folded in, so the scale carries
+        # it. Scales broadcast per batch via a (batch, 1, hq) -> take the
+        # kernel's per-b block? keep it simple: quantize per COLUMN ACROSS
+        # batch is wrong — use per-batch scales folded into... the kernel
+        # reads a (1, hq) operand per grid b via BlockSpec.
+        absmax = jnp.max(
+            jnp.abs(q_blk.astype(jnp.float32)), axis=1, keepdims=True
+        )  # (batch, 1, hq)
+        scale = jnp.maximum(absmax, 1e-30) / 127.0
+        q_blk = jnp.clip(
+            jnp.round(q_blk.astype(jnp.float32) / scale), -127, 127
+        ).astype(jnp.int8)
+        q_scales = scale  # (batch, 1, hq)
+    elif quantized:
         q_blk = q_blk.astype(jnp.bfloat16)
     has_alibi = alibi_slopes is not None
     if has_alibi:
@@ -507,10 +537,10 @@ def paged_attention(
         body = kernel
 
         def kernel(l_r, bt_r, cb_r, tl_r, am_r, q_r, k_r, v_r, ks_r, vs_r,
-                   a_r, kn_r, vn_r, o_r, *rest):  # noqa: F811
+                   a_r, qs_r, kn_r, vn_r, o_r, *rest):  # noqa: F811
             body(
                 l_r, bt_r, cb_r, tl_r, am_r, q_r, k_r, v_r, ks_r, vs_r, a_r,
-                kn_r, vn_r, o_r, None, *rest,
+                qs_r, kn_r, vn_r, o_r, None, *rest,
             )
 
     ncores = 1  # megacore split reserved (v5e has a single TensorCore)
@@ -547,6 +577,14 @@ def paged_attention(
             pl.BlockSpec(memory_space=pl.ANY),  # k_scales
             pl.BlockSpec(memory_space=pl.ANY),  # v_scales
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            (  # q_scales: per-b (1, 1, hq) block when qint8; ones otherwise
+                pl.BlockSpec(
+                    (1, 1, h_q),
+                    lambda c, b, i, *refs, nc=ncores: (b * nc + c, 0, 0),
+                )
+                if q_scales.ndim == 3
+                else pl.BlockSpec(memory_space=pl.ANY)
+            ),
             pl.BlockSpec(memory_space=pl.ANY),  # k_new
             pl.BlockSpec(memory_space=pl.ANY),  # v_new
         ],
@@ -594,7 +632,7 @@ def paged_attention(
         body2 = kernel
 
         def kernel(l_r, bt_r, cb_r, tl_r, am_r, q_r, k_r, v_r, ks_r, vs_r,
-                   a_r, kn_r, vn_r, o_r, *rest):  # noqa: F811
+                   a_r, qs_r, kn_r, vn_r, o_r, *rest):  # noqa: F811
             # The aliased pool OUTPUT refs replace the input pool refs for
             # the whole kernel: on hardware they are the same HBM buffers
             # (input_output_aliases); in interpret mode the outputs are
@@ -606,7 +644,7 @@ def paged_attention(
             scr = rest[nlse + 2:]
             body2(
                 l_r, bt_r, cb_r, tl_r, am_r, q_r, kp_out, vp_out, ks_r, vs_r,
-                a_r, kn_r, vn_r, o_r, *lse_outs, *scr,
+                a_r, qs_r, kn_r, vn_r, o_r, *lse_outs, *scr,
             )
     else:
         k_new = jnp.zeros((1, 1, 1), k_pages.dtype)
@@ -628,7 +666,8 @@ def paged_attention(
         interpret=interpret,
     )(
         lengths, block_tables, col_base, total_lens, append_mask, q_blk,
-        k_pages, v_pages, k_scales, v_scales, alibi_slopes, k_new, v_new,
+        k_pages, v_pages, k_scales, v_scales, alibi_slopes, q_scales,
+        k_new, v_new,
     )
 
     def unshuffle(x):

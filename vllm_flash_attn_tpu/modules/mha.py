@@ -78,11 +78,11 @@ def paged_cache_attention(
         state.mode == "decode"
         and not quantized
         and d_model % 128 == 0
-        # opt-in while the hardware cost is being pinned down: the fused
-        # prologue's serialized per-row DMA start+wait pairs measured ~+500us
-        # per call in one (noisy, cross-process) reading vs the XLA scatter's
-        # ~0; semantics are exactness-tested either way
-        and _os.environ.get("VFA_FUSED_APPEND", "0") == "1"
+        # default ON: the clean one-process hardware comparison measured
+        # fused append+attend at 1497us/step vs 1586us attend-only (b8,
+        # ctx2048) — the in-kernel prologue is free; VFA_FUSED_APPEND=0
+        # falls back to the XLA scatter
+        and _os.environ.get("VFA_FUSED_APPEND", "1") == "1"
     ):
         # fused in-kernel append + attention (flash_fwd_kernel.h:671-785
         # analog): the kernel writes each active row's new token into its
