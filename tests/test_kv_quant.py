@@ -109,3 +109,38 @@ def test_quantized_cache_ppl_delta():
     for dtype in ("int8", "fp8"):
         ppl = decode_path_ppl(model, params, text, dtype)
         assert abs(ppl - base) <= 0.05 * max(1.0, base / 10), (dtype, ppl, base)
+
+
+def test_qint8_qk_matmul_decode():
+    """PD_QINT8=1: decode QK as int8 x int8 MXU matmul with a host-quantized
+    q weight. Module-level env knob -> isolated subprocess."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import jax; jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp, numpy as np
+from vllm_flash_attn_tpu.kernels.paged_decode import paged_attention
+from vllm_flash_attn_tpu.kernels.kv_quant import quantize_pages
+rng = np.random.default_rng(0)
+b, hq, hkv, d, ps = 2, 8, 4, 128, 16
+npages = 16
+kp = jnp.asarray(rng.standard_normal((npages, ps, hkv, d)), jnp.float32)
+vp = jnp.asarray(rng.standard_normal((npages, ps, hkv, d)), jnp.float32)
+bt = jnp.asarray(rng.permutation(npages).reshape(b, 8).astype(np.int32))
+lens = jnp.asarray([100, 37], jnp.int32)
+q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
+ref = paged_attention(q, kp.astype(jnp.bfloat16), vp.astype(jnp.bfloat16), lens, bt, interpret=True)
+kq, vq = quantize_pages(kp, vp, jnp.int8)
+out = paged_attention(q, kq, vq, lens, bt, interpret=True)
+err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
+assert err < 0.1, err
+print("QINT8_SUBPROC_OK", err)
+"""
+    env = dict(os.environ, PD_QINT8="1", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True,
+        text=True, timeout=300, cwd="/root/repo",
+    )
+    assert "QINT8_SUBPROC_OK" in r.stdout, (r.stdout, r.stderr[-2000:])
