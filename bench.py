@@ -68,9 +68,14 @@ def timed(fn, chain_arg, *args, n_iter=50):
         return jnp.sum(y.astype(jnp.float32))
 
     float(many(chain_arg, *args))  # warm + compile
-    t0 = time.time()
-    float(many(chain_arg, *args))
-    return (time.time() - t0) / n_iter
+    # best-of-3: a single timed run is exposed to multi-hundred-ms relay
+    # stalls (round-3: one such stall read prefill at 21 TF vs 51 real)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        float(many(chain_arg, *args))
+        best = min(best, time.time() - t0)
+    return best / n_iter
 
 
 def bench_decode(ctx_max=8192, ctx_points=(2048, 8192), batch=8, h=32,
@@ -113,9 +118,12 @@ def bench_decode(ctx_max=8192, ctx_points=(2048, 8192), batch=8, h=32,
     for ctx in ctx_points:
         lens = jnp.full((batch,), ctx, jnp.int32)
         float(many(q0, kp, vp, lens, bt))  # compile (once) + warm
-        t0 = time.time()
-        float(many(q0, kp, vp, lens, bt))
-        dt = (time.time() - t0) / n_iter
+        best = float("inf")
+        for _ in range(3):  # best-of-3 rides out relay stalls
+            t0 = time.time()
+            float(many(q0, kp, vp, lens, bt))
+            best = min(best, time.time() - t0)
+        dt = best / n_iter
         kv_bytes = batch * ctx * 2 * h_k * d * 2  # K+V bf16
         results[ctx] = (batch / dt, kv_bytes / dt / 1e9, dt)
     return results
