@@ -85,11 +85,12 @@ ENV_VARIANTS = {
     "ckp4kbq512": {"PF_CHUNK": "4096", "PF_PIPE": "1"},
     # combined VMEM-traffic cuts on the stepped kernel
     "pr": {"PF_PBF16": "1", "PF_ROWSUM": "1"},
+    "nodiag": {"PF_NODIAG": "1"},  # disable the diagonal-bias fast path
     "prd": {"PF_PBF16": "1", "PF_ROWSUM": "1", "PF_DENSE": "1"},
 }
 _ENV_KEYS = (
     "PF_INTERLEAVE", "PF_PBF16", "PF_DENSE", "PF_ROWSUM", "PF_SKIP",
-    "PF_CHUNK", "PF_PIPE",
+    "PF_CHUNK", "PF_PIPE", "PF_NODIAG",
 )
 
 

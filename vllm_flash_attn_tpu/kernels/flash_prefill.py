@@ -71,6 +71,7 @@ def _fwd_kernel(
     k_ref,
     v_ref,
     alibi_ref,
+    diag_ref,  # (block_q, block_k) fp32 additive causal-mask tile, or (1,1)
     o_ref,
     lse_ref,
     m_scr,
@@ -92,6 +93,7 @@ def _fwd_kernel(
     p_bf16: bool = False,
     interleave: int = 1,
     debug_skip: Tuple[str, ...] = (),
+    diag_bias: bool = False,
     d_model: int = 0,
     qmap_ref=None,
     kmap_ref=None,
@@ -280,6 +282,18 @@ def _fwd_kernel(
             any_mask = (wl >= 0) or (wr >= 0) or (seqlen_k % block_k != 0)
             if not any_mask:
                 online_update(s, False)
+            elif diag_bias:
+                # sq == sk square-block causal fast path: every masked tile
+                # is a pure diagonal tile (no seq tails), and they all share
+                # ONE additive bias (col > row -> MASK). A single add
+                # replaces the two iotas + compare + where passes;
+                # exp2(MASK - m) == 0 keeps the softmax exact.
+                needs = col_base + block_k - 1 > min_row_i + offset
+                jax.lax.cond(
+                    needs,
+                    lambda: online_update(s + diag_ref[rows], False),
+                    lambda: online_update(s, False),
+                )
             else:
                 needs = col_base + block_k > seqlen_k
                 if wr >= 0:
@@ -575,6 +589,7 @@ def _flash_attention_impl(
     debug_skip: Tuple[str, ...] = (),
     kv_chunk: int = 0,
     pipe: bool = False,
+    no_diag: bool = False,
     interpret: Optional[bool] = None,
 ):
     """Flash attention forward.
@@ -768,6 +783,32 @@ def _flash_attention_impl(
     else:
         alibi_slopes = jnp.zeros((1, 1), jnp.float32)
 
+    # diagonal-bias experiment: square blocks + block-aligned causal offset +
+    # no seq tails means every masked tile is a diagonal tile sharing ONE
+    # additive (col > row -> MASK) bias — one add replaces the iota/compare/
+    # where passes. Measured NEUTRAL on v5e (51.7 vs 51.8 TF in-process),
+    # consistent with the stage isolation: mask passes are not the
+    # bottleneck. Off by default (opt-in via no_diag=False callers /
+    # PF_DIAG=1); kept for future rigs where iota ALU is dearer
+    offset_ = sk - sq
+    diag_bias = (
+        causal
+        and _wl0 < 0
+        and block_q == block_k
+        and offset_ % block_k == 0
+        and sk % block_k == 0
+        and not has_alibi
+        and not no_diag
+    )
+    if diag_bias:
+        r_ = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        c_ = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        diag_tile = jnp.where(c_ > r_, DEFAULT_MASK_VALUE, 0.0).astype(
+            jnp.float32
+        )
+    else:
+        diag_tile = jnp.zeros((1, 1), jnp.float32)
+
     body = functools.partial(
         _fwd_kernel,
         sm_scale=float(sm_scale),
@@ -785,16 +826,17 @@ def _flash_attention_impl(
         p_bf16=p_bf16,
         interleave=interleave,
         debug_skip=tuple(debug_skip),
+        diag_bias=diag_bias,
         d_model=d,
     )
 
     if folded:
 
-        def kernel(qm_r, km_r, q_r, k_r, v_r, a_r, o_r, *rest):
+        def kernel(qm_r, km_r, q_r, k_r, v_r, a_r, dg_r, o_r, *rest):
             lse_r = rest[0] if return_lse else None
             scr = rest[1:] if return_lse else rest
             body(
-                q_r, k_r, v_r, a_r, o_r, lse_r, *scr,
+                q_r, k_r, v_r, a_r, dg_r, o_r, lse_r, *scr,
                 qmap_ref=qm_r, kmap_ref=km_r,
             )
 
@@ -808,10 +850,10 @@ def _flash_attention_impl(
         grid = (b, h, len(qmap))
     else:
 
-        def kernel(q_r, k_r, v_r, a_r, o_r, *rest):
+        def kernel(q_r, k_r, v_r, a_r, dg_r, o_r, *rest):
             lse_r = rest[0] if return_lse else None
             scr = rest[1:] if return_lse else rest
-            body(q_r, k_r, v_r, a_r, o_r, lse_r, *scr)
+            body(q_r, k_r, v_r, a_r, dg_r, o_r, lse_r, *scr)
 
         def q_index(b_, h_, qi, ki):
             return (b_, h_, qi, 0)
@@ -825,6 +867,13 @@ def _flash_attention_impl(
         pl.BlockSpec((1, 1, block_k, d), kv_index),
         pl.BlockSpec((1, 1, block_k, d_v), kv_index),
         pl.BlockSpec(memory_space=pltpu.SMEM),
+        (
+            pl.BlockSpec(
+                (block_q, block_k), lambda *a: (0, 0)
+            )
+            if diag_bias
+            else pl.BlockSpec(memory_space=pl.ANY)
+        ),
     ]
     out_shape = [jax.ShapeDtypeStruct((b, h, sq, d), q.dtype)]
     out_specs = [pl.BlockSpec((1, 1, block_q, d), q_index)]
@@ -863,7 +912,7 @@ def _flash_attention_impl(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(qmap, kmap, q, k, v, alibi_slopes)
+        )(qmap, kmap, q, k, v, alibi_slopes, diag_tile)
     else:
         results = pl.pallas_call(
             kernel,
@@ -881,7 +930,7 @@ def _flash_attention_impl(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(q, k, v, alibi_slopes)
+        )(q, k, v, alibi_slopes, diag_tile)
     if return_lse:
         out, lse = results
         return out[..., :d_orig], lse[..., 0]
@@ -895,12 +944,12 @@ def _flash_attention_impl(
 
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17),
+    nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18),
 )
 def _flash_attention_vjp(
     q, k, v, alibi_slopes, causal, sm_scale, window, softcap, block_q, block_k,
     fuse_rowsum, p_bf16, interleave, force_dense, debug_skip, kv_chunk,
-    pipe, interpret,
+    pipe, no_diag, interpret,
 ):
     return _flash_attention_impl(
         q, k, v, alibi_slopes if alibi_slopes.size else None,
@@ -909,14 +958,14 @@ def _flash_attention_vjp(
         return_lse=False, fuse_rowsum=fuse_rowsum, p_bf16=p_bf16,
         interleave=interleave, force_dense=force_dense,
         debug_skip=debug_skip, kv_chunk=kv_chunk, pipe=pipe,
-        interpret=interpret,
+        no_diag=no_diag, interpret=interpret,
     )
 
 
 def _vjp_fwd(
     q, k, v, alibi_slopes, causal, sm_scale, window, softcap, block_q, block_k,
     fuse_rowsum, p_bf16, interleave, force_dense, debug_skip, kv_chunk,
-    pipe, interpret,
+    pipe, no_diag, interpret,
 ):
     out, lse = _flash_attention_impl(
         q, k, v, alibi_slopes if alibi_slopes.size else None,
@@ -925,15 +974,15 @@ def _vjp_fwd(
         return_lse=True, fuse_rowsum=fuse_rowsum, p_bf16=p_bf16,
         interleave=interleave, force_dense=force_dense,
         debug_skip=debug_skip, kv_chunk=kv_chunk, pipe=pipe,
-        interpret=interpret,
+        no_diag=no_diag, interpret=interpret,
     )
     return out, (q, k, v, alibi_slopes, out, lse)
 
 
 def _vjp_bwd(
     causal, sm_scale, window, softcap, block_q, block_k, fuse_rowsum,
-    p_bf16, interleave, force_dense, debug_skip, kv_chunk, pipe, interpret,
-    res, g
+    p_bf16, interleave, force_dense, debug_skip, kv_chunk, pipe, no_diag,
+    interpret, res, g
 ):
     from vllm_flash_attn_tpu.kernels.flash_backward import mha_backward
 
@@ -954,13 +1003,13 @@ _flash_attention_vjp.defvjp(_vjp_fwd, _vjp_bwd)
     static_argnames=(
         "causal", "sm_scale", "window", "softcap", "block_q", "block_k",
         "return_lse", "fuse_rowsum", "p_bf16", "interleave", "force_dense",
-        "debug_skip", "kv_chunk", "pipe", "interpret",
+        "debug_skip", "kv_chunk", "pipe", "no_diag", "interpret",
     ),
 )
 def _flash_attention_jit(
     q, k, v, alibi_slopes, *, causal, sm_scale, window, softcap, block_q,
     block_k, return_lse, fuse_rowsum, p_bf16, interleave, force_dense,
-    debug_skip, kv_chunk, pipe, interpret,
+    debug_skip, kv_chunk, pipe, no_diag, interpret,
 ):
     if return_lse:
         return _flash_attention_impl(
@@ -969,7 +1018,7 @@ def _flash_attention_jit(
             return_lse=True, fuse_rowsum=fuse_rowsum, p_bf16=p_bf16,
             interleave=interleave, force_dense=force_dense,
             debug_skip=debug_skip, kv_chunk=kv_chunk, pipe=pipe,
-            interpret=interpret,
+            no_diag=no_diag, interpret=interpret,
         )
     if alibi_slopes is None:
         alibi_norm = jnp.zeros((0, 0), jnp.float32)
@@ -982,7 +1031,7 @@ def _flash_attention_jit(
     return _flash_attention_vjp(
         q, k, v, alibi_norm, causal, float(sm_scale), tuple(window),
         float(softcap), block_q, block_k, fuse_rowsum, p_bf16, interleave,
-        force_dense, debug_skip, kv_chunk, pipe, interpret,
+        force_dense, debug_skip, kv_chunk, pipe, no_diag, interpret,
     )
 
 
@@ -1006,6 +1055,7 @@ def flash_attention(
     debug_skip: Optional[Tuple[str, ...]] = None,
     kv_chunk: Optional[int] = None,
     pipe: Optional[bool] = None,
+    no_diag: Optional[bool] = None,
     interpret: Optional[bool] = None,
 ):
     """Flash attention forward (differentiable when return_lse=False).
@@ -1041,11 +1091,15 @@ def flash_attention(
         kv_chunk = int(os.environ.get("PF_CHUNK", "0"))
     if pipe is None:
         pipe = os.environ.get("PF_PIPE", "0") == "1"
+    if no_diag is None:
+        # experiment default OFF: enable with PF_DIAG=1 (measured neutral)
+        no_diag = os.environ.get("PF_DIAG", "0") != "1"
     return _flash_attention_jit(
         q, k, v, alibi_slopes, causal=causal, sm_scale=float(sm_scale),
         window=tuple(window), softcap=float(softcap), block_q=block_q,
         block_k=block_k, return_lse=return_lse, fuse_rowsum=bool(fuse_rowsum),
         p_bf16=bool(p_bf16), interleave=int(interleave),
         force_dense=bool(force_dense), debug_skip=tuple(debug_skip),
-        kv_chunk=int(kv_chunk), pipe=bool(pipe), interpret=interpret,
+        kv_chunk=int(kv_chunk), pipe=bool(pipe), no_diag=bool(no_diag),
+        interpret=interpret,
     )
