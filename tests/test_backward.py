@@ -132,3 +132,84 @@ def test_grads_varlen_match_dense(causal, h, h_k):
             np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3,
             err_msg=f"d{name}",
         )
+
+
+def test_pallas_backward_matches_xla():
+    """mha_backward_pallas (two-kernel TPU backward) vs the XLA backward and
+    dense autodiff across causal/window/ragged/odd-d shapes."""
+    from vllm_flash_attn_tpu.kernels.flash_backward import mha_backward
+    from vllm_flash_attn_tpu.kernels.flash_backward_pallas import (
+        mha_backward_pallas,
+    )
+    from vllm_flash_attn_tpu.kernels.flash_prefill import flash_attention
+
+    rng = np.random.default_rng(33)
+    cases = [
+        dict(b=1, h=2, sq=256, sk=256, d=128, causal=True, window=(-1, -1)),
+        dict(b=2, h=2, sq=384, sk=640, d=128, causal=True, window=(-1, -1)),
+        dict(b=1, h=2, sq=512, sk=512, d=64, causal=False, window=(-1, -1)),
+        dict(b=1, h=2, sq=512, sk=512, d=128, causal=True, window=(128, -1)),
+    ]
+    for c in cases:
+        q = jnp.asarray(
+            rng.standard_normal((c["b"], c["h"], c["sq"], c["d"])), jnp.float32
+        )
+        k = jnp.asarray(
+            rng.standard_normal((c["b"], c["h"], c["sk"], c["d"])), jnp.float32
+        )
+        v = jnp.asarray(
+            rng.standard_normal((c["b"], c["h"], c["sk"], c["d"])), jnp.float32
+        )
+        sm = 1.0 / np.sqrt(c["d"])
+        out, lse = flash_attention(
+            q, k, v, causal=c["causal"], window=c["window"], return_lse=True,
+            interpret=True, block_q=256, block_k=256,
+        )
+        do = jnp.asarray(
+            rng.standard_normal(out.shape), jnp.float32
+        )
+        ref = mha_backward(
+            q, k, v, out, lse, do, None, causal=c["causal"], sm_scale=sm,
+            window=c["window"], softcap=0.0,
+        )
+        got = mha_backward_pallas(
+            q, k, v, out, lse, do, causal=c["causal"], sm_scale=sm,
+            window=c["window"], block_q=256, block_k=256, interpret=True,
+        )
+        for name, a, b_ in zip(("dq", "dk", "dv"), got, ref):
+            scale = float(jnp.max(jnp.abs(b_))) + 1e-9
+            err = float(jnp.max(jnp.abs(a - b_))) / scale
+            assert err < 1e-3, (c, name, err)
+
+
+def test_vjp_routes_pallas_and_fallback():
+    """The custom_vjp picks the Pallas backward for MHA and falls back for
+    GQA — grads must match the dense oracle either way."""
+    from vllm_flash_attn_tpu.kernels.flash_prefill import flash_attention
+
+    rng = np.random.default_rng(34)
+    for h, hk in ((4, 4), (4, 2)):  # MHA (pallas) and GQA (XLA fallback)
+        q = jnp.asarray(rng.standard_normal((1, h, 256, 64)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, hk, 256, 64)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, hk, 256, 64)), jnp.float32)
+
+        def loss_flash(q_, k_, v_):
+            return jnp.sum(
+                flash_attention(q_, k_, v_, causal=True, interpret=True) ** 2
+            )
+
+        def loss_dense(q_, k_, v_):
+            kk = jnp.repeat(k_, h // hk, axis=1)
+            vv = jnp.repeat(v_, h // hk, axis=1)
+            s = jnp.einsum("bhqd,bhkd->bhqk", q_, kk) / jnp.sqrt(64.0)
+            m = jnp.triu(jnp.ones((256, 256), bool), 1)
+            s = jnp.where(m[None, None], -1e30, s)
+            p = jax.nn.softmax(s, -1)
+            return jnp.sum(jnp.einsum("bhqk,bhkd->bhqd", p, vv) ** 2)
+
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b_ in zip(("dq", "dk", "dv"), g1, g2):
+            scale = float(jnp.max(jnp.abs(b_))) + 1e-9
+            err = float(jnp.max(jnp.abs(a - b_))) / scale
+            assert err < 1e-3, (h, hk, name, err)

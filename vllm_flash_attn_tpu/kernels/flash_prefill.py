@@ -985,13 +985,35 @@ def _vjp_bwd(
     interpret, res, g
 ):
     from vllm_flash_attn_tpu.kernels.flash_backward import mha_backward
+    from vllm_flash_attn_tpu.kernels.flash_backward_pallas import (
+        mha_backward_pallas,
+        supports_pallas_backward,
+    )
 
     q, k, v, alibi_slopes, out, lse = res
-    dq, dk, dv = mha_backward(
-        q, k, v, out, lse, g,
-        alibi_slopes if alibi_slopes.size else None,
-        causal=causal, sm_scale=sm_scale, window=window, softcap=softcap,
+    # hot MHA shapes take the Pallas kernel pair (round-3 profiling: the XLA
+    # backward was ~52% of train-step device time); GQA/alibi/softcap and
+    # non-causal bounded windows fall back to the XLA path. VFA_XLA_BWD=1
+    # forces the fallback.
+    use_pallas = (
+        supports_pallas_backward(
+            q.shape[1], k.shape[1], softcap, bool(alibi_slopes.size)
+        )
+        and (causal or tuple(window) == (-1, -1))
+        and os.environ.get("VFA_XLA_BWD", "0") != "1"
     )
+    if use_pallas:
+        dq, dk, dv = mha_backward_pallas(
+            q, k, v, out, lse, g,
+            causal=causal, sm_scale=sm_scale, window=window,
+            interpret=interpret,
+        )
+    else:
+        dq, dk, dv = mha_backward(
+            q, k, v, out, lse, g,
+            alibi_slopes if alibi_slopes.size else None,
+            causal=causal, sm_scale=sm_scale, window=window, softcap=softcap,
+        )
     return dq, dk, dv, jnp.zeros_like(alibi_slopes)
 
 
