@@ -183,8 +183,8 @@ def test_pallas_backward_matches_xla():
 
 
 def test_vjp_routes_pallas_and_fallback():
-    """The custom_vjp picks the Pallas backward for MHA and falls back for
-    GQA — grads must match the dense oracle either way."""
+    """The custom_vjp picks the Pallas backward for MHA and GQA — grads
+    must match the dense oracle either way."""
     from vllm_flash_attn_tpu.kernels.flash_prefill import flash_attention
 
     rng = np.random.default_rng(34)

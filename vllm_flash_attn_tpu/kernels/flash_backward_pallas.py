@@ -22,9 +22,10 @@ fold into the one fused elementwise chain per tile:
     dv += p^T @ do
 where D = rowsum(do * out) is computed once in XLA.
 
-v1 scope: MHA (h == h_kv), causal/sliding-window, no alibi/softcap — other
-configurations fall back to the XLA backward (the custom_vjp dispatcher in
-flash_prefill picks per trace).
+Scope: MHA and GQA (dk/dv accumulate across the q-head group via the
+serial sweep axis — the XLA backward's fused group-sum, done by iteration
+order), causal/sliding-window. alibi/softcap fall back to the XLA backward
+(the custom_vjp dispatcher in flash_prefill picks per trace).
 """
 
 from __future__ import annotations
@@ -152,9 +153,15 @@ def _dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref, dk_out, dv_out,
     dk_acc, dv_acc, *,
     causal, window, block_q, block_k, seqlen_q, seqlen_k, sm_scale, nq,
+    q_per_kv: int = 1,
 ):
     ki = pl.program_id(2)
-    qi = pl.program_id(3)
+    # serial axis enumerates (g, qi): all q blocks of every q head in this
+    # kv head's group — dk/dv accumulate across the whole group (the XLA
+    # backward's fused group-sum, done by sweep order here)
+    t = pl.program_id(3)
+    qi = jax.lax.rem(t, nq)
+    g = t // nq
     offset = seqlen_k - seqlen_q
     wl, wr = window
     if causal:
@@ -176,7 +183,7 @@ def _dkv_kernel(
 
     @pl.when(jnp.logical_and(qi >= first_q, qi <= last_q))
     def _run():
-        @pl.when(qi == first_q)
+        @pl.when(jnp.logical_and(g == 0, qi == first_q))
         def _init():
             dk_acc[...] = jnp.zeros(dk_acc.shape, jnp.float32)
             dv_acc[...] = jnp.zeros(dv_acc.shape, jnp.float32)
@@ -224,14 +231,14 @@ def _dkv_kernel(
             needs |= col_base < max_row + offset - wl
         jax.lax.cond(needs, lambda: update(True), lambda: update(False))
 
-        @pl.when(qi == last_q)
+        @pl.when(jnp.logical_and(g == q_per_kv - 1, qi == last_q))
         def _store():
             dk_out[0, 0] = dk_acc[...].astype(dk_out.dtype)
             dv_out[0, 0] = dv_acc[...].astype(dv_out.dtype)
 
 
 def supports_pallas_backward(h, h_k, softcap, has_alibi) -> bool:
-    return h == h_k and softcap == 0.0 and not has_alibi
+    return h % h_k == 0 and softcap == 0.0 and not has_alibi
 
 
 @functools.partial(
@@ -257,7 +264,9 @@ def mha_backward_pallas(
 ):
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    assert k.shape[1] == h, "pallas backward is MHA-only (GQA falls back)"
+    h_k = k.shape[1]
+    assert h % h_k == 0
+    qpk = h // h_k
     if interpret is None:
         interpret = use_interpret()
 
@@ -289,8 +298,8 @@ def mha_backward_pallas(
     def qix(b_, h_, qi, ki):
         return (b_, h_, qi, 0)
 
-    def kix(b_, h_, qi, ki):
-        return (b_, h_, ki, 0)
+    def kix(b_, h_, qi, ki, qpk=qpk):
+        return (b_, h_ // qpk, ki, 0)
 
     dq = pl.pallas_call(
         functools.partial(
@@ -319,19 +328,20 @@ def mha_backward_pallas(
         interpret=interpret,
     )(q_s, k, v, do, lse2, dval)
 
-    def qix2(b_, h_, ki, qi):
-        return (b_, h_, qi, 0)
+    def qix2(b_, hk_, ki, t, qpk=qpk, nq=nq):
+        # serial axis t = g*nq + qi; q head = kv_head*qpk + g
+        return (b_, hk_ * qpk + t // nq, t % nq, 0)
 
-    def kix2(b_, h_, ki, qi):
-        return (b_, h_, ki, 0)
+    def kix2(b_, hk_, ki, t):
+        return (b_, hk_, ki, 0)
 
     dk, dv = pl.pallas_call(
         functools.partial(
             _dkv_kernel, causal=causal, window=(wl_, wr_), block_q=block_q,
             block_k=block_k, seqlen_q=sq, seqlen_k=sk,
-            sm_scale=float(sm_scale), nq=nq,
+            sm_scale=float(sm_scale), nq=nq, q_per_kv=qpk,
         ),
-        grid=(b, h, nk, nq),
+        grid=(b, h_k, nk, qpk * nq),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), qix2),
             pl.BlockSpec((1, 1, block_k, d), kix2),
@@ -345,8 +355,8 @@ def mha_backward_pallas(
             pl.BlockSpec((1, 1, block_k, d), kix2),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, sk, d), k.dtype),
-            jax.ShapeDtypeStruct((b, h, sk, d), v.dtype),
+            jax.ShapeDtypeStruct((b, h_k, sk, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h_k, sk, d), v.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_k, d), jnp.float32),
