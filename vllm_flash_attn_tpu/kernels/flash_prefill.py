@@ -1003,9 +1003,13 @@ def _vjp_bwd(
         and os.environ.get("VFA_XLA_BWD", "0") != "1"
     )
     if use_pallas:
+        # per-PROCESS block-size knobs (read at trace time; fine for A/B
+        # benches which use one setting per process — do not flip mid-process)
         dq, dk, dv = mha_backward_pallas(
             q, k, v, out, lse, g,
             causal=causal, sm_scale=sm_scale, window=window,
+            block_q=int(os.environ.get("PB_BQ", "512")),
+            block_k=int(os.environ.get("PB_BK", "512")),
             interpret=interpret,
         )
     else:
