@@ -1008,8 +1008,8 @@ def _vjp_bwd(
         dq, dk, dv = mha_backward_pallas(
             q, k, v, out, lse, g,
             causal=causal, sm_scale=sm_scale, window=window,
-            block_q=int(os.environ.get("PB_BQ", "512")),
-            block_k=int(os.environ.get("PB_BK", "512")),
+            block_q=int(os.environ.get("PB_BQ", "1024")),
+            block_k=int(os.environ.get("PB_BK", "1024")),
             interpret=interpret,
         )
     else:
