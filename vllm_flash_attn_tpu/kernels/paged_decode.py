@@ -50,11 +50,13 @@ from vllm_flash_attn_tpu.kernels.flash_prefill import (
 _DEBUG_SKIP = frozenset(
     s for s in os.environ.get("PD_SKIP", "").split(",") if s
 )
-# int8 cache experiment: run QK as an int8x int8 MXU matmul against a
-# host-quantized block-diagonal q weight (per-q-head absmax scales folded
-# into the existing per-token k-scale multiply) instead of casting the K
-# block to bf16. Read per process like PD_SKIP.
-_QINT8 = os.environ.get("PD_QINT8", "0") == "1"
+# int8 cache: run QK as an int8 x int8 MXU matmul against a host-quantized
+# block-diagonal q weight (per-b-per-head absmax scales folded into the
+# existing per-token k-scale multiply) instead of casting the K block to
+# bf16. Default ON: raw decode 1.43x bf16 without it, ~1.0x with it
+# (in-process v5e A/B), ppl delta +0.015 vs the 0.05 budget
+# (eval_kv_quant_ppl). PD_QINT8=0 reverts. Read per process like PD_SKIP.
+_QINT8 = os.environ.get("PD_QINT8", "1") == "1"
 
 
 def _decode_kernel(
