@@ -236,7 +236,10 @@ def _decode_kernel(
         # what turns the per-head matvec (M=1, unusable) into one fat matmul.
         k_tok = k_buf[slot].reshape(bk, h_kv * k_buf.shape[-1])
         q_blk = q_ref[0]  # (h_kv*d, hq) block-diagonal
-        qint8 = quantized and _QINT8 and k_buf.dtype == jnp.int8
+        qint8 = (
+            quantized and _QINT8 and k_buf.dtype == jnp.int8
+            and q_ref.shape[-1] % 8 == 0
+        )
         if quantized and not qint8:
             # int8/fp8 payloads are exact in bf16 (<= 8 mantissa bits); cast so
             # the dot stays on the fast bf16 MXU path (scales fold in below)
@@ -493,7 +496,11 @@ def paged_attention(
     ).astype(q.dtype)
     q_blk = jnp.einsum("bjr,gj->bgrj", q, eye).reshape(batch, h_kv * d, h_q)
     q_scales = jnp.ones((1, h_q), jnp.float32)
-    if quantized and _QINT8 and k_pages.dtype == jnp.int8:
+    # int8 operands carry (32,128)-tiled packing: the block-diagonal weight's
+    # minor dims must be 4-sublane-aligned, so tiny head counts (h_q < 8)
+    # keep the bf16-cast path (Mosaic: "Slice shape along dimension 2 must
+    # be aligned to tiling (4)")
+    if quantized and _QINT8 and k_pages.dtype == jnp.int8 and h_q % 8 == 0:
         # per-(batch, q-head) absmax quantization of the block-diagonal
         # weight; sm_scale*log2e is already folded in, so the scale carries
         # it. Scales broadcast per batch via a (batch, 1, hq) -> take the

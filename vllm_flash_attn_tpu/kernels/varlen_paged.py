@@ -42,7 +42,8 @@ from vllm_flash_attn_tpu.kernels.flash_prefill import (
 
 def _kernel(
     # scalar prefetch
-    cu_q_ref,  # (b+1,) int32 query sequence starts
+    cu_q_ref,  # (b+1,) int32 query sequence starts (8-ALIGNED packing)
+    lens_q_ref,  # (b,) int32 TRUE query lengths (aligned slots may exceed)
     lens_k_ref,  # (b,) int32 keys per sequence
     tables_ref,  # (b, max_pages) int32
     # inputs (ANY/HBM)
@@ -89,8 +90,11 @@ def _kernel(
     if causal:
         wr = 0
 
-    q_start = cu_q_ref[b]
-    len_q = cu_q_ref[b + 1] - q_start
+    # the host repacks q so every sequence starts on an 8-row boundary and
+    # block_q is a multiple of 8 — assert it so Mosaic can prove the
+    # sublane-dim DMA offsets divisible by the tiling
+    q_start = pl.multiple_of(cu_q_ref[b], 8)
+    len_q = lens_q_ref[b]
     len_k = lens_k_ref[b]
     nq_b = pl.cdiv(len_q, block_q)
 
@@ -151,7 +155,10 @@ def _kernel(
             # row start: kick off the first kv block and this row's q window
             start_kv_fetch(ki, slot)
             pltpu.make_async_copy(
-                q_hbm.at[h_, pl.ds(q_start + qi * block_q, block_q)],
+                q_hbm.at[
+                    h_, pl.ds(pl.multiple_of(q_start + qi * block_q, 8),
+                              block_q)
+                ],
                 q_buf,
                 qo_sem.at[0],
             ).start()
@@ -159,7 +166,10 @@ def _kernel(
             l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
             acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
             pltpu.make_async_copy(
-                q_hbm.at[h_, pl.ds(q_start + qi * block_q, block_q)],
+                q_hbm.at[
+                    h_, pl.ds(pl.multiple_of(q_start + qi * block_q, 8),
+                              block_q)
+                ],
                 q_buf,
                 qo_sem.at[0],
             ).wait()
@@ -231,7 +241,10 @@ def _kernel(
             o_buf[...] = (acc_scr[...] * l_inv).astype(o_buf.dtype)
             copy = pltpu.make_async_copy(
                 o_buf,
-                o_hbm.at[h_, pl.ds(q_start + qi * block_q, block_q)],
+                o_hbm.at[
+                    h_, pl.ds(pl.multiple_of(q_start + qi * block_q, 8),
+                              block_q)
+                ],
                 qo_sem.at[1],
             )
             copy.start()
@@ -242,7 +255,11 @@ def _kernel(
                 lse_buf[...] = jnp.broadcast_to(lse, lse_buf.shape)
                 lcopy = pltpu.make_async_copy(
                     lse_buf,
-                    lse_hbm.at[h_, pl.ds(q_start + qi * block_q, block_q)],
+                    lse_hbm.at[
+                        h_,
+                        pl.ds(pl.multiple_of(q_start + qi * block_q, 8),
+                              block_q),
+                    ],
                     qo_sem.at[1],
                 )
                 lcopy.start()
@@ -312,9 +329,30 @@ def flash_attention_varlen_paged(
     # uses native exp2 (scale_softmax_log2, flash_api.cpp:21-137).
     q = (q * jnp.asarray(sm_scale * LOG2E, q.dtype)).astype(q.dtype)
 
+    # 8-align each sequence's packed rows: Mosaic requires the kernel's
+    # sublane-dim q/o window DMA offsets to be PROVABLY divisible by the
+    # (8,128) tiling, and arbitrary cu_seqlens are not (found by round-3
+    # hardware smoke — interpret mode does not check this). One scatter in,
+    # one gather out; O(total_q) next to the attention sweep.
+    cu_q32 = cu_seqlens_q.astype(jnp.int32)
+    lens_q_ = cu_q32[1:] - cu_q32[:-1]
+    aligned_lens = ((lens_q_ + 7) // 8) * 8
+    cu_aligned = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned_lens)]
+    ).astype(jnp.int32)
+    tok = jnp.arange(total_q, dtype=jnp.int32)
+    seg = jnp.searchsorted(cu_q32[1:], tok, side="right").astype(jnp.int32)
+    new_idx = cu_aligned[seg] + (tok - cu_q32[seg])
+    total_aligned = total_q + 8 * batch  # static bound on the aligned total
+    q = (
+        jnp.zeros((h, total_aligned, d), q.dtype)
+        .at[:, new_idx, :].set(q, mode="promise_in_bounds")
+    )
+    cu_for_kernel = cu_aligned
+
     # pad the packed q stream so every block_q window DMA is in-bounds
-    total_pad = (pl.cdiv(total_q, block_q) + 1) * block_q
-    q = jnp.pad(q, [(0, 0), (0, total_pad - total_q), (0, 0)])
+    total_pad = (pl.cdiv(total_aligned, block_q) + 1) * block_q
+    q = jnp.pad(q, [(0, 0), (0, total_pad - total_aligned), (0, 0)])
 
     has_alibi = alibi_slopes is not None
     if has_alibi:
@@ -346,12 +384,12 @@ def flash_attention_varlen_paged(
     if not return_lse:
         body = kernel
 
-        def kernel(cu_r, lk_r, bt_r, q_r, k_r, v_r, a_r, o_r, *scr):  # noqa: F811
-            body(cu_r, lk_r, bt_r, q_r, k_r, v_r, a_r, o_r, None, *scr)
+        def kernel(cu_r, lq_r, lk_r, bt_r, q_r, k_r, v_r, a_r, o_r, *scr):  # noqa: F811
+            body(cu_r, lq_r, lk_r, bt_r, q_r, k_r, v_r, a_r, o_r, None, *scr)
 
     grid = (h, batch, nq, nkb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # q stream
@@ -393,7 +431,8 @@ def flash_attention_varlen_paged(
         ),
         interpret=interpret,
     )(
-        cu_seqlens_q.astype(jnp.int32),
+        cu_for_kernel,
+        lens_q_.astype(jnp.int32),
         lens_k.astype(jnp.int32),
         block_tables.astype(jnp.int32),
         q,
@@ -401,7 +440,7 @@ def flash_attention_varlen_paged(
         v_pages,
         alibi_slopes,
     )
-    out = results[0][:, :total_q, :d_orig]
+    out = results[0][:, new_idx, :d_orig]  # gather back to the caller's packing
     if return_lse:
-        return out, results[1][:, :total_q, 0]
+        return out, results[1][:, new_idx, 0]
     return out

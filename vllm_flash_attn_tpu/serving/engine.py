@@ -126,6 +126,17 @@ class LLMEngine:
                 QuantizedPages,
             )
 
+            if self.h_kv % 4 != 0 and jax.devices()[0].platform == "tpu":
+                # int8/fp8 page pools carry (32,128) tiling with 4-sublane
+                # packing on TPU: Mosaic rejects page DMAs when the kv-head
+                # dim is not 4-aligned ("Slice shape along dimension 2 must
+                # be aligned to tiling (4)"). MQA/tiny-h_kv quantized
+                # serving needs a padded pool layout (backlog).
+                raise NotImplementedError(
+                    f"quantized KV cache requires num_kv_heads % 4 == 0 on "
+                    f"TPU (got {self.h_kv}); use a bf16 cache"
+                )
+
             qdtype = jnp.int8 if cache_dtype == "int8" else jnp.float8_e4m3fn
             shape = (c.n_layer, num_pages, page_size, self.h_kv, self.dh)
             sshape = (c.n_layer, num_pages, page_size, SCALE_LANES)
