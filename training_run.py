@@ -91,12 +91,53 @@ def _deep_merge(dst: dict, src: dict):
 _INNER = __import__("re").compile(r"\$\{([^${}]+)\}")
 
 
+def _safe_eval(expr: str):
+    """Arithmetic-only evaluator for `${eval:...}` — an AST walker over a
+    whitelist of node/operator types, so YAML files cannot execute arbitrary
+    code (the reference confines its OmegaConf eval resolver to arithmetic
+    use; here that is enforced, not assumed)."""
+    import ast
+    import operator as op
+
+    ops = {
+        ast.Add: op.add, ast.Sub: op.sub, ast.Mult: op.mul,
+        ast.Div: op.truediv, ast.FloorDiv: op.floordiv, ast.Mod: op.mod,
+        ast.Pow: op.pow, ast.USub: op.neg, ast.UAdd: op.pos,
+    }
+    fns = {"min": min, "max": max, "abs": abs, "int": int, "round": round}
+
+    def ev(node):
+        if isinstance(node, ast.Expression):
+            return ev(node.body)
+        if isinstance(node, ast.Constant) and isinstance(
+            node.value, (int, float, bool)
+        ):
+            return node.value
+        if isinstance(node, ast.BinOp) and type(node.op) in ops:
+            return ops[type(node.op)](ev(node.left), ev(node.right))
+        if isinstance(node, ast.UnaryOp) and type(node.op) in ops:
+            return ops[type(node.op)](ev(node.operand))
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Name)
+            and node.func.id in fns
+            and not node.keywords
+        ):
+            return fns[node.func.id](*(ev(a) for a in node.args))
+        raise ValueError(
+            f"eval: only arithmetic expressions are allowed, got "
+            f"{ast.dump(node)} in {expr!r}"
+        )
+
+    return ev(ast.parse(expr, mode="eval"))
+
+
 def _resolve_one(body: str, root: dict):
     """Resolve one innermost interpolation body: `eval:expr`, `div_up:a,b`
     (the reference's OmegaConf resolvers, training/run.py:11-15), or a
     dotted key reference."""
     if body.startswith("eval:"):
-        return eval(body[5:], {"__builtins__": {}}, {})  # noqa: S307
+        return _safe_eval(body[5:])
     if body.startswith("div_up:"):
         a, b = (int(float(x)) for x in body[7:].split(","))
         return -(-a // b)

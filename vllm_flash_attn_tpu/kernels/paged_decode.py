@@ -722,6 +722,18 @@ def num_splits_heuristic(
     return max(1, min(want, max_pages, max_splits))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_splits",
+        "sm_scale",
+        "window",
+        "softcap",
+        "pages_per_compute_block",
+        "return_lse",
+        "interpret",
+    ),
+)
 def paged_attention_splitkv(
     q: jax.Array,
     k_pages: jax.Array,
@@ -794,7 +806,15 @@ def paged_attention_splitkv(
     alibi_v = None
     if alibi_slopes is not None:
         a = jnp.asarray(alibi_slopes, jnp.float32)
-        alibi_v = a if a.ndim == 1 else jnp.tile(a, (S, 1))
+        # paged_attention takes (h_q,) slopes only; per-batch (b, h) slopes
+        # would need a per-row slope operand in the kernel (unsupported —
+        # the reference validates both but vLLM only ever passes (h,),
+        # flash_api.cpp:221-237)
+        assert a.ndim == 1, (
+            "per-batch (batch, nheads) alibi_slopes are not supported; "
+            "pass (nheads,) slopes"
+        )
+        alibi_v = a
 
     out_v, lse_v = paged_attention(
         q_v, k_pages, v_pages, lens_v, tables_v, alibi_v,

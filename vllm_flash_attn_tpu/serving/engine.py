@@ -56,9 +56,10 @@ class Request:
     def sample(self, logits: np.ndarray) -> int:
         """Pick the next token from a (vocab,) fp32 logits row (host-side;
         mirrors utils.generation._sample semantics). Sampling happens on the
-        host because the logits row is already materialized there each tick;
-        per-request RNG state survives preemption restarts only in the sense
-        that a restarted request resamples from a fresh stream."""
+        host because the logits row is already materialized there each tick.
+        Preemption resets _rng to None, so a restarted request replays the
+        SAME seeded stream from the start — deterministic regardless of
+        scheduling order."""
         if self.temperature == 0.0 or self.top_k == 1:
             return int(np.argmax(logits))
         if self._rng is None:
@@ -409,6 +410,7 @@ class LLMEngine:
         self._admit_order.remove(slot)
         self.allocator.free_seq(slot)
         req.output_tokens = []  # restart-on-preempt
+        req._rng = None  # replay the same seeded sample stream from scratch
         self.pending.insert(0, req)
         return slot
 

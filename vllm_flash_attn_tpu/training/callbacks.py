@@ -170,9 +170,11 @@ class JsonlLogger:
 
 
 class CsvLogger:
-    """Buffers rows until close() so the header covers the union of metric
-    keys — keys that first appear mid-run (e.g. 'mfu' once SpeedMonitor has a
-    throughput sample) are not silently dropped from every row."""
+    """Header covers the union of metric keys — keys that first appear
+    mid-run (e.g. 'mfu' once SpeedMonitor has a throughput sample) are not
+    silently dropped. Every log() rewrites the file atomically (tmp +
+    os.replace) so a crash/SIGKILL mid-run loses at most the in-flight row
+    and resumed runs never produce multi-header files."""
 
     def __init__(self, path):
         self._path = path
@@ -184,15 +186,19 @@ class CsvLogger:
             if k not in self._keys:
                 self._keys.append(k)
         self._rows.append({"step": step, **metrics})
+        self._flush()
 
     def _flush(self):
-        with open(self._path, "a", buffering=1) as f:
+        import os
+
+        tmp = self._path + ".tmp"
+        with open(tmp, "w") as f:
             f.write(",".join(self._keys) + "\n")
             for row in self._rows:
                 f.write(
                     ",".join(str(row.get(k, "")) for k in self._keys) + "\n"
                 )
-        self._rows = []
+        os.replace(tmp, self._path)
 
     def close(self):
         self._flush()
