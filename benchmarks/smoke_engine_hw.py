@@ -37,19 +37,30 @@ def main():
     )
     model = GPTLMHeadModel(cfg)
     params = model.init(jax.random.PRNGKey(0), jnp.bfloat16)
+    # MQA model (falcon-7B shape class: n_head_kv=1): exercises the round-4
+    # padded quantized pool layout (block-replicated heads, packed scales)
+    cfg_mqa = GPTConfig(
+        vocab_size=512, n_positions=0, n_embd=1024, n_layer=2, n_head=8,
+        n_head_kv=1, rotary_emb_dim=128, rms_norm=True, gated_mlp=True,
+        qkv_proj_bias=False, out_proj_bias=False, mlp_fc1_bias=False,
+        mlp_fc2_bias=False, activation_function="silu", n_inner=2048,
+    )
+    model_mqa = GPTLMHeadModel(cfg_mqa)
+    params_mqa = model_mqa.init(jax.random.PRNGKey(1), jnp.bfloat16)
     rng = np.random.default_rng(0)
     prompts = [rng.integers(0, 512, (n,)).tolist() for n in (7, 19, 40)]
 
     failures = 0
-    for label, kw in (
-        ("bf16+fused-append", {}),
-        ("int8+qint8", {"cache_dtype": "int8"}),
-        ("chunked-prefill", {"prefill_chunk": 16}),
+    for label, mdl, prm, kw in (
+        ("bf16+fused-append", model, params, {}),
+        ("int8+qint8", model, params, {"cache_dtype": "int8"}),
+        ("chunked-prefill", model, params, {"prefill_chunk": 16}),
+        ("mqa-int8", model_mqa, params_mqa, {"cache_dtype": "int8"}),
     ):
         try:
             t0 = time.time()
             eng = LLMEngine(
-                model, params, page_size=16, num_pages=128, max_seqs=4,
+                mdl, prm, page_size=16, num_pages=128, max_seqs=4,
                 max_pages_per_seq=16, **kw,
             )
             done = eng.run([

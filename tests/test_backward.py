@@ -90,11 +90,18 @@ def test_grads_window_softcap():
         )
 
 
+@pytest.mark.parametrize(
+    "route", ["xla", "pallas"],
+    ids=["xla-fallback", "pallas-padded-dense"],
+)
 @pytest.mark.parametrize("causal", [False, True])
 @pytest.mark.parametrize("h,h_k", [(4, 4), (4, 2)])
-def test_grads_varlen_match_dense(causal, h, h_k):
+def test_grads_varlen_match_dense(causal, h, h_k, route):
     """Varlen custom VJP vs per-sequence dense autodiff (the reference ships
-    no varlen backward at all, setup.py:154-171)."""
+    no varlen backward at all, setup.py:154-171). route=pallas threads the
+    static max_seqlen so the backward runs the dense Pallas kernel pair via
+    per-sequence bottom-right padding (round-4); route=xla is the
+    segment-aware fallback."""
     from vllm_flash_attn_tpu.kernels.flash_varlen import flash_attention_varlen
     from vllm_flash_attn_tpu.utils import generate_cu_seqlens
 
@@ -106,9 +113,13 @@ def test_grads_varlen_match_dense(causal, h, h_k):
     k = jnp.asarray(rng.standard_normal((h_k, total, d)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((h_k, total, d)), jnp.float32)
     cu = generate_cu_seqlens(seqlens)
+    ms = max(seqlens) if route == "pallas" else 0
 
     def kernel_fn(q, k, v):
-        return flash_attention_varlen(q, k, v, cu, cu, causal=causal)
+        return flash_attention_varlen(
+            q, k, v, cu, cu, causal=causal,
+            max_seqlen_q=ms, max_seqlen_k=ms,
+        )
 
     def dense_fn(q, k, v):
         outs = []
@@ -132,6 +143,51 @@ def test_grads_varlen_match_dense(causal, h, h_k):
             np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3,
             err_msg=f"d{name}",
         )
+
+
+def test_grads_varlen_pallas_window_seqused_asym():
+    """The Pallas padded-dense varlen backward must reproduce the XLA
+    segment-aware backward on the hard axes: asymmetric per-seq (sq, sk),
+    sliding window (translation under bottom-right padding), and seqused_k
+    truncation (unused keys get exact zero grads)."""
+    from vllm_flash_attn_tpu.kernels.flash_varlen import flash_attention_varlen
+    from vllm_flash_attn_tpu.utils import generate_cu_seqlens
+
+    rng = np.random.default_rng(11)
+    h, h_k, d = 4, 2, 64
+    q_lens = [40, 96]
+    k_lens = [80, 128]
+    used = [64, 100]
+    cu_q = generate_cu_seqlens(q_lens)
+    cu_k = generate_cu_seqlens(k_lens)
+    q = jnp.asarray(rng.standard_normal((h, sum(q_lens), d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((h_k, sum(k_lens), d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((h_k, sum(k_lens), d)), jnp.float32)
+    su = jnp.asarray(used, jnp.int32)
+
+    def fn(ms):
+        def kernel_fn(q, k, v):
+            return flash_attention_varlen(
+                q, k, v, cu_q, cu_k, seqused_k=su, causal=True,
+                window=(48, -1), max_seqlen_q=ms and max(q_lens),
+                max_seqlen_k=ms and max(used),
+            )
+        return kernel_fn
+
+    g_pallas = grads_of(fn(True), q, k, v)
+    g_xla = grads_of(fn(False), q, k, v)
+    for name, a, b in zip("qkv", g_pallas, g_xla):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3,
+            err_msg=f"d{name}",
+        )
+    # seqused-truncated keys participated in nothing: exact zeros
+    for arr in (g_pallas[1], g_pallas[2]):
+        a = np.asarray(arr)
+        off = 0
+        for L, u in zip(k_lens, used):
+            assert np.all(a[:, off + u : off + L] == 0.0)
+            off += L
 
 
 def test_pallas_backward_matches_xla():

@@ -12,6 +12,7 @@ from vllm_flash_attn_tpu.kernels.kv_quant import (
     QuantizedPages,
     append_kv_paged_quantized,
     dequantize_kv,
+    dequantize_pages,
     page_scales_view,
     quantize_kv,
     quantize_pages,
@@ -45,8 +46,8 @@ def test_quantized_decode_vs_oracle(dtype):
 
     # oracle on the DEQUANTIZED cache (exact target for the kernel) plus a
     # sanity bound vs the fp cache
-    kd = dequantize_kv(kq.data, page_scales_view(kq))
-    vd = dequantize_kv(vq.data, page_scales_view(vq))
+    kd = dequantize_pages(kq)
+    vd = dequantize_pages(vq)
     ks = dense_view(kd, bt, lengths)
     vs = dense_view(vd, bt, lengths)
     ks_f = dense_view(k_pages, bt, lengths)
@@ -78,13 +79,115 @@ def test_quantized_append():
     v_new = jnp.asarray(rng.standard_normal((b, 1, h_k, d)), jnp.float32)
     lens = jnp.asarray(lengths, jnp.int32)
     kq2, vq2 = append_kv_paged_quantized(kq, vq, k_new, v_new, lens, bt)
-    kd = dequantize_kv(kq2.data, page_scales_view(kq2))
+    kd = dequantize_pages(kq2)
     ks = dense_view(kd, bt, [L + 1 for L in lengths])
     for i, L in enumerate(lengths):
         got = ks[i][L]
         want = np.asarray(k_new[i, 0])
         rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
         assert rel < 0.02, f"seq{i}: {rel}"
+
+
+@pytest.mark.parametrize(
+    "h,h_k,d", [(8, 1, 128), (71, 1, 64), (6, 3, 64), (8, 2, 59)],
+    ids=["mqa", "falcon7b", "gqa3", "oddd"],
+)
+@pytest.mark.parametrize("dtype", [jnp.int8, jnp.float8_e4m3fn], ids=["int8", "fp8"])
+def test_quantized_decode_padded_pools(h, h_k, d, dtype):
+    """Round-4 padded pool layout: MQA / tiny-h_kv / non-divisible h_q /
+    odd head dims all serve quantized (the round-3 TPU limit was
+    h_kv % 4 == 0 and h_q % 8 == 0; the pool is now allocated with
+    block-replicated padded heads and lane-padded d, and q heads are
+    zero-padded host-side)."""
+    rng = np.random.default_rng(5)
+    lengths = [75, 33]
+    b, ps = 2, 16
+    k_pages, v_pages, bt = make_paged_cache(
+        rng, b, lengths, h_k, d, ps, jnp.float32
+    )
+    kq, vq = quantize_pages(k_pages, v_pages, dtype)
+    assert kq.data.shape[-2] % 4 == 0 and kq.data.shape[-1] % 128 == 0
+    assert kq.scales is vq.scales  # packed: one scale DMA serves both
+    q = jnp.asarray(rng.standard_normal((b, h, d)), jnp.float32)
+    lens = jnp.asarray(lengths, jnp.int32)
+    out = paged_attention(q, kq, vq, lens, bt, pages_per_compute_block=4)
+    kd = dense_view(dequantize_pages(kq), bt, lengths)
+    vd = dense_view(dequantize_pages(vq), bt, lengths)
+    for i, L in enumerate(lengths):
+        ks = jnp.asarray(kd[i])
+        vs = jnp.asarray(vd[i])
+        if h_k > 1:
+            ks = jnp.repeat(ks, h // h_k, axis=1)
+            vs = jnp.repeat(vs, h // h_k, axis=1)
+        else:
+            ks = jnp.broadcast_to(ks, (L, h, d))
+            vs = jnp.broadcast_to(vs, (L, h, d))
+        out_ref, _ = attention_ref(
+            q[i][None, None], ks[None], vs[None], causal=True, upcast=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[i]), np.asarray(out_ref[0, 0]),
+            atol=3e-2, rtol=3e-2, err_msg=f"seq{i}",
+        )
+
+
+def test_packed_scales_append_then_decode():
+    """Quantize-on-append into the packed/padded layout, then decode: the
+    appended token must be attendable and both scale halves must survive
+    the single-array update."""
+    rng = np.random.default_rng(6)
+    b, h, h_k, d, ps = 2, 8, 2, 64, 16
+    lengths = [31, 48]
+    k_pages, v_pages, bt = make_paged_cache(rng, b, [64, 64], h_k, d, ps, jnp.float32)
+    kq, vq = quantize_pages(k_pages, v_pages, jnp.int8)
+    lens = jnp.asarray(lengths, jnp.int32)
+    k_new = jnp.asarray(rng.standard_normal((b, 1, h_k, d)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((b, 1, h_k, d)), jnp.float32)
+    kq2, vq2 = append_kv_paged_quantized(kq, vq, k_new, v_new, lens, bt)
+    assert kq2.scales is vq2.scales
+    q = jnp.asarray(rng.standard_normal((b, h, d)), jnp.float32)
+    lens2 = lens + 1
+    out = paged_attention(q, kq2, vq2, lens2, bt, pages_per_compute_block=4)
+    kd = dense_view(dequantize_pages(kq2), bt, [L + 1 for L in lengths])
+    vd = dense_view(dequantize_pages(vq2), bt, [L + 1 for L in lengths])
+    for i, L in enumerate(lengths):
+        np.testing.assert_allclose(  # appended token round-trips k AND v
+            kd[i][L], np.asarray(k_new[i, 0]), atol=2e-2, rtol=2e-2
+        )
+        np.testing.assert_allclose(
+            vd[i][L], np.asarray(v_new[i, 0]), atol=2e-2, rtol=2e-2
+        )
+        ks = jnp.repeat(jnp.asarray(kd[i]), h // h_k, axis=1)
+        vs = jnp.repeat(jnp.asarray(vd[i]), h // h_k, axis=1)
+        out_ref, _ = attention_ref(
+            q[i][None, None], ks[None], vs[None], causal=True, upcast=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[i]), np.asarray(out_ref[0, 0]),
+            atol=3e-2, rtol=3e-2, err_msg=f"seq{i}",
+        )
+
+
+def test_unpacked_legacy_layout_still_works():
+    """Directly constructed QuantizedPages (old split-scale layout, no
+    padding) keep working via the meta defaults."""
+    rng = np.random.default_rng(7)
+    b, h, h_k, d, ps = 2, 8, 4, 128, 16
+    lengths = [40, 20]
+    k_pages, v_pages, bt = make_paged_cache(rng, b, lengths, h_k, d, ps, jnp.float32)
+    kv, ks = quantize_kv(k_pages, jnp.int8)
+    vv, vs = quantize_kv(v_pages, jnp.int8)
+    pad = [(0, 0), (0, 0), (0, 128 - h_k)]
+    kq = QuantizedPages(kv, jnp.pad(ks, pad))
+    vq = QuantizedPages(vv, jnp.pad(vs, pad))
+    q = jnp.asarray(rng.standard_normal((b, h, d)), jnp.float32)
+    lens = jnp.asarray(lengths, jnp.int32)
+    out_legacy = paged_attention(q, kq, vq, lens, bt, pages_per_compute_block=4)
+    kq2, vq2 = quantize_pages(k_pages, v_pages, jnp.int8)
+    out_packed = paged_attention(q, kq2, vq2, lens, bt, pages_per_compute_block=4)
+    np.testing.assert_allclose(
+        np.asarray(out_legacy), np.asarray(out_packed), atol=1e-3, rtol=1e-3
+    )
 
 
 def test_quantized_cache_ppl_delta():

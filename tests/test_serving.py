@@ -275,6 +275,41 @@ def test_engine_quantized_cache_runs():
     assert same >= 1  # greedy argmax can flip on near-ties; most match
 
 
+def test_engine_quantized_mqa_cache_runs():
+    """MQA (n_head_kv=1, the falcon-7B shape class) with an int8 cache:
+    exercises the round-4 padded pool layout — kv heads block-replicated to
+    the 4-sublane tile, k+v scales packed into one per-page tile, q heads
+    lane-assigned by the static permutation."""
+    cfg = GPTConfig(
+        vocab_size=128, n_positions=0, n_embd=64, n_layer=2, n_head=4,
+        n_head_kv=1, rotary_emb_dim=16, gated_mlp=True, rms_norm=True,
+        qkv_proj_bias=False, out_proj_bias=False, mlp_fc1_bias=False,
+        mlp_fc2_bias=False, activation_function="silu", n_inner=128,
+    )
+    model = GPTLMHeadModel(cfg)
+    params = model.init(jax.random.PRNGKey(9))
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(0, cfg.vocab_size, (n,)).tolist() for n in (6, 20)]
+    reqs = lambda: [Request(i, p, max_new_tokens=5) for i, p in enumerate(prompts)]  # noqa: E731
+    done = LLMEngine(
+        model, params, page_size=16, num_pages=64, max_seqs=2,
+        max_pages_per_seq=8, cache_dtype="int8",
+    ).run(reqs())
+    assert all(len(r.output_tokens) == 5 and r.error is None for r in done)
+    ref = LLMEngine(
+        model, params, page_size=16, num_pages=64, max_seqs=2,
+        max_pages_per_seq=8,
+    ).run(reqs())
+    same = sum(
+        a.output_tokens == b.output_tokens
+        for a, b in zip(
+            sorted(done, key=lambda r: r.request_id),
+            sorted(ref, key=lambda r: r.request_id),
+        )
+    )
+    assert same >= 1  # greedy argmax can flip on near-ties; most match
+
+
 def test_engine_batched_admission_single_device_call():
     """4 pending prompts admit in ONE prefill device call (batched admission)
     and the outputs still match per-prompt greedy generate."""

@@ -189,6 +189,7 @@ def flash_attn_varlen_func(
             cu_q, cu_k, seqused_k=seqused_k, alibi_slopes=alibi_slopes,
             causal=causal, sm_scale=softmax_scale, window=tuple(window_size),
             softcap=softcap, return_lse=return_attn_probs,
+            max_seqlen_q=int(max_seqlen_q), max_seqlen_k=int(max_seqlen_k),
         )
     if return_attn_probs:
         o, lse = out

@@ -403,10 +403,13 @@ def _int_zeros(x):
     return np.zeros(x.shape, jax.dtypes.float0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15)
+)
 def _varlen_vjp(
     q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_k, alibi_slopes,
     causal, sm_scale, window, softcap, block_q, block_k, interpret,
+    max_seqlen_q=0, max_seqlen_k=0,
 ):
     return _flash_attention_varlen_impl(
         q, k, v, cu_seqlens_q, cu_seqlens_k,
@@ -421,6 +424,7 @@ def _varlen_vjp(
 def _varlen_vjp_fwd(
     q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_k, alibi_slopes,
     causal, sm_scale, window, softcap, block_q, block_k, interpret,
+    max_seqlen_q=0, max_seqlen_k=0,
 ):
     out, lse = _flash_attention_varlen_impl(
         q, k, v, cu_seqlens_q, cu_seqlens_k,
@@ -435,23 +439,114 @@ def _varlen_vjp_fwd(
     return out, res
 
 
+def _varlen_backward_dense_pallas(
+    q, k, v, out, lse, g, cu_q, cu_k, seqused_k, *,
+    causal, sm_scale, window, max_sq, max_sk,
+):
+    """Packed-batch backward through the DENSE Pallas two-kernel pair
+    (flash_backward_pallas): each sequence is padded BOTTOM-RIGHT into its
+    (max_sq, max_sk) slot — bottom-right placement makes the dense kernel's
+    global causal offset (max_sk - max_sq) reproduce every sequence's own
+    bottom-right alignment (len_k_i - len_q_i) exactly, windows included
+    (pure translation). Pad rows carry lse=+inf and zero q/k/v/do, so
+    p = exp2(s - inf) = 0 kills their dq AND their dk/dv contributions;
+    grads are then gathered back into the packed layout (pad positions and
+    seqused-truncated keys receive exact zeros via fill-mode gathers)."""
+    from vllm_flash_attn_tpu.kernels.flash_backward_pallas import (
+        mha_backward_pallas,
+    )
+
+    h, total_q, d = q.shape
+    h_k = k.shape[0]
+    total_k = k.shape[1]
+    b = cu_q.shape[0] - 1
+    len_q = cu_q[1:] - cu_q[:-1]  # (b,)
+    len_k = (
+        seqused_k.astype(jnp.int32)
+        if seqused_k.size
+        else cu_k[1:] - cu_k[:-1]
+    )
+
+    def to_dense(x, cu, lens, S, fill):
+        # (hx, total, d) -> (b, hx, S, d), tokens at rows [S-len, S)
+        t = jnp.arange(S, dtype=jnp.int32)
+        start = S - lens  # (b,)
+        src = cu[:-1, None] + (t[None] - start[:, None])  # (b, S)
+        idx = jnp.where(t[None] >= start[:, None], src, x.shape[1])
+        g_ = jnp.take(
+            x, idx.reshape(-1), axis=1, mode="fill", fill_value=fill
+        )  # (hx, b*S, d...)
+        return (
+            g_.reshape(x.shape[0], b, S, *x.shape[2:]).swapaxes(0, 1)
+        )
+
+    qd = to_dense(q, cu_q, len_q, max_sq, 0)
+    od = to_dense(out, cu_q, len_q, max_sq, 0)
+    gd = to_dense(g, cu_q, len_q, max_sq, 0)
+    lsed = to_dense(lse[..., None], cu_q, len_q, max_sq, jnp.inf)[..., 0]
+    kd = to_dense(k, cu_k, len_k, max_sk, 0)
+    vd = to_dense(v, cu_k, len_k, max_sk, 0)
+
+    dq_d, dk_d, dv_d = mha_backward_pallas(
+        qd, kd, vd, od, lsed, gd,
+        causal=causal, sm_scale=sm_scale, window=window,
+    )
+
+    def to_packed(xd, cu, lens, S, total):
+        # inverse gather: packed token j of seq i sits at dense row
+        # (i, S - lens[i] + (j - cu[i])); tokens outside every sequence
+        # (inter-seq padding, seqused-truncated keys) read the fill zero
+        j = jnp.arange(total, dtype=jnp.int32)
+        seq = jnp.searchsorted(cu, j, side="right") - 1
+        seq = jnp.clip(seq, 0, b - 1)
+        off = j - cu[seq]
+        row = S - lens[seq] + off
+        flat = seq * S + row
+        flat = jnp.where((off >= 0) & (off < lens[seq]), flat, b * S)
+        xf = xd.swapaxes(0, 1).reshape(xd.shape[1], b * S, xd.shape[-1])
+        return jnp.take(xf, flat, axis=1, mode="fill", fill_value=0)
+
+    dq = to_packed(dq_d, cu_q, len_q, max_sq, total_q).astype(q.dtype)
+    dk = to_packed(dk_d, cu_k, len_k, max_sk, total_k).astype(k.dtype)
+    dv = to_packed(dv_d, cu_k, len_k, max_sk, total_k).astype(v.dtype)
+    return dq, dk, dv
+
+
 def _varlen_vjp_bwd(
-    causal, sm_scale, window, softcap, block_q, block_k, interpret, res, g,
+    causal, sm_scale, window, softcap, block_q, block_k, interpret,
+    max_seqlen_q, max_seqlen_k, res, g,
 ):
     from vllm_flash_attn_tpu.kernels.flash_backward import mha_backward_varlen
 
     (q, k, v, out, lse, cu_seqlens_q, cu_seqlens_k, seqused_k,
      alibi_slopes) = res
     total_q, total_k = q.shape[1], k.shape[1]
-    q_info, k_info = build_varlen_metadata(
-        cu_seqlens_q, cu_seqlens_k, total_q, total_k,
-        seqused_k if seqused_k.size else None,
-    )
-    dq, dk, dv = mha_backward_varlen(
-        q, k, v, out, lse, g, q_info, k_info,
-        alibi_slopes if alibi_slopes.size else None,
-        window=window, softcap=softcap, sm_scale=sm_scale, causal=causal,
-    )
+    h, h_k = q.shape[0], k.shape[0]
+    if (
+        max_seqlen_q > 0
+        and max_seqlen_k > 0
+        and softcap == 0.0
+        and alibi_slopes.size == 0
+        and h % h_k == 0
+    ):
+        # hot path: pad-per-seq into the dense Pallas backward pair (the
+        # round-3 kernel that took train MFU 49.6 -> 61.0%); needs the
+        # STATIC max seqlens threaded from the API
+        dq, dk, dv = _varlen_backward_dense_pallas(
+            q, k, v, out, lse, g, cu_seqlens_q, cu_seqlens_k, seqused_k,
+            causal=causal, sm_scale=sm_scale, window=window,
+            max_sq=int(max_seqlen_q), max_sk=int(max_seqlen_k),
+        )
+    else:
+        q_info, k_info = build_varlen_metadata(
+            cu_seqlens_q, cu_seqlens_k, total_q, total_k,
+            seqused_k if seqused_k.size else None,
+        )
+        dq, dk, dv = mha_backward_varlen(
+            q, k, v, out, lse, g, q_info, k_info,
+            alibi_slopes if alibi_slopes.size else None,
+            window=window, softcap=softcap, sm_scale=sm_scale, causal=causal,
+        )
     return (
         dq, dk, dv,
         _int_zeros(cu_seqlens_q), _int_zeros(cu_seqlens_k),
@@ -473,6 +568,8 @@ _varlen_vjp.defvjp(_varlen_vjp_fwd, _varlen_vjp_bwd)
         "block_k",
         "return_lse",
         "interpret",
+        "max_seqlen_q",
+        "max_seqlen_k",
     ),
 )
 def flash_attention_varlen(
@@ -492,13 +589,19 @@ def flash_attention_varlen(
     block_k: int = 128,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
+    max_seqlen_q: int = 0,
+    max_seqlen_k: int = 0,
 ):
     """Varlen flash attention over head-major packed tokens.
 
     `alibi_slopes` must be (h,) here — varlen packs the batch, so per-batch
     slopes are not supported (matches the packed call path of the reference).
     Differentiable wrt q/k/v when return_lse=False (segment-aware backward;
-    the reference ships no varlen backward, setup.py:154-171).
+    the reference ships no varlen backward, setup.py:154-171). With STATIC
+    max_seqlen_q/max_seqlen_k (> 0, as the reference API requires anyway,
+    flash_attn_interface.py:1026-1044) the backward runs the dense Pallas
+    kernel pair via per-sequence bottom-right padding; otherwise the
+    XLA-level segment-aware backward.
 
     Returns out (h, total_q, d) [, lse (h, total_q) fp32].
     """
@@ -523,4 +626,5 @@ def flash_attention_varlen(
         q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_k, alibi_slopes,
         causal, float(sm_scale), tuple(int(w) for w in window),
         float(softcap), block_q, block_k, interpret,
+        int(max_seqlen_q), int(max_seqlen_k),
     )

@@ -37,6 +37,11 @@ def append_kv_paged(
     """
     num_pages, page_size, h_k, d = k_pages.shape
     b, s_new = k_new.shape[:2]
+    if k_new.shape[-1] != d:
+        # lane-padded pool (PagedState.allocate): zero-pad the new tokens
+        dw = [(0, 0)] * (k_new.ndim - 1) + [(0, d - k_new.shape[-1])]
+        k_new = jnp.pad(k_new, dw)
+        v_new = jnp.pad(v_new, dw)
     lengths = lengths.astype(jnp.int32)
 
     pos = lengths[:, None] + jnp.arange(s_new, dtype=jnp.int32)[None]  # (b, s_new)

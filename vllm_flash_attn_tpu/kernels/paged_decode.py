@@ -44,6 +44,7 @@ from vllm_flash_attn_tpu.kernels.flash_prefill import (
     LOG2E,
     MIN_LANES,
 )
+from vllm_flash_attn_tpu.kernels.kv_quant import V_SCALE_LANE
 
 # perf-archaeology knob: comma-separated stages to skip (WRONG RESULTS) so the
 # per-stage cost can be measured on real hardware. e.g. PD_SKIP=pv,softmax
@@ -104,6 +105,7 @@ def _decode_kernel(
     has_alibi: bool,
     softcap: float,
     quantized: bool = False,
+    packed_scales: bool = False,
     append: bool = False,
     mask_value: float = DEFAULT_MASK_VALUE,
 ):
@@ -146,14 +148,18 @@ def _decode_kernel(
                     v_pages_ref.at[page_idx], v_buf.at[slot, p], sems.at[slot, 1]
                 ).start()
                 if quantized:
+                    # packed layout: ONE scale tile carries k (lanes [0:h))
+                    # and v (lanes [V_SCALE_LANE:V_SCALE_LANE+h)) — half the
+                    # scale DMAs and waits of the split layout
                     pltpu.make_async_copy(
                         k_scales_ref.at[page_idx], ks_buf.at[slot, p],
                         sems.at[slot, 2],
                     ).start()
-                    pltpu.make_async_copy(
-                        v_scales_ref.at[page_idx], vs_buf.at[slot, p],
-                        sems.at[slot, 3],
-                    ).start()
+                    if not packed_scales:
+                        pltpu.make_async_copy(
+                            v_scales_ref.at[page_idx], vs_buf.at[slot, p],
+                            sems.at[slot, 3],
+                        ).start()
 
     is_first_step = jnp.logical_and(pl.program_id(1) == 0, i == 0)
 
@@ -336,12 +342,19 @@ def _decode_kernel(
         if q_per_kv > 1:
             v = pltpu.repeat(v, q_per_kv, axis=1)
         if quantized:
-            for pg in range(pages_per_block):
-                pltpu.make_async_copy(
-                    v_scales_ref.at[0], vs_buf.at[slot, pg], sems.at[slot, 3]
-                ).wait()
             h_kv = v_buf.shape[-2]
-            sv = vs_buf[slot].reshape(bk, vs_buf.shape[-1])[:, :h_kv]
+            if packed_scales:
+                # v scales ride the k-scale tile (already waited before QK):
+                # no second scale DMA, no second wait
+                sv = ks_buf[slot].reshape(bk, ks_buf.shape[-1])[
+                    :, V_SCALE_LANE : V_SCALE_LANE + h_kv
+                ]
+            else:
+                for pg in range(pages_per_block):
+                    pltpu.make_async_copy(
+                        v_scales_ref.at[0], vs_buf.at[slot, pg], sems.at[slot, 3]
+                    ).wait()
+                sv = vs_buf[slot].reshape(bk, vs_buf.shape[-1])[:, :h_kv]
             if q_per_kv > 1:
                 sv = pltpu.repeat(sv, q_per_kv, axis=1)
             p = p * sv  # dequant folds INTO p before the PV reduction
@@ -413,10 +426,15 @@ def paged_attention(
 
     Returns out (batch, num_q_heads, head_dim) [, lse (batch, num_q_heads)].
     """
-    from vllm_flash_attn_tpu.kernels.kv_quant import QuantizedPages
+    from vllm_flash_attn_tpu.kernels.kv_quant import (
+        QuantizedPages,
+        scales_packed,
+    )
 
     quantized = isinstance(k_pages, QuantizedPages)
     append = k_new is not None
+    packed = False
+    h_kv_real = k_pages.h_real if quantized else k_pages.shape[2]
     if append:
         assert v_new is not None
         assert not quantized, (
@@ -424,28 +442,90 @@ def paged_attention(
             "caches append via append_kv_paged_quantized)"
         )
     if quantized:
-        k_scales, v_scales = k_pages.scales, v_pages.scales
+        packed = scales_packed(k_pages, v_pages)
+        k_scales = k_pages.scales
+        # packed layout: v scales ride the k tile — pass a dummy so the
+        # shared array is not shipped twice
+        v_scales = (
+            jnp.zeros((1, 1, 1), jnp.float32) if packed else v_pages.scales
+        )
         k_pages, v_pages = k_pages.data, v_pages.data
     else:
         k_scales = v_scales = jnp.zeros((1, 1, 1), jnp.float32)
 
     batch, h_q, d = q.shape
-    num_pages, page_size, h_kv, _ = k_pages.shape
-    assert h_q % h_kv == 0
-    q_per_kv = h_q // h_kv
+    num_pages, page_size, h_kv, d_pool = k_pages.shape
     max_pages = block_tables.shape[1]
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
 
-    # arbitrary head dims: pad d to a lane multiple (flash_api.cpp:312-320
-    # analog). This copies the paged cache, so it is a correctness path for
-    # exotic dims, not the serving fast path (production dims are 64/128/256).
+    # --- q-head lane assignment (static). The kernel pairs lane l with pool
+    # head row l % h_kv; pool rows may be BLOCK-REPLICATED padding (row g
+    # stores real head g // rep — kv_quant padded layout for int8 sublane
+    # tiling), and the lane count must be a multiple of the pool head count
+    # (plus 8 for the int8 x int8 QK path's operand tiling). A static
+    # permutation places each real q head on a lane whose pool row holds its
+    # real kv head; surplus lanes carry zero q heads whose garbage softmax
+    # stays in their own lanes and is sliced off the output. For unpadded
+    # pools this reduces to the classic tiled shuffle (lane r*h_kv+g <-> q
+    # head g*q_per_kv+r); it is what lets MQA / any-h_q serve quantized.
+    import numpy as _np
+
+    h_q_orig = h_q
+    assert h_q % h_kv_real == 0, (h_q, h_kv_real)
+    group_real = h_q // h_kv_real  # q heads per REAL kv head
+    rep = h_kv // h_kv_real  # pool head replication factor
+    want_qint8 = quantized and _QINT8 and k_pages.dtype == jnp.int8
+    q_per_kv = max(1, -(-group_real // rep))
+    if want_qint8:
+        # int8 x int8 QK needs the lane count 8-aligned (operand tiling)
+        while (q_per_kv * h_kv) % 8:
+            q_per_kv += 1
+    h_q = q_per_kv * h_kv  # kernel lane count
+    perm = -_np.ones(h_q, _np.int64)  # lane -> q head (-1 = zero pad)
+    counts = _np.zeros(h_kv_real, _np.int64)
+    for lane in range(h_q):
+        hr = (lane % h_kv) // rep
+        if counts[hr] < group_real:
+            perm[lane] = hr * group_real + counts[hr]
+            counts[hr] += 1
+    assert counts.sum() == h_q_orig
+    inv = _np.argsort(_np.where(perm < 0, _np.iinfo(_np.int64).max, perm))
+    inv = inv[:h_q_orig]  # output lane of q head j
+    identity = h_q == h_q_orig and (perm == _np.arange(h_q)).all()
+    if not identity:
+        qz = jnp.concatenate(
+            [q, jnp.zeros((batch, 1, d), q.dtype)], axis=1
+        )
+        q = jnp.take(qz, jnp.asarray(_np.where(perm < 0, h_q_orig, perm)), axis=1)
+        if alibi_slopes is not None:
+            az = jnp.concatenate(
+                [jnp.asarray(alibi_slopes, jnp.float32).reshape(h_q_orig),
+                 jnp.zeros((1,), jnp.float32)]
+            )
+            alibi_slopes = jnp.take(
+                az, jnp.asarray(_np.where(perm < 0, h_q_orig, perm))
+            )
+
+    # arbitrary head dims. Fast path: the pool was allocated lane-padded
+    # (kv_quant.lane_pad / PagedState.allocate) — only q needs padding, no
+    # pool copy, fused append stays available. Legacy path (unpadded pool,
+    # d % 128 != 0): pad the pool per call — a correctness escape hatch for
+    # exotic dims on user-constructed pools (flash_api.cpp:312-320 analog).
     d_orig = d
-    if d % 128 != 0:
+    if d_pool != d:
+        assert d_pool % 128 == 0 and d_pool > d, (d_pool, d)
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, d_pool - d)])
+        if append:
+            nw = [(0, 0), (0, 0), (0, d_pool - d)]
+            k_new = jnp.pad(k_new, nw)
+            v_new = jnp.pad(v_new, nw)
+        d = d_pool
+    elif d % 128 != 0:
         assert not append, (
             "fused append requires a lane-aligned head dim (the pad path "
-            "copies the pool, defeating in-place aliasing); pre-pad the "
-            "pool or use append_kv_paged"
+            "copies the pool, defeating in-place aliasing); allocate the "
+            "pool lane-padded (PagedState.allocate) or use append_kv_paged"
         )
         d = pl.cdiv(d, 128) * 128
         q = jnp.pad(q, [(0, 0), (0, 0), (0, d - d_orig)])
@@ -480,13 +560,9 @@ def paged_attention(
     # and uses native exp2 (scale_softmax_log2, flash_api.cpp:21-137).
     q = (q * jnp.asarray(sm_scale * LOG2E, q.dtype)).astype(q.dtype)
 
-    # pltpu.repeat tiles ([k0..kh, k0..kh]) rather than element-repeating, so
-    # q head g*qpk+r is placed at lane r*h_kv+g: lane j then pairs with kv
-    # head j % h_kv, matching the tiled K/V rows inside the kernel.
-    if q_per_kv > 1:
-        q = q.reshape(batch, h_kv, q_per_kv, d).swapaxes(1, 2).reshape(
-            batch, h_q, d
-        )
+    # (q heads were already placed on their lanes by the static permutation
+    # above — pltpu.repeat tiles ([k0..kh, k0..kh]), so lane l pairs with kv
+    # row l % h_kv, which the permutation guarantees holds head l's data)
     # Block-diagonal query weight for the kernel's one-matmul QK: column j
     # (= q head j) carries its q vector in rows [(j%h_kv)*d, (j%h_kv+1)*d) so
     # that (bk, h_kv*d) @ (h_kv*d, hq) contracts each token row against
@@ -497,10 +573,9 @@ def paged_attention(
     q_blk = jnp.einsum("bjr,gj->bgrj", q, eye).reshape(batch, h_kv * d, h_q)
     q_scales = jnp.ones((1, h_q), jnp.float32)
     # int8 operands carry (32,128)-tiled packing: the block-diagonal weight's
-    # minor dims must be 4-sublane-aligned, so tiny head counts (h_q < 8)
-    # keep the bf16-cast path (Mosaic: "Slice shape along dimension 2 must
-    # be aligned to tiling (4)")
-    if quantized and _QINT8 and k_pages.dtype == jnp.int8 and h_q % 8 == 0:
+    # minor dims must be 4-sublane-aligned; the lane-assignment step above
+    # already padded h_q to a multiple of 8 whenever qint8 is wanted
+    if want_qint8 and h_q % 8 == 0:
         # per-(batch, q-head) absmax quantization of the block-diagonal
         # weight; sm_scale*log2e is already folded in, so the scale carries
         # it. Scales broadcast per batch via a (batch, 1, hq) -> take the
@@ -519,13 +594,10 @@ def paged_attention(
         q_blk = q_blk.astype(jnp.bfloat16)
     has_alibi = alibi_slopes is not None
     if has_alibi:
+        # already lane-permuted alongside q; kernel scores are log2-domain
         alibi_slopes = (
             jnp.asarray(alibi_slopes, jnp.float32).reshape(1, h_q) * LOG2E
-        )  # kernel scores are log2-domain
-        if q_per_kv > 1:
-            alibi_slopes = (
-                alibi_slopes.reshape(h_kv, q_per_kv).swapaxes(0, 1).reshape(1, h_q)
-            )
+        )
     else:
         alibi_slopes = jnp.zeros((1, 1), jnp.float32)
 
@@ -540,6 +612,7 @@ def paged_attention(
         has_alibi=has_alibi,
         softcap=float(softcap),
         quantized=quantized,
+        packed_scales=packed,
         append=append,
     )
     if not return_lse:
@@ -606,7 +679,9 @@ def paged_attention(
                 jnp.float32,
             ),
             pltpu.VMEM(
-                (2, ppb, page_size, 128) if quantized else (1, 1, 1, 1),
+                (2, ppb, page_size, 128)
+                if (quantized and not packed)
+                else (1, 1, 1, 1),
                 jnp.float32,
             ),
             pltpu.SemaphoreType.DMA((2, 4)),
@@ -679,14 +754,14 @@ def paged_attention(
         k_new, v_new,
     )
 
+    inv_idx = None if identity else jnp.asarray(inv)
+
     def unshuffle(x):
-        if q_per_kv > 1:
-            return (
-                x.reshape(batch, q_per_kv, h_kv, *x.shape[2:])
-                .swapaxes(1, 2)
-                .reshape(batch, h_q, *x.shape[2:])
-            )
-        return x
+        # inverse of the static lane permutation; surplus zero-q lanes
+        # (garbage softmax) are dropped by the gather
+        if inv_idx is None:
+            return x
+        return jnp.take(x, inv_idx, axis=1)
 
     if append:
         pools = tuple(results[-2:])

@@ -299,7 +299,7 @@ def flash_attention_varlen_paged(
     Returns out (h, total_q, d) [, fp32 lse (h, total_q) if return_lse].
     """
     h, total_q, d = q.shape
-    num_pages, page_size, h_k, _ = k_pages.shape
+    num_pages, page_size, h_k, d_pool = k_pages.shape
     assert h % h_k == 0
     q_per_kv = h // h_k
     batch = block_tables.shape[0]
@@ -316,9 +316,15 @@ def flash_attention_varlen_paged(
     block_q = min(block_q, max(MIN_LANES, pl.cdiv(max_seqlen_q, 8) * 8))
     nq = max(1, pl.cdiv(max_seqlen_q, block_q))
 
-    # arbitrary head dims: pad d to a lane multiple (flash_api.cpp:312-320)
+    # arbitrary head dims (flash_api.cpp:312-320 analog). Fast path: the pool
+    # was allocated lane-padded (PagedState.allocate) — pad q only, no
+    # per-call pool copy. Legacy path: pad the pool per call.
     d_orig = d
-    if d % MIN_LANES != 0:
+    if d_pool != d:
+        assert d_pool % MIN_LANES == 0 and d_pool > d, (d_pool, d)
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, d_pool - d)])
+        d = d_pool
+    elif d % MIN_LANES != 0:
         d = pl.cdiv(d, MIN_LANES) * MIN_LANES
         q = jnp.pad(q, [(0, 0), (0, 0), (0, d - d_orig)])
         kv_pw = [(0, 0), (0, 0), (0, 0), (0, d - d_orig)]

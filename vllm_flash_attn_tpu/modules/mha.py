@@ -77,7 +77,9 @@ def paged_cache_attention(
     if (
         state.mode == "decode"
         and not quantized
-        and d_model % 128 == 0
+        # lane-aligned POOL (allocation-padded or naturally aligned): the
+        # kernel pads q host-side, so fused append works for any model d
+        and state.k_pages.shape[-1] % 128 == 0
         # default ON: the clean one-process hardware comparison measured
         # fused append+attend at 1497us/step vs 1586us attend-only (b8,
         # ctx2048) — the in-kernel prologue is free; VFA_FUSED_APPEND=0
@@ -107,13 +109,24 @@ def paged_cache_attention(
             state.lengths, state.block_tables, num_new=state.num_new,
         )
         upd = jax.lax.dynamic_update_index_in_dim
+        new_k_scales = upd(state.k_pages.scales, kp.scales, li, 0)
+        # packed layout: k and v share ONE scale array — update it once and
+        # reference it from both views (a second update would drop the k half)
+        packed = state.v_pages.scale_offset > 0
+        new_v_scales = (
+            new_k_scales
+            if packed
+            else upd(state.v_pages.scales, vp.scales, li, 0)
+        )
         state.k_pages = QuantizedPages(
-            upd(state.k_pages.data, kp.data, li, 0),
-            upd(state.k_pages.scales, kp.scales, li, 0),
+            upd(state.k_pages.data, kp.data, li, 0), new_k_scales,
+            state.k_pages.scale_offset, state.k_pages.num_kv_heads,
+            state.k_pages.head_dim,
         )
         state.v_pages = QuantizedPages(
-            upd(state.v_pages.data, vp.data, li, 0),
-            upd(state.v_pages.scales, vp.scales, li, 0),
+            upd(state.v_pages.data, vp.data, li, 0), new_v_scales,
+            state.v_pages.scale_offset, state.v_pages.num_kv_heads,
+            state.v_pages.head_dim,
         )
     else:
         kp, vp = append_kv_paged(

@@ -45,7 +45,16 @@ class PagedState:
         n_heads_kv: int,
         head_dim: int,
         dtype=jnp.bfloat16,
+        pad_head_dim: bool = True,
     ):
+        """pad_head_dim lane-pads head_dim to a multiple of 128 at
+        ALLOCATION time (flash_api.cpp:312-320 pads to 8 at the same spot):
+        the decode/varlen-paged kernels then pad only q per call instead of
+        copying the whole pool — the fast path for d = 16/64/odd. Costs
+        (128/d)x pool memory for short head dims; pass False to keep the
+        exact shape (per-call pool-copy correctness path)."""
+        if pad_head_dim:
+            head_dim = -(-head_dim // 128) * 128
         shape = (n_layer, num_pages, page_size, n_heads_kv, head_dim)
         return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 

@@ -121,31 +121,19 @@ class LLMEngine:
             cache_dtype = jax.tree_util.tree_leaves(params)[0].dtype
         if cache_dtype in ("int8", "fp8"):
             # quantized KV cache: tokens quantize once on append (per-token
-            # per-head absmax scales); the decode kernel dequantizes in-flight
+            # per-head absmax scales); the decode kernel dequantizes
+            # in-flight. Pools allocate PADDED (kv heads 4-sublane-aligned
+            # with block-replicated data — MQA/tiny-h_kv serves quantized —
+            # and head dim lane-padded, no per-call pool copy) with k+v
+            # scales PACKED into one per-page tile (one scale DMA per page).
             from vllm_flash_attn_tpu.kernels.kv_quant import (
-                SCALE_LANES,
-                QuantizedPages,
+                allocate_quantized_pages,
             )
-
-            if self.h_kv % 4 != 0 and jax.devices()[0].platform == "tpu":
-                # int8/fp8 page pools carry (32,128) tiling with 4-sublane
-                # packing on TPU: Mosaic rejects page DMAs when the kv-head
-                # dim is not 4-aligned ("Slice shape along dimension 2 must
-                # be aligned to tiling (4)"). MQA/tiny-h_kv quantized
-                # serving needs a padded pool layout (backlog).
-                raise NotImplementedError(
-                    f"quantized KV cache requires num_kv_heads % 4 == 0 on "
-                    f"TPU (got {self.h_kv}); use a bf16 cache"
-                )
 
             qdtype = jnp.int8 if cache_dtype == "int8" else jnp.float8_e4m3fn
-            shape = (c.n_layer, num_pages, page_size, self.h_kv, self.dh)
-            sshape = (c.n_layer, num_pages, page_size, SCALE_LANES)
-            self.k_pages = QuantizedPages(
-                jnp.zeros(shape, qdtype), jnp.zeros(sshape, jnp.float32)
-            )
-            self.v_pages = QuantizedPages(
-                jnp.zeros(shape, qdtype), jnp.zeros(sshape, jnp.float32)
+            self.k_pages, self.v_pages = allocate_quantized_pages(
+                num_pages, page_size, self.h_kv, self.dh, qdtype,
+                n_layer=c.n_layer,
             )
         else:
             self.k_pages, self.v_pages = PagedState.allocate(
