@@ -423,6 +423,56 @@ def test_config_resolvers_and_overlays():
     assert not hasattr(cfg, "__tokens_per_batch")
 
 
+def test_config_groups_and_profile_mode(tmp_path):
+    """Round-4 config-group overrides (mode= / scheduler= / optimizer=, the
+    reference's Hydra group composition) and mode=profile producing a real
+    jax.profiler trace (ref configs/mode/profile.yaml:1-23)."""
+    import glob
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import training_run
+
+    prof = str(tmp_path / "prof")
+    training_run.main([
+        "experiment=gpt3/gpt3s-125m", "mode=profile", "scheduler=invsqrt",
+        "model.n_layer=1", "model.n_embd=64", "model.n_head=4",
+        "model.vocab_size=128", "model.fused_ce_chunk=0",
+        "seq_len=32", "global_batch_size=8", f"profile_dir={prof}",
+    ])
+    traces = glob.glob(f"{prof}/**/*.xplane.pb", recursive=True)
+    assert traces, "mode=profile produced no trace"
+
+    # every config-group dir is populated and loads (coverage of the tree)
+    from pathlib import Path
+
+    from vllm_flash_attn_tpu.training.trainer import TrainConfig
+
+    for group in ("scheduler", "mode", "optimizer"):
+        files = sorted(Path("/root/repo/configs", group).glob("*.yaml"))
+        assert files, f"configs/{group}/ is empty"
+        for f in files:
+            cfg = TrainConfig()
+            training_run.apply_group(cfg, group, f.stem)
+    assert len(list(Path("/root/repo/configs/scheduler").glob("*.yaml"))) >= 8
+    assert len(list(Path("/root/repo/configs/mode").glob("*.yaml"))) >= 5
+
+
+def test_plateau_schedule_reduces_lr():
+    """ReduceLROnPlateau analog: lr_scale drops by `factor` after `patience`
+    non-improving log intervals and the run keeps training."""
+    cfg = TrainConfig(
+        model=TINY, seq_len=32, global_batch_size=8, max_steps=12,
+        lr=1e-3, warmup_steps=0, schedule="plateau",
+        plateau_patience=2, plateau_factor=0.5, plateau_min_delta=1e9,
+        log_every=1,  # min_delta huge -> never "improves" -> scale decays
+    )
+    tr = Trainer(cfg, synthetic_tokens(256, 20_000, 3))
+    tr.fit()
+    scale = float(tr.state.opt_state["lr_scale"])
+    assert scale <= 0.5 ** 2, scale  # >= 2 reductions in 12 logged steps
+
+
 def test_remat_blocks_grad_parity():
     """config.remat in {dots, full} must not change loss or grads (pure
     recompute), only activation memory."""

@@ -207,6 +207,39 @@ def load_experiment(cfg, path: str):
         setattr(cfg, k, v)
 
 
+_CONFIG_GROUPS = ("mode", "scheduler", "optimizer")
+
+
+def _resolve_experiment(exp: str) -> str:
+    """experiment= accepts a path or a name under configs/experiments/
+    (Hydra-style `experiment=gpt3/gpt3s-125m`)."""
+    p = Path(exp)
+    if p.exists():
+        return str(p)
+    cand = Path("configs/experiments") / (
+        exp if exp.endswith(".yaml") else exp + ".yaml"
+    )
+    if cand.exists():
+        return str(cand)
+    raise FileNotFoundError(f"experiment config not found: {exp}")
+
+
+def apply_group(cfg, group: str, name: str):
+    """Merge a config-group file (the Hydra `mode=profile` /
+    `scheduler=invsqrt` / `optimizer=sgd` group-override analog,
+    reference configs/config.yaml:4-18). Falls back to treating the value
+    as a plain field override when no group file exists (e.g.
+    `optimizer=lamb` sets the field directly)."""
+    path = Path("configs") / group / (name + ".yaml")
+    if path.exists():
+        load_experiment(cfg, str(path))
+        return
+    if hasattr(cfg, group):
+        setattr(cfg, group, _coerce(name))
+        return
+    raise FileNotFoundError(f"no config group file {path}")
+
+
 def main(argv=None):
     from vllm_flash_attn_tpu.training.data import load_token_cache, synthetic_tokens
     from vllm_flash_attn_tpu.training.trainer import TrainConfig, Trainer
@@ -215,7 +248,11 @@ def main(argv=None):
     exp, overrides = parse_overrides(argv)
     cfg = TrainConfig()
     if exp:
-        load_experiment(cfg, exp)
+        load_experiment(cfg, _resolve_experiment(exp))
+    for group in _CONFIG_GROUPS:
+        name = overrides.pop(group, None)
+        if name is not None:
+            apply_group(cfg, group, str(name))
     data_path = overrides.pop("data", None)
     apply_overrides(cfg, overrides)
 

@@ -154,13 +154,20 @@ class AdamW:
     weight_decay: float = 0.1
     grad_clip: float = 1.0
     kind: str = "adamw"
+    # loss-reactive LR (ReduceLROnPlateau, configs/scheduler/plateau.yaml):
+    # the state carries an lr_scale scalar the TRAINER lowers host-side when
+    # the monitored loss plateaus (the jitted step just multiplies it in)
+    plateau: bool = False
 
     def init(self, params):
         z = lambda p: jnp.zeros(p.shape, jnp.float32)
-        return {
+        state = {
             "mu": jax.tree_util.tree_map(z, params),
             "nu": jax.tree_util.tree_map(z, params),
         }
+        if self.plateau:
+            state["lr_scale"] = jnp.ones((), jnp.float32)
+        return state
 
     def update(self, grads, state, params, step, gnorm=None):
         if gnorm is None:
@@ -172,6 +179,8 @@ class AdamW:
             )
         scale = jnp.minimum(1.0, self.grad_clip / (gnorm + 1e-6))
         lr = self.lr_fn(step)
+        if "lr_scale" in state:
+            lr = lr * state["lr_scale"]
         t = step.astype(jnp.float32) + 1.0
         bc1 = 1.0 - self.b1 ** t
         bc2 = 1.0 - self.b2 ** t
@@ -213,12 +222,15 @@ class AdamW:
             new_p.append(p2)
             new_mu.append(mu2)
             new_nu.append(nu2)
+        new_state = {
+            "mu": jax.tree_util.tree_unflatten(treedef, new_mu),
+            "nu": jax.tree_util.tree_unflatten(treedef, new_nu),
+        }
+        if "lr_scale" in state:
+            new_state["lr_scale"] = state["lr_scale"]
         return (
             jax.tree_util.tree_unflatten(treedef, new_p),
-            {
-                "mu": jax.tree_util.tree_unflatten(treedef, new_mu),
-                "nu": jax.tree_util.tree_unflatten(treedef, new_nu),
-            },
+            new_state,
             gnorm,
         )
 
@@ -234,12 +246,23 @@ def make_optimizer(
     min_lr_ratio: float = 0.1,
     kind: str = "adamw",
     schedule: str = "cosine",
+    milestones=(1000, 2000),
+    gamma: float = 0.1,
 ) -> AdamW:
+    if schedule == "plateau":
+        # loss-reactive: constant base LR, trainer-driven lr_scale
+        lr_fn = constant_schedule(lr, warmup_steps)
+        return AdamW(
+            lr_fn, b1, b2, 1e-8, weight_decay, grad_clip, kind=kind,
+            plateau=True,
+        )
     sched = SCHEDULES[schedule]
     if schedule in ("cosine", "linear", "poly"):
         lr_fn = sched(lr, warmup_steps, total_steps, min_lr_ratio)
     elif schedule in ("constant", "invsqrt"):
         lr_fn = sched(lr, warmup_steps)
+    elif schedule == "step":
+        lr_fn = sched(lr, tuple(milestones), gamma)
     else:
         lr_fn = sched(lr)
     return AdamW(lr_fn, b1, b2, 1e-8, weight_decay, grad_clip, kind=kind)
@@ -360,6 +383,11 @@ def make_parallel_train_step(
         if zero1
         else {"mu": specs, "nu": specs}
     )
+    if optimizer.plateau:
+        assert not (zero1 or zero2), (
+            "plateau schedule is not wired for ZeRO flat-sharded state"
+        )
+        opt_specs["lr_scale"] = P()
 
     def _is_replicated(path) -> bool:
         s = "/".join(str(getattr(p, "key", p)) for p in path)

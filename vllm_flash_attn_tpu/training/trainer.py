@@ -54,6 +54,32 @@ class TrainConfig:
     weight_decay: float = 0.1
     warmup_steps: int = 10
     grad_clip: float = 1.0
+    # optimizer zoo (configs/optimizer/*: adamw|lamb|lion|sgd) and scheduler
+    # zoo (configs/scheduler/*: cosine|linear|constant|invsqrt|step|poly|
+    # plateau — the reference's 8-group analog)
+    optimizer: str = "adamw"
+    schedule: str = "cosine"
+    min_lr_ratio: float = 0.1
+    b1: float = 0.9
+    b2: float = 0.95
+    milestones: tuple = (1000, 2000)  # step/multi-step schedule
+    gamma: float = 0.1
+    # plateau schedule (ReduceLROnPlateau analog): on log steps, if the loss
+    # has not improved by min_delta for `patience` consecutive logs, the
+    # optimizer's lr_scale is multiplied by `factor` (host-side monitor)
+    plateau_factor: float = 0.2
+    plateau_patience: int = 20
+    plateau_min_lr_ratio: float = 0.0
+    plateau_min_delta: float = 1e-4
+    # profiler windows (mode=profile; the reference wires
+    # torch.profiler.schedule(wait=5, warmup=5, active=5) the same way,
+    # training/configs/mode/profile.yaml:1-23). active > 0 enables: a
+    # jax.profiler trace of steps [wait+warmup, wait+warmup+active) is
+    # written to profile_dir
+    profile_wait: int = 0
+    profile_warmup: int = 0
+    profile_active: int = 0
+    profile_dir: str = "logs/profile"
     dp: Optional[int] = None  # None = infer from mesh
     tp: int = 1
     sequence_parallel: bool = False
@@ -92,6 +118,9 @@ class Trainer:
         self.optimizer = make_optimizer(
             lr=cfg.lr, weight_decay=cfg.weight_decay, grad_clip=cfg.grad_clip,
             warmup_steps=cfg.warmup_steps, total_steps=cfg.max_steps,
+            b1=cfg.b1, b2=cfg.b2, min_lr_ratio=cfg.min_lr_ratio,
+            kind=cfg.optimizer, schedule=cfg.schedule,
+            milestones=tuple(cfg.milestones), gamma=cfg.gamma,
         )
         self.state = init_train_state(
             self.model, full_params, self.optimizer, self.mesh,
@@ -166,6 +195,27 @@ class Trainer:
 
     # ------------------------------------------------------------------ train
 
+    def _plateau_tick(self, loss: float):
+        """ReduceLROnPlateau host-side monitor (sampled on log steps): lower
+        the optimizer state's lr_scale when the loss stops improving."""
+        cfg = self.cfg
+        if loss < self._plateau_best - cfg.plateau_min_delta:
+            self._plateau_best = loss
+            self._plateau_bad = 0
+            return
+        self._plateau_bad += 1
+        if self._plateau_bad >= cfg.plateau_patience:
+            self._plateau_bad = 0
+            cur = float(self.state.opt_state["lr_scale"])
+            new = max(cur * cfg.plateau_factor, cfg.plateau_min_lr_ratio)
+            self.state = dataclasses.replace(
+                self.state,
+                opt_state={
+                    **self.state.opt_state,
+                    "lr_scale": jnp.asarray(new, jnp.float32),
+                },
+            )
+
     def fit(self, max_steps: Optional[int] = None) -> Dict[str, float]:
         cfg = self.cfg
         max_steps = max_steps or cfg.max_steps
@@ -175,9 +225,26 @@ class Trainer:
             if self.ckpt
             else _null_ctx()
         )
+        self._plateau_best = float("inf")
+        self._plateau_bad = 0
+        # profiler schedule (mode=profile): trace steps
+        # [wait+warmup, wait+warmup+active)
+        prof_start = cfg.profile_wait + cfg.profile_warmup
+        prof_stop = prof_start + cfg.profile_active
+        prof_on = False
         with run:
             while int(self.state.step) < max_steps:
                 step = int(self.state.step)
+                if cfg.profile_active > 0:
+                    if step == prof_start and not prof_on:
+                        import os
+
+                        os.makedirs(cfg.profile_dir, exist_ok=True)
+                        jax.profiler.start_trace(cfg.profile_dir)
+                        prof_on = True
+                    elif step == prof_stop and prof_on:
+                        jax.profiler.stop_trace()
+                        prof_on = False
                 self.speed.on_step_start(step)
                 batch = next(it)
                 ids = jnp.asarray(batch[:, :-1], jnp.int32)
@@ -191,6 +258,8 @@ class Trainer:
                 if self.ema is not None:
                     self.ema.update(self.state.params)
                 if step % cfg.log_every == 0:
+                    if cfg.schedule == "plateau":
+                        self._plateau_tick(loss)
                     rec = {
                         "step": step,
                         "loss": loss,
@@ -207,6 +276,8 @@ class Trainer:
                     self.loggers.log(step, rec)
                 if self.ckpt and step > 0 and step % cfg.ckpt_every == 0:
                     self.ckpt.save(f"step_{step}", self.state, self._extra())
+        if prof_on:  # run ended inside the active window
+            jax.profiler.stop_trace()
         if self.ckpt:
             self.ckpt.save("last", self.state, self._extra())
         return self.history[-1] if self.history else {}
