@@ -137,6 +137,68 @@ def bench_decode(ctx_max=8192, ctx_points=(2048, 8192), batch=8, h=32,
     return rounds
 
 
+def bench_decode_int8(ctx_max=8192, ctx_points=(2048, 8192), batch=8, h=32,
+                      h_k=32, d=128, page_size=16):
+    """int8-KV decode at the same shape as bench_decode: the marginal
+    (2k->8k) step-time ratio vs bf16 is the BASELINE.json FP8/INT8-KV
+    target (bytes are ~0.53x, so a bandwidth-bound kernel should land
+    near that)."""
+    from vllm_flash_attn_tpu.kernels.kv_quant import quantize_pages
+    from vllm_flash_attn_tpu.kernels.paged_decode import paged_attention
+
+    rng = np.random.default_rng(0)
+    pages_per_seq = ctx_max // page_size
+    num_pages = batch * pages_per_seq
+    kp = jnp.asarray(
+        rng.standard_normal((num_pages, page_size, h_k, d)), jnp.float32
+    )
+    vp = jnp.asarray(
+        rng.standard_normal((num_pages, page_size, h_k, d)), jnp.float32
+    )
+    kq, vq = quantize_pages(kp, vp, jnp.int8)
+    del kp, vp
+    bt = jnp.asarray(
+        rng.permutation(num_pages).reshape(batch, pages_per_seq).astype(np.int32)
+    )
+    q0 = jnp.asarray(rng.standard_normal((batch, h, d)), jnp.bfloat16)
+    n_iter = 50
+
+    @jax.jit
+    def many(q, kd, ks, vd, lens, bt):
+        from vllm_flash_attn_tpu.kernels.kv_quant import QuantizedPages
+
+        kq = QuantizedPages(kd, ks, 0, h_k, d)
+        vq = QuantizedPages(vd, ks, 64, h_k, d)
+
+        def body(y, _):
+            out = paged_attention(
+                y, kq, vq, lens, bt,
+                pages_per_compute_block=512 // page_size,
+            )
+            return out.astype(y.dtype), None
+
+        y, _ = jax.lax.scan(body, q, None, length=n_iter)
+        return jnp.sum(y.astype(jnp.float32))
+
+    args = (q0, kq.data, kq.scales, vq.data)
+    lens_by_ctx = {
+        ctx: jnp.full((batch,), ctx, jnp.int32) for ctx in ctx_points
+    }
+    for ctx in ctx_points:
+        float(many(*args, lens_by_ctx[ctx], bt))
+    best = None
+    for _ in range(3):
+        pt = {}
+        for ctx in ctx_points:
+            t0 = time.time()
+            float(many(*args, lens_by_ctx[ctx], bt))
+            pt[ctx] = (time.time() - t0) / n_iter
+        rate = 1.0 / (pt[ctx_points[1]] - pt[ctx_points[0]])
+        if best is None or rate > best[0]:
+            best = (rate, pt)
+    return best[1]
+
+
 def bench_prefill(s=4096, b=1, h=32, d=128):
     from vllm_flash_attn_tpu.kernels.flash_prefill import flash_attention
 
@@ -235,6 +297,25 @@ def main():
     # tokens/s the kernel sustains at the llama-7B shape (fixed cost excluded)
     tok_s = 8 / (bytes_2k / dec_rate)
 
+    # ---- int8 decode: marginal ratio vs bf16 (BASELINE FP8/INT8-KV target)
+    int8_ratio, int8_gbps = -1.0, -1.0
+    if time.time() - t_start < 700:
+        try:
+            pt8 = bench_decode_int8(ctx_max=8192, ctx_points=(2048, 8192),
+                                    batch=8, h=32, h_k=32, d=128, page_size=16)
+            d8_2k, d8_8k = pt8[2048], pt8[8192]
+            int8_ratio = (d8_8k - d8_2k) / (dt_8k - dt_2k)
+            # actual bytes: int8 k+v payload + one shared 128-lane fp32
+            # scale tile per token
+            b8_2k = 8 * 2048 * (2 * 32 * 128 * 1 + 128 * 4)
+            b8_8k = 8 * 8192 * (2 * 32 * 128 * 1 + 128 * 4)
+            int8_gbps = (b8_8k - b8_2k) / (d8_8k - d8_2k) / 1e9
+            print(f"[bench] int8 decode done at t={time.time()-t_start:.0f}s "
+                  f"(marginal int8/bf16 {int8_ratio:.2f}, {int8_gbps:.0f} GB/s)",
+                  file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"[bench] int8 decode failed: {e!r}", file=sys.stderr)
+
     # ---- prefill: causal 4k raw headline
     tf_raw, dt_4k = bench_prefill(s=4096)
     print(f"[bench] prefill 4k done at t={time.time()-t_start:.0f}s", file=sys.stderr, flush=True)
@@ -287,6 +368,8 @@ def main():
                     "decode_raw_gbps_ctx2048": round(raw_gbps, 1),
                     "decode_raw_tokens_per_sec": round(raw_tok, 1),
                     "decode_fixed_us_per_call": round(dec_fixed_us, 1),
+                    "decode_int8_marginal_vs_bf16": round(int8_ratio, 3),
+                    "decode_int8_gbps_sustained": round(int8_gbps, 1),
                     "prefill_attn_tflops_sustained": round(pre_tflops, 2),
                     "prefill_attn_tflops_raw": round(tf_raw, 2),
                     "prefill_fixed_us_per_call": round(pre_fixed_us, 1),

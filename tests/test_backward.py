@@ -238,6 +238,50 @@ def test_pallas_backward_matches_xla():
             assert err < 1e-3, (c, name, err)
 
 
+def test_backward_bit_determinism():
+    """The reference exposes determinism as a tested API property
+    (tests/test_flash_attn.py:547: deterministic=True asserts bit-equal
+    repeated grads). The Pallas backward pair has a fixed reduction order
+    (serial sweep axes), so repeated runs must be BITWISE identical — both
+    at the kernel level and through the custom_vjp."""
+    from vllm_flash_attn_tpu.kernels.flash_backward_pallas import (
+        mha_backward_pallas,
+    )
+    from vllm_flash_attn_tpu.kernels.flash_prefill import flash_attention
+
+    rng = np.random.default_rng(13)
+    b, h, s, d = 1, 4, 256, 64
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+
+    def loss(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, causal=True).astype(jnp.float32) ** 2
+        )
+
+    g1 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", g1, g2):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b_), err_msg=f"d{name} not bit-equal"
+        )
+
+    # kernel pair directly (fp32 stats path)
+    out, lse = flash_attention(q, k, v, causal=True, return_lse=True)
+    do = jnp.asarray(rng.standard_normal(out.shape), out.dtype)
+    r1 = mha_backward_pallas(
+        q, k, v, out, lse, do, causal=True, sm_scale=1.0 / np.sqrt(d)
+    )
+    r2 = mha_backward_pallas(
+        q, k, v, out, lse, do, causal=True, sm_scale=1.0 / np.sqrt(d)
+    )
+    for name, a, b_ in zip(("dq", "dk", "dv"), r1, r2):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b_), err_msg=f"{name} not bit-equal"
+        )
+
+
 def test_vjp_routes_pallas_and_fallback():
     """The custom_vjp picks the Pallas backward for MHA and GQA — grads
     must match the dense oracle either way."""

@@ -113,6 +113,49 @@ def test_softcap():
     run_case(128, 128, softcap=30.0, causal=True)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("local", [False, True])
+@pytest.mark.parametrize(
+    "sq,sk",
+    [
+        (1, 239),
+        (3, 799),
+        (127, 512),
+        (127, 513),
+        (128, 217),
+        (113, 211),
+        (108, 256),
+        (512, 256),
+    ],
+)
+def test_asymmetric_pairs(sq, sk, causal, local):
+    """The reference's asymmetric (sq, sk) pair matrix x causal x local
+    (tests/test_flash_attn.py:880-1137): bottom-right alignment and window
+    math on shapes where sq and sk disagree in every direction."""
+    window = (max(0, min(sq, sk) // 3), 0 if causal else max(0, sk // 4))
+    run_case(
+        sq, sk, causal=causal,
+        window=window if local else (-1, -1),
+    )
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize(
+    "case", ["basic", "asym", "gqa_window", "alibi_causal"]
+)
+def test_dtype_matrix(dtype, case):
+    """dtype axis over the representative feature combos (the reference
+    parametrizes EVERY test over fp16+bf16, :545-563; here fp32+bf16 — the
+    TPU-supported pair — on one shape per feature)."""
+    kw = {
+        "basic": dict(sq=200, sk=200, causal=True),
+        "asym": dict(sq=113, sk=211, causal=True),
+        "gqa_window": dict(sq=128, sk=256, h=8, h_k=2, window=(32, 0)),
+        "alibi_causal": dict(sq=160, sk=160, causal=True, alibi=True),
+    }[case]
+    run_case(dtype=dtype, **kw)
+
+
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 def test_dtypes(dtype):
     run_case(128, 128, dtype=dtype, causal=True)

@@ -473,6 +473,45 @@ def test_plateau_schedule_reduces_lr():
     assert scale <= 0.5 ** 2, scale  # >= 2 reductions in 12 logged steps
 
 
+def test_callback_parity_tail():
+    """Round-4 callback additions (reference src/callbacks/): causality
+    probe (zero future-grad on the causal LM), params-log counts,
+    loss-scale monitor, pluggable remote logger."""
+    import jax.numpy as jnp
+
+    from vllm_flash_attn_tpu.models.gpt import GPTLMHeadModel
+    from vllm_flash_attn_tpu.training.callbacks import (
+        LossScaleMonitor,
+        RemoteLogger,
+        causality_probe,
+        params_log,
+    )
+
+    model = GPTLMHeadModel(TINY)
+    params = model.init(jax.random.PRNGKey(0))
+    ids = jnp.zeros((1, 16), jnp.int32)
+    assert causality_probe(model, params, ids, k=8) == 0.0
+
+    stats = params_log(params)
+    manual = sum(
+        int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params)
+    )
+    assert stats["params/total"] == manual > 0
+
+    m = LossScaleMonitor(grad_clip=1.0)
+    s = m.stats(grad_norm=4.0, lr_scale=0.5)
+    assert abs(s["scale/grad_clip_coeff"] - 0.25) < 1e-4
+    assert s["scale/lr_scale"] == 0.5
+
+    sent, failed = [], []
+    rl = RemoteLogger(post_fn=lambda step, row: sent.append((step, row)))
+    rl.log(1, {"loss": 2.0})
+    assert sent and sent[0][0] == 1 and rl.errors == 0
+    rl_bad = RemoteLogger(post_fn=lambda *a: 1 / 0)
+    rl_bad.log(2, {"loss": 1.0})  # failures counted, never raised
+    assert rl_bad.errors == 1 and rl_bad.buffer
+
+
 def test_remat_blocks_grad_parity():
     """config.remat in {dots, full} must not change loss or grads (pure
     recompute), only activation memory."""

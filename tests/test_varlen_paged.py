@@ -102,6 +102,16 @@ def test_gqa_page_sizes():
     run_case([20, 36], [50, 70], h=8, h_k=2, page_size=8)
 
 
+@pytest.mark.parametrize("page_size", [16, 256, 512])
+def test_reference_page_size_matrix(page_size):
+    """The reference's varlen-causal paged block sizes {16, 256, 512}
+    (tests/test_flash_attn.py:1546) — the fork's signature small-page
+    support at one end, multi-block pages at the other."""
+    run_case(
+        [48, 100, 30], [300, 600, 520], h=4, h_k=4, page_size=page_size,
+    )
+
+
 def test_empty_query_sequence():
     run_case([16, 0, 8], [32, 16, 24])
 

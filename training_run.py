@@ -207,7 +207,7 @@ def load_experiment(cfg, path: str):
         setattr(cfg, k, v)
 
 
-_CONFIG_GROUPS = ("mode", "scheduler", "optimizer")
+_CONFIG_GROUPS = ("mode", "scheduler", "optimizer", "callbacks", "logger")
 
 
 def _resolve_experiment(exp: str) -> str:

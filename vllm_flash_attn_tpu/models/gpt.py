@@ -155,12 +155,21 @@ class GPTLMHeadModel:
         inference_params=None,
         rngs=None,
         train: bool = False,
+        inputs_embeds_delta=None,
     ):
-        """Final-norm hidden states (b, s, n_embd) — the LM head's input."""
+        """Final-norm hidden states (b, s, n_embd) — the LM head's input.
+
+        inputs_embeds_delta: optional (b, s, n_embd) additive perturbation on
+        the embedding output — the differentiable probe point used by the
+        causality monitor (reference
+        training/src/callbacks/causality_monitor.py: grad of early outputs
+        wrt future input embeddings must be zero)."""
         c = self.config
         hidden = self.embeddings.apply(
             params["embeddings"], input_ids, position_ids
         )
+        if inputs_embeds_delta is not None:
+            hidden = hidden + inputs_embeds_delta.astype(hidden.dtype)
         if c.embeddings_scale != 1.0:
             hidden = hidden * c.embeddings_scale
         residual = None
@@ -208,12 +217,14 @@ class GPTLMHeadModel:
         rngs=None,
         train: bool = False,
         num_last_tokens: int = 0,
+        inputs_embeds_delta=None,
     ):
         """Returns logits (b, s[, num_last_tokens], padded_vocab)."""
         c = self.config
         hidden = self.hidden_states(
             params, input_ids, position_ids=position_ids,
             inference_params=inference_params, rngs=rngs, train=train,
+            inputs_embeds_delta=inputs_embeds_delta,
         )
         if num_last_tokens > 0:
             hidden = hidden[:, -num_last_tokens:]

@@ -213,6 +213,87 @@ class StdoutLogger:
         print(f"[step {step}] {parts}")
 
 
+def causality_probe(model, params, input_ids, k: int) -> float:
+    """Max |d out[:, :k] / d embedding[:, k:]| — must be 0.0 for a causal
+    model (the reference's CausalityMonitor,
+    training/src/callbacks/causality_monitor.py: backprop a loss on early
+    positions and assert future input embeddings receive zero gradient).
+    Run on a tiny batch; it costs one fwd+bwd."""
+    import jax
+
+    b, s = input_ids.shape
+    delta0 = jnp.zeros((b, s, model.config.n_embd), jnp.float32)
+
+    def f(delta):
+        logits = model.apply(params, input_ids, inputs_embeds_delta=delta)
+        return jnp.sum(logits[:, :k].astype(jnp.float32) ** 2)
+
+    g = jax.grad(f)(delta0)
+    return float(jnp.max(jnp.abs(g[:, k:])))
+
+
+class LossScaleMonitor:
+    """The reference monitors the AMP grad-scaler scale
+    (training/src/callbacks/loss_scale_monitor.py). bf16 training here has
+    no loss scaler; the analogous numerics dials are the grad-clip
+    coefficient actually applied (min(1, clip/||g||)) and the effective LR
+    multiplier (plateau lr_scale), logged under the same metric family."""
+
+    def __init__(self, grad_clip: float):
+        self.grad_clip = grad_clip
+
+    def stats(self, grad_norm: float, lr_scale: float = 1.0):
+        return {
+            "scale/grad_clip_coeff": min(
+                1.0, self.grad_clip / (grad_norm + 1e-6)
+            ),
+            "scale/lr_scale": float(lr_scale),
+        }
+
+
+def params_log(params) -> dict:
+    """Total / per-dtype parameter counts (the reference's ParamsLog
+    callback, training/src/callbacks/params_log.py)."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(params)
+    total = sum(int(np.prod(x.shape)) for x in leaves)
+    by_dtype: dict = {}
+    for x in leaves:
+        key = f"params/num_{x.dtype}"
+        by_dtype[key] = by_dtype.get(key, 0) + int(np.prod(x.shape))
+    return {"params/total": total, **by_dtype}
+
+
+class RemoteLogger:
+    """Pluggable remote metrics backend (the reference ships 7 logger
+    configs incl. wandb, training/configs/logger/*; remote services are
+    unavailable offline). Inject `post_fn(step, metrics_dict)` — e.g. an
+    HTTP POST, a wandb.log wrapper, a queue — and failures are counted, not
+    raised (logging must never kill a run). Without post_fn it buffers the
+    last `keep` rows for inspection."""
+
+    def __init__(self, post_fn=None, keep: int = 1000):
+        self.post_fn = post_fn
+        self.keep = keep
+        self.buffer = []
+        self.errors = 0
+
+    def log(self, step, metrics):
+        row = {"step": step, **metrics}
+        self.buffer.append(row)
+        if len(self.buffer) > self.keep:
+            self.buffer.pop(0)
+        if self.post_fn is not None:
+            try:
+                self.post_fn(step, row)
+            except Exception:
+                self.errors += 1
+
+    def close(self):
+        pass
+
+
 class Perplexity:
     """exp(mean loss) reusing the step loss (src/metrics/perplexity.py)."""
 

@@ -25,10 +25,13 @@ from vllm_flash_attn_tpu.training.callbacks import (
     FlopCounter,
     JsonlLogger,
     LoggerCollection,
+    LossScaleMonitor,
     NumTokens,
     Perplexity,
     SpeedMonitor,
     StdoutLogger,
+    causality_probe,
+    params_log,
 )
 from vllm_flash_attn_tpu.training.checkpoint import CheckpointManager
 from vllm_flash_attn_tpu.training.data import (
@@ -80,6 +83,9 @@ class TrainConfig:
     profile_warmup: int = 0
     profile_active: int = 0
     profile_dir: str = "logs/profile"
+    # causality probe at init (reference causality_monitor.py): backprop a
+    # loss on early positions, assert future input embeddings get zero grad
+    causality_check: bool = False
     dp: Optional[int] = None  # None = infer from mesh
     tp: int = 1
     sequence_parallel: bool = False
@@ -142,6 +148,19 @@ class Trainer:
         self.flops = FlopCounter(cfg.model, cfg.seq_len)
         self.ppl = Perplexity()
         self.num_tokens = NumTokens()
+        self.loss_scale = LossScaleMonitor(cfg.grad_clip)
+        self.param_stats = params_log(full_params)
+        self.causality_max = None
+        if cfg.causality_check:
+            # one fwd+bwd on a tiny batch with the FULL (pre-shard) params:
+            # grad of early outputs wrt future input embeddings must be 0
+            probe_ids = jnp.zeros((1, min(cfg.seq_len, 32)), jnp.int32)
+            self.causality_max = causality_probe(
+                base, full_params, probe_ids, k=probe_ids.shape[1] // 2
+            )
+            assert self.causality_max == 0.0, (
+                f"causality violated: max future-grad {self.causality_max}"
+            )
         self.ema = EMA(cfg.ema_decay) if cfg.ema_decay else None
         self.ckpt = (
             CheckpointManager(cfg.ckpt_dir) if cfg.ckpt_dir else None
@@ -260,13 +279,26 @@ class Trainer:
                 if step % cfg.log_every == 0:
                     if cfg.schedule == "plateau":
                         self._plateau_tick(loss)
+                    gnorm = float(metrics["grad_norm"])
                     rec = {
                         "step": step,
                         "loss": loss,
-                        "grad_norm": float(metrics["grad_norm"]),
+                        "grad_norm": gnorm,
                         "ppl": self.ppl.compute(),
                         **self.speed.stats,
+                        **self.loss_scale.stats(
+                            gnorm,
+                            float(self.state.opt_state["lr_scale"])
+                            if "lr_scale" in self.state.opt_state
+                            else 1.0,
+                        ),
                     }
+                    if step == 0:
+                        rec.update(self.param_stats)
+                        if self.causality_max is not None:
+                            rec["causality/max_future_grad"] = (
+                                self.causality_max
+                            )
                     if "throughput/tokens_per_sec" in self.speed.stats:
                         rec["mfu"] = self.flops.mfu(
                             self.speed.stats["throughput/tokens_per_sec"]
