@@ -184,6 +184,84 @@ def jax_logsumexp(scores):
     return jax.scipy.special.logsumexp(scores, axis=-1)
 
 
+@pytest.mark.parametrize(
+    "case",
+    ["causal", "causal_asym", "window", "alibi", "softcap", "gqa", "lse",
+     "dead_rows"],
+)
+def test_two_pass_matches_base(case):
+    """Round-4 two-pass (lse-then-pv) structure must be numerically
+    equivalent to the single-pass online kernel across the feature matrix
+    (it recomputes scores from the pass-1 LSE, like the backward pair)."""
+    rng = np.random.default_rng(17)
+    kw = {
+        "causal": dict(sq=384, sk=384, causal=True),
+        "causal_asym": dict(sq=200, sk=392, causal=True),
+        "window": dict(sq=256, sk=256, window=(64, 32)),
+        "alibi": dict(sq=256, sk=256, causal=True, alibi=True),
+        "softcap": dict(sq=200, sk=200, causal=True, softcap=8.0),
+        "gqa": dict(sq=256, sk=256, h=8, h_k=2, causal=True),
+        "lse": dict(sq=256, sk=256, causal=True),
+        "dead_rows": dict(sq=128, sk=128, window=(8, -4)),  # some rows empty
+    }[case]
+    h = kw.pop("h", 4)
+    h_k = kw.pop("h_k", 4)
+    d = 64
+    sq, sk = kw.pop("sq"), kw.pop("sk")
+    alibi = kw.pop("alibi", False)
+    q = jnp.asarray(rng.standard_normal((1, h, sq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, h_k, sk, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, h_k, sk, d)), jnp.float32)
+    slopes = (
+        jnp.asarray(rng.random((1, h)) * 0.3, jnp.float32) if alibi else None
+    )
+    if case == "dead_rows":
+        kw = dict(window=(8, -4))  # left 8, right -4: early rows fully masked
+        kw["window"] = (8, 2)
+    want_lse = case == "lse"
+    base = flash_attention(
+        q, k, v, slopes, return_lse=want_lse, two_pass=False, **kw
+    )
+    two = flash_attention(
+        q, k, v, slopes, return_lse=want_lse, two_pass=True, **kw
+    )
+    if want_lse:
+        (base, lse_b), (two, lse_t) = base, two
+        np.testing.assert_allclose(
+            np.asarray(lse_t), np.asarray(lse_b), atol=1e-4, rtol=1e-4
+        )
+    np.testing.assert_allclose(
+        np.asarray(two), np.asarray(base), atol=2e-4, rtol=2e-4
+    )
+
+
+@pytest.mark.parametrize("unroll", [2, 4])
+@pytest.mark.parametrize("case", ["causal", "window", "ragged"])
+def test_unrolled_chunk_matches_base(case, unroll):
+    """PF_UNROLL=N (statically unrolled multi-k-tile grid steps) must match
+    the stepped kernel bit-for... numerically (same tile math, same order)."""
+    from vllm_flash_attn_tpu.kernels.flash_prefill import flash_attention
+
+    rng = np.random.default_rng(23)
+    kw = {
+        "causal": dict(sq=512, sk=512, causal=True),
+        "window": dict(sq=384, sk=384, window=(100, 50)),
+        "ragged": dict(sq=200, sk=460, causal=True),
+    }[case]
+    h, d = 4, 64
+    sq, sk = kw.pop("sq"), kw.pop("sk")
+    q = jnp.asarray(rng.standard_normal((1, h, sq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, h, sk, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, h, sk, d)), jnp.float32)
+    base = flash_attention(q, k, v, block_q=128, block_k=128, **kw)
+    unr = flash_attention(
+        q, k, v, block_q=128, block_k=128, unroll=unroll, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(unr), np.asarray(base), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_causal_equals_window():
     # causal == window (-1, 0) on asymmetric lengths (bottom-right alignment)
     run_case(96, 160, causal=True)

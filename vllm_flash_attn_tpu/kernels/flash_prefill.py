@@ -355,6 +355,7 @@ def _fwd_kernel_chunked(
     has_alibi: bool,
     return_lse: bool,
     pipe: bool = False,
+    unroll: bool = False,
     d_model: int = 0,
 ):
     """Chunked-sweep forward: the kv loop runs INSIDE one grid step over a
@@ -398,8 +399,10 @@ def _fwd_kernel_chunked(
 
         q = q_ref[0, 0]  # (block_q, d); pre-scaled by sm_scale*log2(e)
 
-        def compute_s(j):
-            jj = j - chunk_lo  # tile index within the resident chunk
+        def compute_s(j, jj=None):
+            # tile index within the resident chunk; a PYTHON int when the
+            # sweep is unrolled (static VMEM slices for Mosaic)
+            jj = j - chunk_lo if jj is None else jj
             col_base = j * block_k
             k = k_ref[0, 0, pl.ds(jj * block_k, block_k)]
             s = jax.lax.dot_general(
@@ -428,8 +431,8 @@ def _fwd_kernel_chunked(
                 ).astype(jnp.float32)
             return s
 
-        def consume(j, s):
-            jj = j - chunk_lo
+        def consume(j, s, jj=None):
+            jj = j - chunk_lo if jj is None else jj
             col_base = j * block_k
 
             def update(s, masked: bool):
@@ -502,7 +505,22 @@ def _fwd_kernel_chunked(
             else:
                 update(s, False)
 
-        if pipe:
+        if unroll:
+            # round-4 experiment: UNROLLED sweep over the chunk's tiles —
+            # static VMEM slice offsets and no loop-carry machinery; each
+            # tile is predicated on the dynamic active range (inactive tiles
+            # execute nothing). Amortizes the per-grid-step cost over
+            # kv_chunk/block_k tiles without growing the tile itself.
+            for j_off in range(bpc):
+                @pl.when(
+                    jnp.logical_and(
+                        chunk_lo + j_off >= lo, chunk_lo + j_off <= hi_
+                    )
+                )
+                def _tile(j_off=j_off):
+                    j = chunk_lo + j_off
+                    consume(j, compute_s(j, jj=j_off), jj=j_off)
+        elif pipe:
             # software pipeline: tile j+1's QK matmul is issued BEFORE tile
             # j's softmax/PV consume it, so the per-tile critical path can
             # drop from MXU+VPU (serial) toward max(MXU, VPU) — the two have
@@ -569,6 +587,30 @@ def _round_block(n: int, b: int) -> int:
     return min(b, max(MIN_LANES, pl.cdiv(n, MIN_LANES) * MIN_LANES)) if n else b
 
 
+def _build_folded_maps(nq, nk, block_q, block_k, sq, sk, wl, wr):
+    """Static (qi, ki) enumeration of the ACTIVE block pairs under a
+    causal/window mask — the folded-grid maps (see _flash_attention_impl)."""
+    offset = sk - sq
+    qmap, kmap = [], []
+    for qi_ in range(nq):
+        min_row = qi_ * block_q
+        max_row = min(min_row + block_q, sq) - 1
+        last = (
+            min(max(0, (max_row + offset + wr) // block_k), nk - 1)
+            if wr >= 0
+            else nk - 1
+        )
+        first = (
+            min(max(0, (min_row + offset - wl) // block_k), last)
+            if wl >= 0
+            else 0
+        )
+        for ki_ in range(first, last + 1):
+            qmap.append(qi_)
+            kmap.append(ki_)
+    return jnp.asarray(qmap, jnp.int32), jnp.asarray(kmap, jnp.int32)
+
+
 def _flash_attention_impl(
     q: jax.Array,
     k: jax.Array,
@@ -589,6 +631,7 @@ def _flash_attention_impl(
     debug_skip: Tuple[str, ...] = (),
     kv_chunk: int = 0,
     pipe: bool = False,
+    unroll: bool = False,
     no_diag: bool = False,
     interpret: Optional[bool] = None,
 ):
@@ -662,6 +705,7 @@ def _flash_attention_impl(
         cgrid = (b, h, nq, nkc)
         ckernel = functools.partial(
             _fwd_kernel_chunked,
+            unroll=unroll,
             causal=causal,
             window=tuple(int(w) for w in window),
             softcap=float(softcap),
@@ -751,26 +795,9 @@ def _flash_attention_impl(
     _wl0, _wr0 = int(window[0]), (0 if causal else int(window[1]))
     folded = (_wl0 >= 0 or _wr0 >= 0) and not force_dense
     if folded:
-        offset = sk - sq
-        qmap, kmap = [], []
-        for qi_ in range(nq):
-            min_row = qi_ * block_q
-            max_row = min(min_row + block_q, sq) - 1
-            last = (
-                min(max(0, (max_row + offset + _wr0) // block_k), nk - 1)
-                if _wr0 >= 0
-                else nk - 1
-            )
-            first = (
-                min(max(0, (min_row + offset - _wl0) // block_k), last)
-                if _wl0 >= 0
-                else 0
-            )
-            for ki_ in range(first, last + 1):
-                qmap.append(qi_)
-                kmap.append(ki_)
-        qmap = jnp.asarray(qmap, jnp.int32)
-        kmap = jnp.asarray(kmap, jnp.int32)
+        qmap, kmap = _build_folded_maps(
+            nq, nk, block_q, block_k, sq, sk, _wl0, _wr0
+        )
 
     has_alibi = alibi_slopes is not None
     if has_alibi:
@@ -937,6 +964,310 @@ def _flash_attention_impl(
     return results[0][..., :d_orig]
 
 
+# ------------------------------------------------- two-pass (lse-then-pv)
+# Round-4 experiment against the ~5.9us/tile single-pass machinery floor
+# (round-3 stage isolation): pass 1 computes ONLY the log2-domain LSE per
+# row (QK + online max/sum; no V traffic, no acc rescale); pass 2 recomputes
+# scores and accumulates exp2(s - lse) @ V with NO online state — no m/l
+# scratch churn, no alpha rescale of the (bq, d) acc, and the store needs no
+# 1/l division. Costs one extra QK matmul per tile (~2.6us) against the
+# removed per-tile machinery; this is the forward analog of the backward
+# pair's recompute-from-LSE dataflow (flash_backward_pallas.py).
+
+
+def _mask_and_bias(s, bi, hi, min_row, col_base, *, block_rows, block_k,
+                   seqlen_q, seqlen_k, offset, wl, wr, has_alibi, alibi_ref,
+                   softcap):
+    if softcap > 0.0:
+        cap2 = softcap * LOG2E
+        s = jnp.tanh(s / cap2) * cap2
+    row = (
+        jax.lax.broadcasted_iota(jnp.int32, (block_rows, block_k), 0) + min_row
+    )
+    col = (
+        jax.lax.broadcasted_iota(jnp.int32, (block_rows, block_k), 1) + col_base
+    )
+    if has_alibi:
+        slope = alibi_ref[bi, hi]
+        s = s - slope * jnp.abs(row + offset - col).astype(jnp.float32)
+    mask = col < seqlen_k
+    if wr >= 0:
+        mask &= col <= row + offset + wr
+    if wl >= 0:
+        mask &= col >= row + offset - wl
+    return jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+
+def _stats_kernel(
+    q_ref, k_ref, alibi_ref, lse_ref, m_scr, l_scr, *,
+    causal, window, softcap, block_q, block_k, seqlen_q, seqlen_k,
+    has_alibi, nk, qmap_ref=None, kmap_ref=None,
+):
+    bi, hi = pl.program_id(0), pl.program_id(1)
+    if qmap_ref is not None:
+        t = pl.program_id(2)
+        qi, ki = qmap_ref[t], kmap_ref[t]
+    else:
+        qi, ki = pl.program_id(2), pl.program_id(3)
+    offset = seqlen_k - seqlen_q
+    wl, wr = window
+    if causal:
+        wr = 0
+    first_active, last_active = _active_range(
+        qi, nk, block_q, block_k, seqlen_q, offset, wl, wr
+    )
+
+    @pl.when(jnp.logical_and(ki >= first_active, ki <= last_active))
+    def _run():
+        @pl.when(ki == first_active)
+        def _init():
+            m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+            l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+
+        min_row = qi * block_q
+        col_base = ki * block_k
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = _mask_and_bias(
+            s, bi, hi, min_row, col_base, block_rows=block_q,
+            block_k=block_k, seqlen_q=seqlen_q, seqlen_k=seqlen_k,
+            offset=offset, wl=wl, wr=wr, has_alibi=has_alibi,
+            alibi_ref=alibi_ref, softcap=softcap,
+        )
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_next)
+        nrep = block_k // MIN_LANES
+        m_big = pltpu.repeat(m_next, nrep, axis=1) if nrep > 1 else m_next
+        p = jnp.exp2(s - m_big)
+        m_scr[...] = m_next
+        l_scr[...] = alpha * l_prev + jnp.sum(
+            p, axis=1, keepdims=True, dtype=jnp.float32
+        )
+
+        @pl.when(ki == last_active)
+        def _store():
+            m_fin = m_scr[...]
+            l = l_scr[...]
+            # log2-domain LSE; fully-masked rows -> +inf so pass 2's
+            # exp2(s - lse) is exactly 0 (out 0, flash_api.cpp:401-407)
+            dead = jnp.logical_or(l == 0.0, m_fin <= 0.5 * DEFAULT_MASK_VALUE)
+            lse2 = jnp.where(
+                dead, jnp.inf, m_fin + jnp.log2(jnp.maximum(l, 1e-45))
+            )
+            lse_ref[0, 0] = lse2
+
+
+def _pv_kernel(
+    q_ref, k_ref, v_ref, alibi_ref, lse_ref, o_ref, acc_scr, *,
+    causal, window, softcap, block_q, block_k, seqlen_q, seqlen_k,
+    has_alibi, nk, qmap_ref=None, kmap_ref=None,
+):
+    bi, hi = pl.program_id(0), pl.program_id(1)
+    if qmap_ref is not None:
+        t = pl.program_id(2)
+        qi, ki = qmap_ref[t], kmap_ref[t]
+    else:
+        qi, ki = pl.program_id(2), pl.program_id(3)
+    offset = seqlen_k - seqlen_q
+    wl, wr = window
+    if causal:
+        wr = 0
+    first_active, last_active = _active_range(
+        qi, nk, block_q, block_k, seqlen_q, offset, wl, wr
+    )
+
+    @pl.when(jnp.logical_and(ki >= first_active, ki <= last_active))
+    def _run():
+        @pl.when(ki == first_active)
+        def _init():
+            acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+        min_row = qi * block_q
+        col_base = ki * block_k
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = _mask_and_bias(
+            s, bi, hi, min_row, col_base, block_rows=block_q,
+            block_k=block_k, seqlen_q=seqlen_q, seqlen_k=seqlen_k,
+            offset=offset, wl=wl, wr=wr, has_alibi=has_alibi,
+            alibi_ref=alibi_ref, softcap=softcap,
+        )
+        lse2 = lse_ref[0, 0]  # (block_q, MIN_LANES) lane-replicated
+        nrep = block_k // MIN_LANES
+        lse_big = pltpu.repeat(lse2, nrep, axis=1) if nrep > 1 else lse2
+        # exp2(MASKVAL - lse) == 0 and exp2(s - inf) == 0: masking and dead
+        # rows both come out exact with zero extra passes
+        p = jnp.exp2(s - lse_big)
+        if seqlen_k % block_k != 0:
+            valid = (
+                jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) + col_base
+                < seqlen_k
+            )
+            v = jnp.where(valid, v, 0)
+        acc_scr[...] = acc_scr[...] + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+
+        @pl.when(ki == last_active)
+        def _store():
+            # already normalized: p used exp2(s - lse), no 1/l pass
+            o_ref[0, 0] = acc_scr[...].astype(o_ref.dtype)
+
+
+def _flash_attention_two_pass(
+    q, k, v, alibi_slopes, *, causal, sm_scale, window, softcap,
+    block_q, block_k, return_lse, force_dense, interpret,
+):
+    """Two-pass forward (see the section comment). Same semantics as
+    _flash_attention_impl for causal/window/alibi/softcap/GQA."""
+    b, h, sq, d = q.shape
+    _, h_k, sk, _ = k.shape
+    assert h % h_k == 0
+    q_per_kv = h // h_k
+
+    d_orig = d
+    if d % MIN_LANES != 0:
+        d = pl.cdiv(d, MIN_LANES) * MIN_LANES
+        pw = [(0, 0)] * 3 + [(0, d - d_orig)]
+        q, k, v = jnp.pad(q, pw), jnp.pad(k, pw), jnp.pad(v, pw)
+    q = (q * jnp.asarray(sm_scale * LOG2E, q.dtype)).astype(q.dtype)
+
+    block_q = _round_block(sq, block_q)
+    block_k = _round_block(sk, block_k)
+    nq = pl.cdiv(sq, block_q)
+    nk = pl.cdiv(sk, block_k)
+
+    _wl0, _wr0 = int(window[0]), (0 if causal else int(window[1]))
+    folded = (_wl0 >= 0 or _wr0 >= 0) and not force_dense
+    if folded:
+        qmap, kmap = _build_folded_maps(
+            nq, nk, block_q, block_k, sq, sk, _wl0, _wr0
+        )
+
+    has_alibi = alibi_slopes is not None
+    if has_alibi:
+        alibi_slopes = jnp.broadcast_to(
+            jnp.asarray(alibi_slopes, jnp.float32).reshape(-1, h)[:1]
+            if alibi_slopes.ndim == 1
+            else alibi_slopes.astype(jnp.float32),
+            (b, h),
+        ) * LOG2E
+    else:
+        alibi_slopes = jnp.zeros((1, 1), jnp.float32)
+
+    statics = dict(
+        causal=causal, window=(_wl0, int(window[1])), softcap=float(softcap),
+        block_q=block_q, block_k=block_k, seqlen_q=sq, seqlen_k=sk,
+        has_alibi=has_alibi, nk=nk,
+    )
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=(
+            ("parallel", "parallel", "arbitrary") if folded
+            else ("parallel", "parallel", "parallel", "arbitrary")
+        ),
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
+
+    if folded:
+        def q_index(b_, h_, t, qm, km):
+            return (b_, h_, qm[t], 0)
+
+        def kv_index(b_, h_, t, qm, km, qpk=q_per_kv):
+            return (b_, h_ // qpk, km[t], 0)
+
+        grid = (b, h, len(qmap))
+    else:
+        def q_index(b_, h_, qi, ki):
+            return (b_, h_, qi, 0)
+
+        def kv_index(b_, h_, qi, ki, qpk=q_per_kv):
+            return (b_, h_ // qpk, ki, 0)
+
+        grid = (b, h, nq, nk)
+
+    # ---- pass 1: LSE (no V operand — no V HBM traffic in this pass)
+    s_kernel = functools.partial(_stats_kernel, **statics)
+    s_in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), q_index),
+        pl.BlockSpec((1, 1, block_k, d), kv_index),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    s_out_shape = jax.ShapeDtypeStruct((b, h, sq, MIN_LANES), jnp.float32)
+    s_out_spec = pl.BlockSpec((1, 1, block_q, MIN_LANES), q_index)
+    s_scratch = [
+        pltpu.VMEM(_stats_block(block_q), jnp.float32),
+        pltpu.VMEM(_stats_block(block_q), jnp.float32),
+    ]
+    if folded:
+        def skern(qm_r, km_r, q_r, k_r, a_r, lse_r, *scr):
+            s_kernel(q_r, k_r, a_r, lse_r, *scr, qmap_ref=qm_r, kmap_ref=km_r)
+
+        lse2 = pl.pallas_call(
+            skern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2, grid=grid, in_specs=s_in_specs,
+                out_specs=s_out_spec, scratch_shapes=s_scratch,
+            ),
+            out_shape=s_out_shape, compiler_params=cparams,
+            interpret=interpret,
+        )(qmap, kmap, q, k, alibi_slopes)
+    else:
+        lse2 = pl.pallas_call(
+            s_kernel, grid=grid, in_specs=s_in_specs, out_specs=s_out_spec,
+            out_shape=s_out_shape, scratch_shapes=s_scratch,
+            compiler_params=cparams, interpret=interpret,
+        )(q, k, alibi_slopes)
+
+    # ---- pass 2: out = exp2(s - lse) @ V, pure accumulation
+    p_kernel = functools.partial(_pv_kernel, **statics)
+    p_in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), q_index),
+        pl.BlockSpec((1, 1, block_k, d), kv_index),
+        pl.BlockSpec((1, 1, block_k, d), kv_index),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, block_q, MIN_LANES), q_index),
+    ]
+    p_out_shape = jax.ShapeDtypeStruct((b, h, sq, d), q.dtype)
+    p_out_spec = pl.BlockSpec((1, 1, block_q, d), q_index)
+    p_scratch = [pltpu.VMEM((block_q, d), jnp.float32)]
+    if folded:
+        def pkern(qm_r, km_r, q_r, k_r, v_r, a_r, l_r, o_r, *scr):
+            p_kernel(
+                q_r, k_r, v_r, a_r, l_r, o_r, *scr,
+                qmap_ref=qm_r, kmap_ref=km_r,
+            )
+
+        out = pl.pallas_call(
+            pkern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2, grid=grid, in_specs=p_in_specs,
+                out_specs=p_out_spec, scratch_shapes=p_scratch,
+            ),
+            out_shape=p_out_shape, compiler_params=cparams,
+            interpret=interpret,
+        )(qmap, kmap, q, k, v, alibi_slopes, lse2)
+    else:
+        out = pl.pallas_call(
+            p_kernel, grid=grid, in_specs=p_in_specs, out_specs=p_out_spec,
+            out_shape=p_out_shape, scratch_shapes=p_scratch,
+            compiler_params=cparams, interpret=interpret,
+        )(q, k, v, alibi_slopes, lse2)
+
+    if return_lse:
+        return out[..., :d_orig], lse2[..., 0] * LN2  # natural-log LSE
+    return out[..., :d_orig]
+
+
 # --------------------------------------------------------------- custom VJP
 # The reference fork is forward-only (setup.py:285-286); training here is
 # first-class via a linear-memory XLA backward (kernels/flash_backward.py).
@@ -1029,14 +1360,34 @@ _flash_attention_vjp.defvjp(_vjp_fwd, _vjp_bwd)
     static_argnames=(
         "causal", "sm_scale", "window", "softcap", "block_q", "block_k",
         "return_lse", "fuse_rowsum", "p_bf16", "interleave", "force_dense",
-        "debug_skip", "kv_chunk", "pipe", "no_diag", "interpret",
+        "debug_skip", "kv_chunk", "pipe", "unroll", "no_diag", "two_pass",
+        "interpret",
     ),
 )
 def _flash_attention_jit(
     q, k, v, alibi_slopes, *, causal, sm_scale, window, softcap, block_q,
     block_k, return_lse, fuse_rowsum, p_bf16, interleave, force_dense,
-    debug_skip, kv_chunk, pipe, no_diag, interpret,
+    debug_skip, kv_chunk, pipe, unroll=False, no_diag, two_pass=False,
+    interpret,
 ):
+    if unroll and not return_lse:
+        # round-4 experiment knob: fwd-only direct call (not differentiable)
+        return _flash_attention_impl(
+            q, k, v, alibi_slopes, causal=causal, sm_scale=sm_scale,
+            window=window, softcap=softcap, block_q=block_q, block_k=block_k,
+            return_lse=False, fuse_rowsum=fuse_rowsum, p_bf16=p_bf16,
+            interleave=interleave, force_dense=force_dense,
+            debug_skip=debug_skip, kv_chunk=kv_chunk, pipe=pipe,
+            unroll=unroll, no_diag=no_diag, interpret=interpret,
+        )
+    if two_pass:
+        # round-4 experiment: lse-then-pv structure (fwd only, no vjp)
+        return _flash_attention_two_pass(
+            q, k, v, alibi_slopes, causal=causal, sm_scale=sm_scale,
+            window=window, softcap=softcap, block_q=block_q, block_k=block_k,
+            return_lse=return_lse, force_dense=force_dense,
+            interpret=interpret,
+        )
     if return_lse:
         return _flash_attention_impl(
             q, k, v, alibi_slopes, causal=causal, sm_scale=sm_scale,
@@ -1044,7 +1395,7 @@ def _flash_attention_jit(
             return_lse=True, fuse_rowsum=fuse_rowsum, p_bf16=p_bf16,
             interleave=interleave, force_dense=force_dense,
             debug_skip=debug_skip, kv_chunk=kv_chunk, pipe=pipe,
-            no_diag=no_diag, interpret=interpret,
+            unroll=unroll, no_diag=no_diag, interpret=interpret,
         )
     if alibi_slopes is None:
         alibi_norm = jnp.zeros((0, 0), jnp.float32)
@@ -1081,7 +1432,9 @@ def flash_attention(
     debug_skip: Optional[Tuple[str, ...]] = None,
     kv_chunk: Optional[int] = None,
     pipe: Optional[bool] = None,
+    unroll: Optional[int] = None,
     no_diag: Optional[bool] = None,
+    two_pass: Optional[bool] = None,
     interpret: Optional[bool] = None,
 ):
     """Flash attention forward (differentiable when return_lse=False).
@@ -1120,12 +1473,21 @@ def flash_attention(
     if no_diag is None:
         # experiment default OFF: enable with PF_DIAG=1 (measured neutral)
         no_diag = os.environ.get("PF_DIAG", "0") != "1"
+    if two_pass is None:
+        # round-4 experiment: lse-then-pv two-pass structure (PF_TWOPASS=1)
+        two_pass = os.environ.get("PF_TWOPASS", "0") == "1"
+    if unroll is None:
+        # round-4 experiment: PF_UNROLL=N sweeps N block_k tiles per grid
+        # step with a statically UNROLLED inner loop (chunked-kernel path)
+        unroll = int(os.environ.get("PF_UNROLL", "0"))
+    if unroll and not kv_chunk:
+        kv_chunk = int(unroll) * block_k
     return _flash_attention_jit(
         q, k, v, alibi_slopes, causal=causal, sm_scale=float(sm_scale),
         window=tuple(window), softcap=float(softcap), block_q=block_q,
         block_k=block_k, return_lse=return_lse, fuse_rowsum=bool(fuse_rowsum),
         p_bf16=bool(p_bf16), interleave=int(interleave),
         force_dense=bool(force_dense), debug_skip=tuple(debug_skip),
-        kv_chunk=int(kv_chunk), pipe=bool(pipe), no_diag=bool(no_diag),
-        interpret=interpret,
+        kv_chunk=int(kv_chunk), pipe=bool(pipe), unroll=bool(unroll),
+        no_diag=bool(no_diag), two_pass=bool(two_pass), interpret=interpret,
     )
