@@ -333,6 +333,22 @@ def main():
         except Exception as e:  # keep the headline metric robust
             print(f"[bench] train bench failed: {e!r}", file=sys.stderr)
 
+    # ---- 2.7B-shape train point (hdim-128 scale check, reference table
+    # training/README.md:212): same per-layer shape as GPT3-2.7B (n_embd
+    # 2560, 20 heads, d=128) at a layer count that fits one chip — shows the
+    # MFU number is not a small-width artifact
+    train27_tok, train27_mfu = -1.0, -1.0
+    if time.time() - t_start < 1000:
+        try:
+            train27_tok, train27_mfu, _ = bench_train(
+                n_layer=2, n_embd=2560, n_head=20, seq=2048, batch=4,
+                peak_tflops=peak,
+            )
+            print(f"[bench] train-2.7Bshape done at t={time.time()-t_start:.0f}s"
+                  f" ({100*train27_mfu:.1f}% MFU)", file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"[bench] train-2.7Bshape failed: {e!r}", file=sys.stderr)
+
     # ---- prefill two-point fit (one more compile; skip over budget)
     if time.time() - t_start < 1100:
         try:
@@ -376,6 +392,8 @@ def main():
                     "prefill_mxu_util_sustained": round(pre_tflops / peak, 4),
                     "train_tokens_per_sec": round(train_tok, 1),
                     "train_mfu": round(train_mfu, 4),
+                    "train_mfu_2p7b_shape": round(train27_mfu, 4),
+                    "train_tokens_per_sec_2p7b_shape": round(train27_tok, 1),
                     "methodology": (
                         "two-size fit separates the per-pallas_call fixed "
                         "cost (145-580us measured for an EMPTY kernel on this "
