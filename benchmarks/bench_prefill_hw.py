@@ -47,6 +47,18 @@ def _run_once(many, chain_arg, *args):
 
 VARIANTS = {
     "base": dict(),
+    # round-4 experiments (see flash_prefill.py): two-pass lse-then-pv and
+    # statically unrolled multi-k-tile grid steps
+    "twopass": dict(two_pass=True),
+    "twopass_b512": dict(two_pass=True, block_q=512, block_k=512),
+    "twopass_bk2048": dict(two_pass=True, block_k=2048),
+    "twopass_bq512": dict(two_pass=True, block_q=512),
+    "unroll2": dict(unroll=2),
+    "unroll4": dict(unroll=4),
+    "unroll2_bk512": dict(unroll=2, block_k=512),
+    "unroll4_bk512": dict(unroll=4, block_k=512),
+    "unroll8_bk512": dict(unroll=8, block_k=512),
+    "unroll4_b512": dict(unroll=4, block_q=512, block_k=512),
     "rowsum": dict(fuse_rowsum=True),
     "bq512": dict(block_q=512),
     "bk512": dict(block_k=512),

@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Round-4 hardware measurement runbook (run when the axon relay answers).
+
+Sequences every pending hardware A/B with per-step timeouts so one wedged
+kernel (Mosaic run-time failures can stall the relay ~10 min) does not eat
+the session. Order: correctness smokes first (they catch lowering rejects
+at small shapes), then the perf A/Bs, then the driver bench.
+
+Usage: python benchmarks/round4_hw.py [--quick]
+"""
+import subprocess
+import sys
+import time
+
+STEPS = [
+    # 1. hardware smokes: padded/packed quantized pools, MQA int8, fused
+    #    append, chunked prefill (each tiny; catches Mosaic-only failures)
+    ("smoke", ["python", "benchmarks/smoke_engine_hw.py"], 2400),
+    # 2. prefill A/B: round-4 structures vs base, one process
+    (
+        "prefill-ab",
+        [
+            "python", "benchmarks/bench_prefill_hw.py",
+            "base", "twopass", "twopass_b512", "unroll2", "unroll4",
+            "unroll4_bk512",
+        ],
+        3600,
+    ),
+    # 3. decode: bf16 vs int8 (packed scales) marginal ratio
+    ("decode-int8", ["python", "benchmarks/benchmark_decode.py"], 2400),
+    # 4. the driver metric end-to-end
+    ("bench", ["python", "bench.py"], 2400),
+]
+
+
+def main():
+    quick = "--quick" in sys.argv
+    results = {}
+    for name, cmd, tmo in STEPS:
+        if quick and name == "decode-int8":
+            continue
+        t0 = time.time()
+        print(f"== {name}: {' '.join(cmd)}", flush=True)
+        try:
+            r = subprocess.run(
+                cmd, timeout=tmo, capture_output=True, text=True,
+                cwd="/root/repo",
+            )
+            out = (r.stdout or "") + (r.stderr or "")
+            results[name] = r.returncode
+        except subprocess.TimeoutExpired as e:
+            out = ((e.stdout or b"").decode() if e.stdout else "") + "\nTIMEOUT"
+            results[name] = "timeout"
+        print(out[-4000:], flush=True)
+        print(f"== {name} done rc={results[name]} ({time.time()-t0:.0f}s)\n",
+              flush=True)
+    print("SUMMARY:", results, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -193,6 +193,48 @@ def test_gather_kv_paged():
     )
 
 
+@pytest.mark.parametrize("quant", [False, True], ids=["bf16", "int8"])
+@pytest.mark.parametrize(
+    "h,h_k", [(4, 1), (6, 2), (6, 3), (5, 5), (12, 3), (7, 1), (16, 4)]
+)
+def test_head_combo_property_sweep(h, h_k, quant):
+    """Round-4 static lane-permutation property sweep: every (h_q, h_kv)
+    divisibility class — MQA, odd h_q, non-4-aligned h_kv, replicated
+    quantized pools — against a dense numpy oracle."""
+    from vllm_flash_attn_tpu.kernels.kv_quant import quantize_pages
+
+    rng = np.random.default_rng(h * 31 + h_k)
+    d, ps, b = 64, 16, 2
+    L = [37, 20]
+    npages = 12
+    kp = rng.standard_normal((npages, ps, h_k, d)).astype(np.float32)
+    vp = rng.standard_normal((npages, ps, h_k, d)).astype(np.float32)
+    bt = rng.permutation(npages)[:8].reshape(b, 4).astype(np.int32)
+    q = rng.standard_normal((b, h, d)).astype(np.float32)
+    if quant:
+        kq, vq = quantize_pages(jnp.asarray(kp), jnp.asarray(vp), jnp.int8)
+    else:
+        kq, vq = jnp.asarray(kp), jnp.asarray(vp)
+    out = np.asarray(
+        paged_attention(
+            jnp.asarray(q), kq, vq, jnp.asarray(L, jnp.int32),
+            jnp.asarray(bt), pages_per_compute_block=2,
+        )
+    )
+    for i in range(b):
+        kd = kp[bt[i]].reshape(-1, h_k, d)[: L[i]]
+        vd = vp[bt[i]].reshape(-1, h_k, d)[: L[i]]
+        rep = h // h_k
+        ks = np.repeat(kd, rep, axis=1) if rep > 1 else kd
+        vs = np.repeat(vd, rep, axis=1) if rep > 1 else vd
+        s = np.einsum("hd,lhd->hl", q[i], ks) / np.sqrt(d)
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        ref = np.einsum("hl,lhd->hd", p, vs)
+        err = np.abs(out[i] - ref).max()
+        assert err < (0.06 if quant else 2e-3), (i, err)
+
+
 def test_splitkv_matches_single():
     """paged_attention_splitkv (flash-decoding analog) must match the
     single-pass kernel for any split count, including splits past the end
