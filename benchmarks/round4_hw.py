@@ -28,6 +28,8 @@ STEPS = [
     ),
     # 3. decode: bf16 vs int8 (packed scales) marginal ratio
     ("decode-int8", ["python", "benchmarks/benchmark_decode.py"], 2400),
+    # 3b. int8 PV experiment: qpv on/off in ONE process (MHA + GQA points)
+    ("decode-qpv", ["python", "benchmarks/bench_qpv_hw.py"], 2400),
     # 4. the driver metric end-to-end
     ("bench", ["python", "bench.py"], 2400),
 ]

@@ -247,3 +247,39 @@ print("QINT8_SUBPROC_OK", err)
         text=True, timeout=300, cwd="/root/repo",
     )
     assert "QINT8_SUBPROC_OK" in r.stdout, (r.stdout, r.stderr[-2000:])
+
+
+def test_qpv_int8_pv_matmul_decode():
+    """PD_QPV=1: decode PV as int8 x int8 MXU matmul with a requantized p
+    (v scales folded into p pre-quantization). Covers GQA, MHA, MQA shapes.
+    Module-level env knob -> isolated subprocess."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import jax; jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp, numpy as np
+from vllm_flash_attn_tpu.kernels.paged_decode import paged_attention
+from vllm_flash_attn_tpu.kernels.kv_quant import quantize_pages
+rng = np.random.default_rng(0)
+for hq, hkv in [(8, 4), (8, 8), (8, 1)]:
+    b, d, ps, npages = 2, 128, 16, 16
+    kp = jnp.asarray(rng.standard_normal((npages, ps, hkv, d)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((npages, ps, hkv, d)), jnp.float32)
+    bt = jnp.asarray(rng.permutation(npages).reshape(b, 8).astype(np.int32))
+    lens = jnp.asarray([100, 37], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
+    ref = paged_attention(q, kp.astype(jnp.bfloat16), vp.astype(jnp.bfloat16), lens, bt, interpret=True)
+    kq, vq = quantize_pages(kp, vp, jnp.int8)
+    out = paged_attention(q, kq, vq, lens, bt, interpret=True)
+    err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
+    assert err < 0.1, (hq, hkv, err)
+print("QPV_SUBPROC_OK")
+"""
+    env = dict(os.environ, PD_QPV="1", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True,
+        text=True, timeout=300, cwd="/root/repo",
+    )
+    assert "QPV_SUBPROC_OK" in r.stdout, (r.stdout, r.stderr[-2000:])

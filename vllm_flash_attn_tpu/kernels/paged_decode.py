@@ -58,6 +58,10 @@ _DEBUG_SKIP = frozenset(
 # (in-process v5e A/B), ppl delta +0.015 vs the 0.05 budget
 # (eval_kv_quant_ppl). PD_QINT8=0 reverts. Read per process like PD_SKIP.
 _QINT8 = os.environ.get("PD_QINT8", "1") == "1"
+# int8 PV experiment: requantize p per q head and run PV as int8 x int8 MXU
+# matmul against the raw int8 V block (skips the V dequant cast + head-repeat
+# passes). Default off until measured on hardware. Read per process.
+_QPV = os.environ.get("PD_QPV", "0") == "1"
 
 
 def _decode_kernel(
@@ -107,6 +111,7 @@ def _decode_kernel(
     quantized: bool = False,
     packed_scales: bool = False,
     append: bool = False,
+    qpv: bool = False,
     mask_value: float = DEFAULT_MASK_VALUE,
 ):
     core = pl.program_id(0)
@@ -330,19 +335,9 @@ def _decode_kernel(
                 p, axis=0, keepdims=True
             )[0][:, None]
             return
-        v = v_buf[slot].reshape(bk, v_buf.shape[-2], v_buf.shape[-1])
+        h_kv = v_buf.shape[-2]
+        sv = None
         if quantized:
-            # int8/fp8 payloads are exact in bf16; cast once (packed pass)
-            # so the PV products run on the same packed-bf16 path as the
-            # unquantized case instead of full fp32 products. Cast BEFORE the
-            # q_per_kv head repeat: the pre-repeat tile is q_per_kv times
-            # smaller, and the repeat itself then copies bf16 vregs that the
-            # PV multiply consumes directly.
-            v = v.astype(jnp.bfloat16)
-        if q_per_kv > 1:
-            v = pltpu.repeat(v, q_per_kv, axis=1)
-        if quantized:
-            h_kv = v_buf.shape[-2]
             if packed_scales:
                 # v scales ride the k-scale tile (already waited before QK):
                 # no second scale DMA, no second wait
@@ -357,15 +352,60 @@ def _decode_kernel(
                 sv = vs_buf[slot].reshape(bk, vs_buf.shape[-1])[:, :h_kv]
             if q_per_kv > 1:
                 sv = pltpu.repeat(sv, q_per_kv, axis=1)
-            p = p * sv  # dequant folds INTO p before the PV reduction
-        # expand p's minor dim in fp32 (Mosaic 32-bit rule), then cast so
-        # the multiply runs packed
-        pv = jnp.sum(
-            (p[:, :, None].astype(v.dtype) * v).astype(jnp.float32),
-            axis=0,
-            keepdims=True,
-        )  # (1, hq, d)
-        acc_scr[...] = acc_scr[...] * alpha[0][:, None] + pv[0]
+        if quantized and qpv and v_buf.dtype == jnp.int8:
+            # int8 PV experiment (PD_QPV=1): fold the per-token v scales into
+            # p FIRST (exact — they are per token, so they cannot come out of
+            # the token reduction), requantize p to int8 per q head, and run
+            # PV as ONE int8 x int8 MXU matmul against the RAW int8 V block:
+            # no V dequant cast pass over the big tile and no head-repeat
+            # vreg copy of it. The h_kv-fold FLOP waste on mismatched
+            # (q head, kv head) column pairs is absorbed by the MXU exactly
+            # like the QK block-diagonal trick above; the matching blocks are
+            # selected out afterwards on the tiny (hq, h_kv, d) result.
+            pf = p * sv  # (bk, hq) fp32
+            ps = (
+                jnp.maximum(jnp.max(jnp.abs(pf), axis=0, keepdims=True), 1e-30)
+                / 127.0
+            )  # (1, hq) per-head requant scale
+            p_q = jnp.clip(jnp.round(pf / ps), -127, 127).astype(jnp.int8)
+            v_tok = v_buf[slot].reshape(bk, h_kv * v_buf.shape[-1])  # int8
+            r = jax.lax.dot_general(
+                p_q, v_tok, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)  # (hq, h_kv*d)
+            hq_ = r.shape[0]
+            d_ = v_buf.shape[-1]
+            r3 = r.reshape(hq_, h_kv, d_)
+            # lane l's own kv head is l % h_kv (same pairing as QK/repeat)
+            lane_kv = jax.lax.broadcasted_iota(jnp.int32, r3.shape, 0) % h_kv
+            grp = jax.lax.broadcasted_iota(jnp.int32, r3.shape, 1)
+            pv_hd = jnp.sum(
+                jnp.where(lane_kv == grp, r3, 0.0), axis=1, keepdims=True
+            ).reshape(hq_, d_)
+            pv_hd = pv_hd * ps[0][:, None]
+            acc_scr[...] = acc_scr[...] * alpha[0][:, None] + pv_hd
+        else:
+            v = v_buf[slot].reshape(bk, h_kv, v_buf.shape[-1])
+            if quantized:
+                # int8/fp8 payloads are exact in bf16; cast once (packed
+                # pass) so the PV products run on the same packed-bf16 path
+                # as the unquantized case instead of full fp32 products. Cast
+                # BEFORE the q_per_kv head repeat: the pre-repeat tile is
+                # q_per_kv times smaller, and the repeat itself then copies
+                # bf16 vregs that the PV multiply consumes directly.
+                v = v.astype(jnp.bfloat16)
+            if q_per_kv > 1:
+                v = pltpu.repeat(v, q_per_kv, axis=1)
+            if quantized:
+                p = p * sv  # dequant folds INTO p before the PV reduction
+            # expand p's minor dim in fp32 (Mosaic 32-bit rule), then cast so
+            # the multiply runs packed
+            pv = jnp.sum(
+                (p[:, :, None].astype(v.dtype) * v).astype(jnp.float32),
+                axis=0,
+                keepdims=True,
+            )  # (1, hq, d)
+            acc_scr[...] = acc_scr[...] * alpha[0][:, None] + pv[0]
 
         @pl.when(i == nb - 1)
         def _store():
@@ -393,6 +433,7 @@ def _decode_kernel(
         "pages_per_compute_block",
         "return_lse",
         "interpret",
+        "qpv",
     ),
 )
 def paged_attention(
@@ -414,6 +455,7 @@ def paged_attention(
     v_new: Optional[jax.Array] = None,
     append_mask: Optional[jax.Array] = None,  # (b,) rows that append (def all)
     interpret: Optional[bool] = None,
+    qpv: Optional[bool] = None,  # int8 MXU PV (None -> PD_QPV env default)
 ):
     """Single-token decode over a paged KV cache (reference cache layout).
 
@@ -476,9 +518,13 @@ def paged_attention(
     group_real = h_q // h_kv_real  # q heads per REAL kv head
     rep = h_kv // h_kv_real  # pool head replication factor
     want_qint8 = quantized and _QINT8 and k_pages.dtype == jnp.int8
+    if qpv is None:
+        qpv = _QPV
+    want_qpv = quantized and qpv and v_pages.dtype == jnp.int8
     q_per_kv = max(1, -(-group_real // rep))
-    if want_qint8:
-        # int8 x int8 QK needs the lane count 8-aligned (operand tiling)
+    if want_qint8 or want_qpv:
+        # int8 x int8 MXU matmuls need the lane count 8-aligned (operand
+        # tiling) — QK's weight columns and PV's requantized-p rows alike
         while (q_per_kv * h_kv) % 8:
             q_per_kv += 1
     h_q = q_per_kv * h_kv  # kernel lane count
@@ -614,6 +660,7 @@ def paged_attention(
         quantized=quantized,
         packed_scales=packed,
         append=append,
+        qpv=want_qpv,
     )
     if not return_lse:
         body = kernel
