@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""In-process A/B of the splash-style folded varlen grid (VF_SPLASH) on
+hardware: dense skipped-step grid vs dynamic active-pair enumeration, on
+packed causal batches where most dense grid steps are no-ops.
+
+For a packed batch of b equal sequences the dense grid runs ~2b times the
+active step count (causal halves within a segment, cross-segment pairs all
+skip); the folded grid runs active steps only. This also smoke-tests the
+Mosaic dynamic-grid-bound lowering (tiny shape first).
+
+Usage: python benchmarks/bench_varlen_splash_hw.py
+"""
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_flash_attn_tpu.kernels.flash_varlen import flash_attention_varlen
+
+N_ITER = 20
+
+
+def run_case(seqlens, h=16, h_k=16, d=128, block=512, causal=True):
+    total = sum(seqlens)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((h, total, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((h_k, total, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((h_k, total, d)), jnp.bfloat16)
+    cu = jnp.asarray(np.concatenate([[0], np.cumsum(seqlens)]), jnp.int32)
+    flops = 4 * h * d * sum(
+        (s * s / 2 if causal else s * s) for s in seqlens
+    )
+
+    def make(fold):
+        @jax.jit
+        def many(q, k, v, cu):
+            def body(y, _):
+                o = flash_attention_varlen(
+                    y, k, v, cu, cu, causal=causal,
+                    block_q=block, block_k=block, fold=fold,
+                )
+                return o.astype(y.dtype), None
+
+            y, _ = jax.lax.scan(body, q, None, length=N_ITER)
+            return y.sum()
+
+        return many
+
+    fns = {"dense": make(False), "fold": make(True)}
+    for name, fn in fns.items():
+        t0 = time.time()
+        float(fn(q, k, v, cu))
+        print(f"  warm {name}: {time.time()-t0:.1f}s", flush=True)
+    res = {}
+    for name, fn in fns.items():
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            float(fn(q, k, v, cu))
+            times.append((time.time() - t0) / N_ITER)
+        res[name] = min(times)
+    for name, t in res.items():
+        print(
+            f"  {name:<6} {t*1e6:8.0f}us  {flops/t/1e12:6.1f} TF "
+            f"({'x%.2f vs dense' % (res['dense']/t) if name != 'dense' else 'base'})",
+            flush=True,
+        )
+
+
+def main():
+    print(f"device: {jax.devices()[0].device_kind}")
+    # tiny first: catches a Mosaic dynamic-grid lowering reject cheaply
+    print("== smoke 2x256 causal (tiny)")
+    run_case([256, 256], h=4, h_k=4, block=128)
+    print("== packed 8x2048 causal (training shape)")
+    run_case([2048] * 8)
+    print("== packed 16x1024 causal (many short seqs)")
+    run_case([1024] * 16)
+    print("== single 4096 causal (prefill-like, fold win should be ~2x max)")
+    run_case([4096])
+
+
+if __name__ == "__main__":
+    main()

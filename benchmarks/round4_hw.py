@@ -30,6 +30,9 @@ STEPS = [
     ("decode-int8", ["python", "benchmarks/benchmark_decode.py"], 2400),
     # 3b. int8 PV experiment: qpv on/off in ONE process (MHA + GQA points)
     ("decode-qpv", ["python", "benchmarks/bench_qpv_hw.py"], 2400),
+    # 3c. splash folded varlen grid vs dense skipped-step grid (also the
+    #     Mosaic dynamic-grid-bound lowering smoke)
+    ("varlen-splash", ["python", "benchmarks/bench_varlen_splash_hw.py"], 2400),
     # 4. the driver metric end-to-end
     ("bench", ["python", "bench.py"], 2400),
 ]

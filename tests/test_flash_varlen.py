@@ -35,6 +35,7 @@ def run_varlen_case(
     seqused_k=None,
     dtype=jnp.bfloat16,
     mult=2.0,
+    fold=None,
 ):
     rng = np.random.default_rng(sum(seqlens_q) + 31 * sum(seqlens_k))
     q, k, v = make_packed(rng, seqlens_q, seqlens_k, h, h_k, d, dtype)
@@ -48,6 +49,7 @@ def run_varlen_case(
         alibi_slopes=slopes,
         causal=causal,
         window=window,
+        fold=fold,
     )
 
     # oracle: per-sequence dense attention
@@ -103,6 +105,63 @@ def test_seqused_k():
 def test_single_token_decode_shape():
     # decode-like: all q lengths 1 (the GQA-swap shape, flash_api.cpp:501-508)
     run_varlen_case([1, 1, 1], [90, 130, 7], h=8, h_k=2, causal=True)
+
+
+@pytest.mark.parametrize(
+    "case",
+    [
+        dict(sq=[200, 150, 300, 100, 250, 64], sk=None, causal=True),
+        dict(sq=[130, 270, 100], sk=None, h=8, h_k=2, window=(64, 0)),
+        dict(sq=[100, 200], sk=None, causal=True, alibi=True, lse=True),
+        dict(sq=[100, 37], sk=[257, 129]),  # ragged cross-attention
+        dict(sq=[128, 128], sk=[256, 256], causal=True, seqused=[200, 180]),
+        dict(sq=[100, 60], sk=None, d=80, causal=True),  # odd head dim
+    ],
+    ids=["causal6", "gqa-window", "alibi-lse", "cross", "seqused", "odd-d"],
+)
+def test_splash_fold_bit_equal(case):
+    """The splash-style folded grid (dynamic active-pair enumeration) must be
+    BIT-equal to the dense skipped-step grid: same tiles, same visit order,
+    same fp32 accumulation — only the grid structure differs."""
+    sq = case["sq"]
+    sk = case.get("sk") or sq
+    h, h_k, d = case.get("h", 4), case.get("h_k", 4), case.get("d", 128)
+    rng = np.random.default_rng(7)
+    q, k, v = make_packed(rng, sq, sk, h, h_k, d, jnp.bfloat16)
+    cu_q, cu_k = generate_cu_seqlens(sq), generate_cu_seqlens(sk)
+    kw = dict(
+        causal=case.get("causal", False),
+        window=case.get("window", (-1, -1)),
+        return_lse=case.get("lse", False),
+        seqused_k=(
+            jnp.asarray(case["seqused"], jnp.int32)
+            if "seqused" in case else None
+        ),
+        alibi_slopes=(
+            jnp.asarray(rng.uniform(0.01, 0.1, (h,)), jnp.float32)
+            if case.get("alibi") else None
+        ),
+    )
+    a = flash_attention_varlen(q, k, v, cu_q, cu_k, fold=False, **kw)
+    b = flash_attention_varlen(q, k, v, cu_q, cu_k, fold=True, **kw)
+    if case.get("lse"):
+        (ao, alse), (bo, blse) = a, b
+        assert jnp.array_equal(jnp.isinf(alse), jnp.isinf(blse))
+        fin = ~jnp.isinf(alse)
+        assert jnp.array_equal(
+            jnp.where(fin, alse, 0), jnp.where(fin, blse, 0)
+        )
+    else:
+        ao, bo = a, b
+    assert jnp.array_equal(ao, bo)
+
+
+def test_splash_fold_vs_oracle():
+    # oracle correctness with the folded grid forced on (explicit static arg
+    # — NOT the env/module default, which is jit-cache-keyed per process)
+    run_varlen_case(
+        [37, 128, 1, 200], [37, 128, 1, 200], causal=True, fold=True
+    )
 
 
 def test_empty_key_sequence():

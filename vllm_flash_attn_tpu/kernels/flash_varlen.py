@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -34,6 +35,12 @@ from vllm_flash_attn_tpu.kernels.flash_prefill import (
     LOG2E,
     MIN_LANES,
 )
+
+# Splash-style folded grid (dynamic-length, active pairs only) as the varlen
+# forward's grid structure instead of the dense nq*nk sweep with skipped
+# steps. Default off until hardware-validated; per-process module constant
+# (like PD_QINT8) — pass fold= explicitly for in-process A/Bs.
+_SPLASH = os.environ.get("VF_SPLASH", "0") == "1"
 
 
 def build_varlen_metadata(
@@ -128,6 +135,23 @@ def build_block_bounds(
     return jnp.stack([first, last], axis=1).astype(jnp.int32)
 
 
+def build_fold_maps(bounds: jax.Array, nq: int, nk: int):
+    """Splash-style folded-grid maps: enumerate ONLY the active (qi, ki)
+    pairs, q-block-major. Returns (qmap, kmap) of STATIC worst-case length
+    nq*nk plus the DYNAMIC number of real steps (the Pallas grid dim) — the
+    clamped tail past `total` is never executed."""
+    counts = bounds[:, 1] - bounds[:, 0] + 1  # (nq,) >= 1
+    cum = jnp.cumsum(counts)
+    total = cum[-1]
+    t = jnp.arange(nq * nk, dtype=jnp.int32)
+    qm = jnp.searchsorted(cum, t, side="right").astype(jnp.int32)
+    qc = jnp.clip(qm, 0, nq - 1)
+    km = bounds[qc, 0] + (t - (cum[qc] - counts[qc]))
+    qmap = jnp.where(t < total, qc, nq - 1)
+    kmap = jnp.where(t < total, km, bounds[nq - 1, 1])
+    return qmap, kmap, total
+
+
 def _varlen_kernel(
     bounds_ref,  # SMEM (nq, 2)
     q_ref,
@@ -150,10 +174,17 @@ def _varlen_kernel(
     block_k: int,
     total_k: int,
     has_alibi: bool,
+    qmap_ref=None,  # folded grid: dim 1 enumerates only ACTIVE (qi, ki)
+    kmap_ref=None,
 ):
     h_ = pl.program_id(0)
-    qi = pl.program_id(1)
-    ki = pl.program_id(2)
+    if qmap_ref is not None:
+        t = pl.program_id(1)
+        qi = qmap_ref[t]
+        ki = kmap_ref[t]
+    else:
+        qi = pl.program_id(1)
+        ki = pl.program_id(2)
 
     wl, wr = window
     if causal:
@@ -262,7 +293,10 @@ def _flash_attention_varlen_impl(
     block_k: int = 128,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
+    fold: Optional[bool] = None,
 ):
+    if fold is None:
+        fold = _SPLASH
     h, total_q, d = q.shape
     h_k, total_k, _ = k.shape
     assert h % h_k == 0
@@ -327,64 +361,129 @@ def _flash_attention_varlen_impl(
     )
     if not return_lse:
         body = kernel
+        if fold:
 
-        def kernel(b_r, q_r, k_r, v_r, qi_r, ki_r, a_r, o_r, m_s, l_s, acc_s):  # noqa: F811
-            body(b_r, q_r, k_r, v_r, qi_r, ki_r, a_r, o_r, None, m_s, l_s, acc_s)
+            def kernel(b_r, qm_r, km_r, q_r, k_r, v_r, qi_r, ki_r, a_r, o_r,  # noqa: F811
+                       m_s, l_s, acc_s):
+                body(b_r, q_r, k_r, v_r, qi_r, ki_r, a_r, o_r, None,
+                     m_s, l_s, acc_s, qmap_ref=qm_r, kmap_ref=km_r)
 
-    # kv fetch clamp: skipped steps re-point at the q block's [first, last]
-    # kv range (read from the scalar-prefetched bounds), so the pipeline
-    # elides their DMAs — without this, causal varlen DMAs O(total_q *
-    # total_k) bytes even though the compute is skipped.
-    def kv_index(h_, qi, ki, bnd, qpk=q_per_kv):
-        ki_c = jnp.clip(ki, bnd[qi, 0], bnd[qi, 1])
-        return (h_ // qpk, ki_c, 0)
+        else:
 
-    def kinfo_index(h_, qi, ki, bnd):
-        return (0, jnp.clip(ki, bnd[qi, 0], bnd[qi, 1]))
+            def kernel(b_r, q_r, k_r, v_r, qi_r, ki_r, a_r, o_r, m_s, l_s, acc_s):  # noqa: F811
+                body(b_r, q_r, k_r, v_r, qi_r, ki_r, a_r, o_r, None, m_s, l_s, acc_s)
 
-    in_specs = [
-        pl.BlockSpec((1, block_q, d), lambda h_, qi, ki, bnd: (h_, qi, 0)),
-        pl.BlockSpec((1, block_k, d), kv_index),
-        pl.BlockSpec((1, block_k, d), kv_index),
-        pl.BlockSpec((2, block_q), lambda h_, qi, ki, bnd: (0, qi)),
-        pl.BlockSpec((2, block_k), kinfo_index),
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # alibi (1, h)
+    elif fold:
+        body = kernel
+
+        def kernel(b_r, qm_r, km_r, q_r, k_r, v_r, qi_r, ki_r, a_r, o_r,  # noqa: F811
+                   lse_r, m_s, l_s, acc_s):
+            body(b_r, q_r, k_r, v_r, qi_r, ki_r, a_r, o_r, lse_r,
+                 m_s, l_s, acc_s, qmap_ref=qm_r, kmap_ref=km_r)
+
+    scratch_shapes = [
+        pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+        pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+        pltpu.VMEM((block_q, d), jnp.float32),
     ]
     out_shape = [jax.ShapeDtypeStruct((h, total_q, d), q.dtype)]
-    out_specs = [
-        pl.BlockSpec((1, block_q, d), lambda h_, qi, ki, bnd: (h_, qi, 0))
-    ]
     if return_lse:
         out_shape.append(
             jax.ShapeDtypeStruct((h, total_q, MIN_LANES), jnp.float32)
         )
-        out_specs.append(
-            pl.BlockSpec(
-                (1, block_q, MIN_LANES), lambda h_, qi, ki, bnd: (h_, qi, 0)
-            )
-        )
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(h, nq, nk),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
-            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
-    )
-    results = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(bounds, q, k, v, q_info, k_info, alibi_slopes)
+    if fold:
+        # splash-style folded grid: dimension 1 walks ONLY the active
+        # (qi, ki) pairs via scalar-prefetched maps; its length is the
+        # DYNAMIC active-pair count (a Mosaic dynamic grid bound), so a
+        # packed batch of b sequences costs ~sum_i sq_i*sk_i tile steps
+        # instead of total_q*total_k with ~(1 - 1/b) skipped no-op steps.
+        qmap, kmap, total_steps = build_fold_maps(bounds, nq, nk)
+
+        def q_index(h_, t, bnd, qm, km):
+            return (h_, qm[t], 0)
+
+        def kv_index(h_, t, bnd, qm, km, qpk=q_per_kv):
+            return (h_ // qpk, km[t], 0)
+
+        in_specs = [
+            pl.BlockSpec((1, block_q, d), q_index),
+            pl.BlockSpec((1, block_k, d), kv_index),
+            pl.BlockSpec((1, block_k, d), kv_index),
+            pl.BlockSpec((2, block_q), lambda h_, t, bnd, qm, km: (0, qm[t])),
+            pl.BlockSpec((2, block_k), lambda h_, t, bnd, qm, km: (0, km[t])),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # alibi (1, h)
+        ]
+        out_specs = [pl.BlockSpec((1, block_q, d), q_index)]
+        if return_lse:
+            out_specs.append(
+                pl.BlockSpec((1, block_q, MIN_LANES),
+                             lambda h_, t, bnd, qm, km: (h_, qm[t], 0))
+            )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(h, total_steps),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+        )
+        results = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(bounds, qmap, kmap, q, k, v, q_info, k_info, alibi_slopes)
+    else:
+        # kv fetch clamp: skipped steps re-point at the q block's
+        # [first, last] kv range (read from the scalar-prefetched bounds), so
+        # the pipeline elides their DMAs — without this, causal varlen DMAs
+        # O(total_q * total_k) bytes even though the compute is skipped.
+        def kv_index(h_, qi, ki, bnd, qpk=q_per_kv):
+            ki_c = jnp.clip(ki, bnd[qi, 0], bnd[qi, 1])
+            return (h_ // qpk, ki_c, 0)
+
+        def kinfo_index(h_, qi, ki, bnd):
+            return (0, jnp.clip(ki, bnd[qi, 0], bnd[qi, 1]))
+
+        in_specs = [
+            pl.BlockSpec((1, block_q, d), lambda h_, qi, ki, bnd: (h_, qi, 0)),
+            pl.BlockSpec((1, block_k, d), kv_index),
+            pl.BlockSpec((1, block_k, d), kv_index),
+            pl.BlockSpec((2, block_q), lambda h_, qi, ki, bnd: (0, qi)),
+            pl.BlockSpec((2, block_k), kinfo_index),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # alibi (1, h)
+        ]
+        out_specs = [
+            pl.BlockSpec((1, block_q, d), lambda h_, qi, ki, bnd: (h_, qi, 0))
+        ]
+        if return_lse:
+            out_specs.append(
+                pl.BlockSpec(
+                    (1, block_q, MIN_LANES), lambda h_, qi, ki, bnd: (h_, qi, 0)
+                )
+            )
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(h, nq, nk),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+        )
+        results = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(bounds, q, k, v, q_info, k_info, alibi_slopes)
     if return_lse:
         out, lse = results
         return out[..., :d_orig], lse[..., 0]
@@ -404,12 +503,12 @@ def _int_zeros(x):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15)
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
 )
 def _varlen_vjp(
     q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_k, alibi_slopes,
     causal, sm_scale, window, softcap, block_q, block_k, interpret,
-    max_seqlen_q=0, max_seqlen_k=0,
+    max_seqlen_q=0, max_seqlen_k=0, fold=None,
 ):
     return _flash_attention_varlen_impl(
         q, k, v, cu_seqlens_q, cu_seqlens_k,
@@ -417,14 +516,14 @@ def _varlen_vjp(
         alibi_slopes if alibi_slopes.size else None,
         causal=causal, sm_scale=sm_scale, window=window, softcap=softcap,
         block_q=block_q, block_k=block_k, return_lse=False,
-        interpret=interpret,
+        interpret=interpret, fold=fold,
     )
 
 
 def _varlen_vjp_fwd(
     q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_k, alibi_slopes,
     causal, sm_scale, window, softcap, block_q, block_k, interpret,
-    max_seqlen_q=0, max_seqlen_k=0,
+    max_seqlen_q=0, max_seqlen_k=0, fold=None,
 ):
     out, lse = _flash_attention_varlen_impl(
         q, k, v, cu_seqlens_q, cu_seqlens_k,
@@ -432,7 +531,7 @@ def _varlen_vjp_fwd(
         alibi_slopes if alibi_slopes.size else None,
         causal=causal, sm_scale=sm_scale, window=window, softcap=softcap,
         block_q=block_q, block_k=block_k, return_lse=True,
-        interpret=interpret,
+        interpret=interpret, fold=fold,
     )
     res = (q, k, v, out, lse, cu_seqlens_q, cu_seqlens_k, seqused_k,
            alibi_slopes)
@@ -514,7 +613,7 @@ def _varlen_backward_dense_pallas(
 
 def _varlen_vjp_bwd(
     causal, sm_scale, window, softcap, block_q, block_k, interpret,
-    max_seqlen_q, max_seqlen_k, res, g,
+    max_seqlen_q, max_seqlen_k, fold, res, g,
 ):
     from vllm_flash_attn_tpu.kernels.flash_backward import mha_backward_varlen
 
@@ -570,6 +669,7 @@ _varlen_vjp.defvjp(_varlen_vjp_fwd, _varlen_vjp_bwd)
         "interpret",
         "max_seqlen_q",
         "max_seqlen_k",
+        "fold",
     ),
 )
 def flash_attention_varlen(
@@ -591,6 +691,7 @@ def flash_attention_varlen(
     interpret: Optional[bool] = None,
     max_seqlen_q: int = 0,
     max_seqlen_k: int = 0,
+    fold: Optional[bool] = None,  # splash folded grid (None -> VF_SPLASH env)
 ):
     """Varlen flash attention over head-major packed tokens.
 
@@ -614,7 +715,7 @@ def flash_attention_varlen(
             q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_k, alibi_slopes,
             causal=causal, sm_scale=sm_scale, window=window, softcap=softcap,
             block_q=block_q, block_k=block_k, return_lse=True,
-            interpret=interpret,
+            interpret=interpret, fold=fold,
         )
     if seqused_k is None:
         seqused_k = jnp.zeros((0,), jnp.int32)
@@ -626,5 +727,5 @@ def flash_attention_varlen(
         q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_k, alibi_slopes,
         causal, float(sm_scale), tuple(int(w) for w in window),
         float(softcap), block_q, block_k, interpret,
-        int(max_seqlen_q), int(max_seqlen_k),
+        int(max_seqlen_q), int(max_seqlen_k), fold,
     )
