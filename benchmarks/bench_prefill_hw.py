@@ -59,6 +59,11 @@ VARIANTS = {
     "unroll4_bk512": dict(unroll=4, block_k=512),
     "unroll8_bk512": dict(unroll=8, block_k=512),
     "unroll4_b512": dict(unroll=4, block_q=512, block_k=512),
+    # composed: two-pass structure x multi-k-tile steps (both passes)
+    "tp_unroll2": dict(two_pass=True, unroll=2),
+    "tp_unroll4": dict(two_pass=True, unroll=4),
+    "tp_unroll4_bk512": dict(two_pass=True, unroll=4, block_k=512),
+    "tp_unroll8_bk512": dict(two_pass=True, unroll=8, block_k=512),
     "rowsum": dict(fuse_rowsum=True),
     "bq512": dict(block_q=512),
     "bk512": dict(block_k=512),

@@ -22,9 +22,9 @@ STEPS = [
         [
             "python", "benchmarks/bench_prefill_hw.py",
             "base", "twopass", "twopass_b512", "unroll2", "unroll4",
-            "unroll4_bk512",
+            "unroll4_bk512", "tp_unroll2", "tp_unroll4", "tp_unroll4_bk512",
         ],
-        3600,
+        5400,
     ),
     # 3. decode: bf16 vs int8 (packed scales) marginal ratio
     ("decode-int8", ["python", "benchmarks/benchmark_decode.py"], 2400),

@@ -262,6 +262,40 @@ def test_unrolled_chunk_matches_base(case, unroll):
     )
 
 
+@pytest.mark.parametrize("case", ["causal", "window", "ragged", "lse"])
+def test_two_pass_unroll_composed(case):
+    """PF_TWOPASS=1 PF_UNROLL=N composed: both passes sweep N statically
+    unrolled sub-tiles per grid step; must match the single-pass kernel."""
+    rng = np.random.default_rng(29)
+    kw = {
+        "causal": dict(sq=512, sk=512, causal=True),
+        "window": dict(sq=384, sk=384, window=(100, 50)),
+        "ragged": dict(sq=200, sk=460, causal=True),  # sk % super_k != 0
+        "lse": dict(sq=512, sk=512, causal=True),
+    }[case]
+    h, d = 4, 64
+    sq, sk = kw.pop("sq"), kw.pop("sk")
+    want_lse = case == "lse"
+    q = jnp.asarray(rng.standard_normal((1, h, sq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, h, sk, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, h, sk, d)), jnp.float32)
+    base = flash_attention(
+        q, k, v, block_q=128, block_k=128, return_lse=want_lse, **kw
+    )
+    comp = flash_attention(
+        q, k, v, block_q=128, block_k=128, return_lse=want_lse,
+        two_pass=True, unroll=2, **kw
+    )
+    if want_lse:
+        (base, lse_b), (comp, lse_t) = base, comp
+        np.testing.assert_allclose(
+            np.asarray(lse_t), np.asarray(lse_b), atol=1e-4, rtol=1e-4
+        )
+    np.testing.assert_allclose(
+        np.asarray(comp), np.asarray(base), atol=2e-4, rtol=2e-4
+    )
+
+
 def test_causal_equals_window():
     # causal == window (-1, 0) on asymmetric lengths (bottom-right alignment)
     run_case(96, 160, causal=True)

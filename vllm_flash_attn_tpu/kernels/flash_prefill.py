@@ -1001,7 +1001,7 @@ def _mask_and_bias(s, bi, hi, min_row, col_base, *, block_rows, block_k,
 def _stats_kernel(
     q_ref, k_ref, alibi_ref, lse_ref, m_scr, l_scr, *,
     causal, window, softcap, block_q, block_k, seqlen_q, seqlen_k,
-    has_alibi, nk, qmap_ref=None, kmap_ref=None,
+    has_alibi, nk, unroll=1, qmap_ref=None, kmap_ref=None,
 ):
     bi, hi = pl.program_id(0), pl.program_id(1)
     if qmap_ref is not None:
@@ -1013,8 +1013,9 @@ def _stats_kernel(
     wl, wr = window
     if causal:
         wr = 0
+    super_k = block_k * unroll  # grid dim walks SUPER blocks of unroll tiles
     first_active, last_active = _active_range(
-        qi, nk, block_q, block_k, seqlen_q, offset, wl, wr
+        qi, nk, block_q, super_k, seqlen_q, offset, wl, wr
     )
 
     @pl.when(jnp.logical_and(ki >= first_active, ki <= last_active))
@@ -1025,30 +1026,35 @@ def _stats_kernel(
             l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
 
         min_row = qi * block_q
-        col_base = ki * block_k
         q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s = _mask_and_bias(
-            s, bi, hi, min_row, col_base, block_rows=block_q,
-            block_k=block_k, seqlen_q=seqlen_q, seqlen_k=seqlen_k,
-            offset=offset, wl=wl, wr=wr, has_alibi=has_alibi,
-            alibi_ref=alibi_ref, softcap=softcap,
-        )
-        m_prev = m_scr[...]
-        l_prev = l_scr[...]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp2(m_prev - m_next)
-        nrep = block_k // MIN_LANES
-        m_big = pltpu.repeat(m_next, nrep, axis=1) if nrep > 1 else m_next
-        p = jnp.exp2(s - m_big)
-        m_scr[...] = m_next
-        l_scr[...] = alpha * l_prev + jnp.sum(
-            p, axis=1, keepdims=True, dtype=jnp.float32
-        )
+        kblk = k_ref[0, 0]  # (super_k, d)
+        for u in range(unroll):
+            col_base = ki * super_k + u * block_k
+            k = (
+                kblk[u * block_k : (u + 1) * block_k] if unroll > 1 else kblk
+            )
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = _mask_and_bias(
+                s, bi, hi, min_row, col_base, block_rows=block_q,
+                block_k=block_k, seqlen_q=seqlen_q, seqlen_k=seqlen_k,
+                offset=offset, wl=wl, wr=wr, has_alibi=has_alibi,
+                alibi_ref=alibi_ref, softcap=softcap,
+            )
+            m_prev = m_scr[...]
+            l_prev = l_scr[...]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp2(m_prev - m_next)
+            nrep = block_k // MIN_LANES
+            m_big = pltpu.repeat(m_next, nrep, axis=1) if nrep > 1 else m_next
+            p = jnp.exp2(s - m_big)
+            m_scr[...] = m_next
+            l_scr[...] = alpha * l_prev + jnp.sum(
+                p, axis=1, keepdims=True, dtype=jnp.float32
+            )
 
         @pl.when(ki == last_active)
         def _store():
@@ -1066,7 +1072,7 @@ def _stats_kernel(
 def _pv_kernel(
     q_ref, k_ref, v_ref, alibi_ref, lse_ref, o_ref, acc_scr, *,
     causal, window, softcap, block_q, block_k, seqlen_q, seqlen_k,
-    has_alibi, nk, qmap_ref=None, kmap_ref=None,
+    has_alibi, nk, unroll=1, qmap_ref=None, kmap_ref=None,
 ):
     bi, hi = pl.program_id(0), pl.program_id(1)
     if qmap_ref is not None:
@@ -1078,8 +1084,9 @@ def _pv_kernel(
     wl, wr = window
     if causal:
         wr = 0
+    super_k = block_k * unroll
     first_active, last_active = _active_range(
-        qi, nk, block_q, block_k, seqlen_q, offset, wl, wr
+        qi, nk, block_q, super_k, seqlen_q, offset, wl, wr
     )
 
     @pl.when(jnp.logical_and(ki >= first_active, ki <= last_active))
@@ -1089,34 +1096,44 @@ def _pv_kernel(
             acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
         min_row = qi * block_q
-        col_base = ki * block_k
         q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s = _mask_and_bias(
-            s, bi, hi, min_row, col_base, block_rows=block_q,
-            block_k=block_k, seqlen_q=seqlen_q, seqlen_k=seqlen_k,
-            offset=offset, wl=wl, wr=wr, has_alibi=has_alibi,
-            alibi_ref=alibi_ref, softcap=softcap,
-        )
+        kblk = k_ref[0, 0]  # (super_k, d)
+        vblk = v_ref[0, 0]
         lse2 = lse_ref[0, 0]  # (block_q, MIN_LANES) lane-replicated
         nrep = block_k // MIN_LANES
         lse_big = pltpu.repeat(lse2, nrep, axis=1) if nrep > 1 else lse2
-        # exp2(MASKVAL - lse) == 0 and exp2(s - inf) == 0: masking and dead
-        # rows both come out exact with zero extra passes
-        p = jnp.exp2(s - lse_big)
-        if seqlen_k % block_k != 0:
-            valid = (
-                jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) + col_base
-                < seqlen_k
+        for u in range(unroll):
+            col_base = ki * super_k + u * block_k
+            k = (
+                kblk[u * block_k : (u + 1) * block_k] if unroll > 1 else kblk
             )
-            v = jnp.where(valid, v, 0)
-        acc_scr[...] = acc_scr[...] + jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        )
+            v = (
+                vblk[u * block_k : (u + 1) * block_k] if unroll > 1 else vblk
+            )
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = _mask_and_bias(
+                s, bi, hi, min_row, col_base, block_rows=block_q,
+                block_k=block_k, seqlen_q=seqlen_q, seqlen_k=seqlen_k,
+                offset=offset, wl=wl, wr=wr, has_alibi=has_alibi,
+                alibi_ref=alibi_ref, softcap=softcap,
+            )
+            # exp2(MASKVAL - lse) == 0 and exp2(s - inf) == 0: masking and
+            # dead rows both come out exact with zero extra passes
+            p = jnp.exp2(s - lse_big)
+            if seqlen_k % super_k != 0:
+                # partial trailing super block: sub-tiles past seqlen_k hold
+                # undefined VMEM rows; p is 0 there but 0*NaN would poison acc
+                valid = (
+                    jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) + col_base
+                    < seqlen_k
+                )
+                v = jnp.where(valid, v, 0)
+            acc_scr[...] = acc_scr[...] + jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
 
         @pl.when(ki == last_active)
         def _store():
@@ -1126,10 +1143,12 @@ def _pv_kernel(
 
 def _flash_attention_two_pass(
     q, k, v, alibi_slopes, *, causal, sm_scale, window, softcap,
-    block_q, block_k, return_lse, force_dense, interpret,
+    block_q, block_k, return_lse, force_dense, interpret, unroll=0,
 ):
     """Two-pass forward (see the section comment). Same semantics as
-    _flash_attention_impl for causal/window/alibi/softcap/GQA."""
+    _flash_attention_impl for causal/window/alibi/softcap/GQA. With
+    unroll=N > 1 each grid step sweeps N statically-unrolled block_k
+    sub-tiles (PF_TWOPASS=1 PF_UNROLL=N composes both experiments)."""
     b, h, sq, d = q.shape
     _, h_k, sk, _ = k.shape
     assert h % h_k == 0
@@ -1144,14 +1163,20 @@ def _flash_attention_two_pass(
 
     block_q = _round_block(sq, block_q)
     block_k = _round_block(sk, block_k)
+    unroll = max(1, int(unroll))
+    # the grid walks SUPER blocks of `unroll` block_k sub-tiles; clamp the
+    # unroll so a super block never exceeds the (padded) key length
+    while unroll > 1 and block_k * unroll > pl.cdiv(sk, block_k) * block_k:
+        unroll //= 2
+    super_k = block_k * unroll
     nq = pl.cdiv(sq, block_q)
-    nk = pl.cdiv(sk, block_k)
+    nk = pl.cdiv(sk, super_k)
 
     _wl0, _wr0 = int(window[0]), (0 if causal else int(window[1]))
     folded = (_wl0 >= 0 or _wr0 >= 0) and not force_dense
     if folded:
         qmap, kmap = _build_folded_maps(
-            nq, nk, block_q, block_k, sq, sk, _wl0, _wr0
+            nq, nk, block_q, super_k, sq, sk, _wl0, _wr0
         )
 
     has_alibi = alibi_slopes is not None
@@ -1168,7 +1193,7 @@ def _flash_attention_two_pass(
     statics = dict(
         causal=causal, window=(_wl0, int(window[1])), softcap=float(softcap),
         block_q=block_q, block_k=block_k, seqlen_q=sq, seqlen_k=sk,
-        has_alibi=has_alibi, nk=nk,
+        has_alibi=has_alibi, nk=nk, unroll=unroll,
     )
     cparams = pltpu.CompilerParams(
         dimension_semantics=(
@@ -1199,7 +1224,7 @@ def _flash_attention_two_pass(
     s_kernel = functools.partial(_stats_kernel, **statics)
     s_in_specs = [
         pl.BlockSpec((1, 1, block_q, d), q_index),
-        pl.BlockSpec((1, 1, block_k, d), kv_index),
+        pl.BlockSpec((1, 1, super_k, d), kv_index),
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
     s_out_shape = jax.ShapeDtypeStruct((b, h, sq, MIN_LANES), jnp.float32)
@@ -1232,8 +1257,8 @@ def _flash_attention_two_pass(
     p_kernel = functools.partial(_pv_kernel, **statics)
     p_in_specs = [
         pl.BlockSpec((1, 1, block_q, d), q_index),
-        pl.BlockSpec((1, 1, block_k, d), kv_index),
-        pl.BlockSpec((1, 1, block_k, d), kv_index),
+        pl.BlockSpec((1, 1, super_k, d), kv_index),
+        pl.BlockSpec((1, 1, super_k, d), kv_index),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, block_q, MIN_LANES), q_index),
     ]
@@ -1370,6 +1395,15 @@ def _flash_attention_jit(
     debug_skip, kv_chunk, pipe, unroll=False, no_diag, two_pass=False,
     interpret,
 ):
+    if two_pass:
+        # round-4 experiment: lse-then-pv structure (fwd only, no vjp);
+        # composes with PF_UNROLL=N (N sub-tiles per grid step in BOTH passes)
+        return _flash_attention_two_pass(
+            q, k, v, alibi_slopes, causal=causal, sm_scale=sm_scale,
+            window=window, softcap=softcap, block_q=block_q, block_k=block_k,
+            return_lse=return_lse, force_dense=force_dense,
+            interpret=interpret, unroll=int(unroll) if unroll else 0,
+        )
     if unroll and not return_lse:
         # round-4 experiment knob: fwd-only direct call (not differentiable)
         return _flash_attention_impl(
@@ -1379,14 +1413,6 @@ def _flash_attention_jit(
             interleave=interleave, force_dense=force_dense,
             debug_skip=debug_skip, kv_chunk=kv_chunk, pipe=pipe,
             unroll=unroll, no_diag=no_diag, interpret=interpret,
-        )
-    if two_pass:
-        # round-4 experiment: lse-then-pv structure (fwd only, no vjp)
-        return _flash_attention_two_pass(
-            q, k, v, alibi_slopes, causal=causal, sm_scale=sm_scale,
-            window=window, softcap=softcap, block_q=block_q, block_k=block_k,
-            return_lse=return_lse, force_dense=force_dense,
-            interpret=interpret,
         )
     if return_lse:
         return _flash_attention_impl(
