@@ -26,6 +26,7 @@ through the relay).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -34,8 +35,6 @@ import jax
 # persistent compilation cache: repeat runs (and the driver's run after a
 # warm-up) skip the 20-100s remote compiles entirely
 try:
-    import os
-
     _cache = os.path.expanduser("~/.cache/jax_comp_cache")
     os.makedirs(_cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache)
@@ -371,8 +370,7 @@ def main():
         f"({100*train_mfu:.1f}% MFU)",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
+    payload = json.dumps(
             {
                 "metric": "llama7b_paged_decode_attn_tokens_per_sec_per_chip",
                 "value": round(tok_s, 1),
@@ -403,8 +401,28 @@ def main():
                     "device": kind,
                 },
             }
-        )
     )
+    print(payload)
+    # self-preserve every successful run: the relay has a history of
+    # multi-hour outages at round end (round 2, round 4) — the newest
+    # BENCH_LOCAL_r*.json is the fallback of record if the driver's
+    # end-of-round capture hits one
+    try:
+        rnd = 0
+        try:
+            with open(os.path.join(os.path.dirname(__file__) or ".",
+                                   "PROGRESS.jsonl")) as f:
+                for line in f:
+                    rnd = max(rnd, json.loads(line).get("round", 0))
+        except OSError:
+            pass
+        name = f"BENCH_LOCAL_r{rnd:02d}.json" if rnd else "BENCH_LOCAL.json"
+        with open(os.path.join(os.path.dirname(__file__) or ".", name),
+                  "w") as f:
+            f.write(payload + "\n")
+        print(f"[bench] preserved to {name}", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] local preserve failed: {e!r}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -102,6 +102,57 @@ def test_gqa_page_sizes():
     run_case([20, 36], [50, 70], h=8, h_k=2, page_size=8)
 
 
+@pytest.mark.parametrize(
+    "case",
+    [
+        dict(lq=[100, 1, 37, 250], lk=[300, 90, 37, 250]),
+        dict(lq=[64, 128], lk=[200, 400], causal=False, window=(50, 0)),
+        dict(lq=[100, 60], lk=[150, 80], lse=True, alibi=True),
+        dict(lq=[8, 300, 16], lk=[512, 300, 40], h=8, h_k=2),
+        dict(lq=[256], lk=[256]),
+    ],
+    ids=["chunked-mix", "window", "lse-alibi", "uneven-gqa", "single"],
+)
+def test_paged_splash_fold_bit_equal(case):
+    """The folded paged-varlen grid (dynamic active-step enumeration) must be
+    BIT-equal to the dense (b, NQ, NKB) sweep: same DMAs, same tile math,
+    same visit order — only the grid structure differs."""
+    lq, lk_ = case["lq"], case["lk"]
+    h, h_k, d, ps = case.get("h", 4), case.get("h_k", 2), 128, 16
+    rng = np.random.default_rng(13)
+    k_pages, v_pages, bt = make_paged_cache(
+        rng, len(lq), lk_, h_k, d, ps, jnp.bfloat16
+    )
+    q = jnp.asarray(
+        rng.standard_normal((h, sum(lq), d)), jnp.bfloat16
+    )
+    cu_q = jnp.asarray(np.concatenate([[0], np.cumsum(lq)]), jnp.int32)
+    kw = dict(
+        causal=case.get("causal", True),
+        window=case.get("window", (-1, -1)),
+        return_lse=case.get("lse", False),
+        alibi_slopes=(
+            jnp.asarray(rng.uniform(0.01, 0.1, (h,)), jnp.float32)
+            if case.get("alibi") else None
+        ),
+        pages_per_compute_block=4,
+    )
+    args = (q, k_pages, v_pages, cu_q, jnp.asarray(lk_, jnp.int32), bt,
+            max(lq))
+    a = flash_attention_varlen_paged(*args, fold=False, **kw)
+    b = flash_attention_varlen_paged(*args, fold=True, **kw)
+    if case.get("lse"):
+        (ao, alse), (bo, blse) = a, b
+        assert jnp.array_equal(jnp.isinf(alse), jnp.isinf(blse))
+        fin = ~jnp.isinf(alse)
+        assert jnp.array_equal(
+            jnp.where(fin, alse, 0), jnp.where(fin, blse, 0)
+        )
+    else:
+        ao, bo = a, b
+    assert jnp.array_equal(ao, bo)
+
+
 @pytest.mark.parametrize("page_size", [16, 256, 512])
 def test_reference_page_size_matrix(page_size):
     """The reference's varlen-causal paged block sizes {16, 256, 512}

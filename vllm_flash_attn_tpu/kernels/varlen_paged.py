@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -38,6 +39,13 @@ from vllm_flash_attn_tpu.kernels.flash_prefill import (
     LOG2E,
     MIN_LANES,
 )
+
+# Splash-style folded grid for the paged-varlen kernel: one dynamic-length
+# grid dimension enumerating only the active (b, qi, ki) steps (vs the dense
+# (b, NQ, NKB) sweep whose inactive steps are pl.when bubbles). Default off
+# until hardware-validated; per-process module constant — pass fold=
+# explicitly for in-process A/Bs.
+_SPLASH = os.environ.get("VP_SPLASH", "0") == "1"
 
 
 def _kernel(
@@ -77,12 +85,23 @@ def _kernel(
     softcap: float,
     has_alibi: bool,
     return_lse: bool = False,
+    nkb_s: int = 0,
+    bmap_ref=None,  # folded grid: dim 1 walks only ACTIVE (b, qi, ki) steps
+    qmap_ref=None,
+    kmap_ref=None,
 ):
     h_ = pl.program_id(0)
-    b = pl.program_id(1)
-    qi = pl.program_id(2)
-    ki = pl.program_id(3)
-    nkb = pl.num_programs(3)
+    if bmap_ref is not None:
+        t = pl.program_id(1)
+        b = bmap_ref[t]
+        qi = qmap_ref[t]
+        ki = kmap_ref[t]
+        nkb = nkb_s
+    else:
+        b = pl.program_id(1)
+        qi = pl.program_id(2)
+        ki = pl.program_id(3)
+        nkb = pl.num_programs(3)
     bk = page_size * pages_per_block
     hk_idx = h_ // q_per_kv
 
@@ -266,11 +285,57 @@ def _kernel(
                 lcopy.wait()
 
 
+def _build_paged_fold_maps(
+    lens_q, lens_k, batch, nq, nkb, block_q, bk, causal, window
+):
+    """Maps for the folded paged-varlen grid: (bmap, qmap, kmap) of STATIC
+    worst-case length batch*nq*nkb plus the DYNAMIC active step count.
+    Mirrors the kernel's in-kernel [first, last] bounds exactly (bottom-right
+    causal alignment, inclusive window)."""
+    wl, wr = int(window[0]), int(window[1])
+    if causal:
+        wr = 0
+    qi_g = jnp.arange(nq, dtype=jnp.int32)[None, :]
+    lq = lens_q.astype(jnp.int32)[:, None]
+    lk = lens_k.astype(jnp.int32)[:, None]
+    row_lo = jnp.broadcast_to(qi_g * block_q, (batch, nq))
+    row_hi = jnp.minimum(row_lo + block_q, lq) - 1
+    offset = lk - lq
+    nkb_b = jnp.maximum((lk + bk - 1) // bk - 1, 0)
+    if wr >= 0:
+        last = jnp.clip((row_hi + offset + wr) // bk, 0, nkb - 1)
+    else:
+        last = jnp.full((batch, nq), nkb - 1, jnp.int32)
+    last = jnp.minimum(last, jnp.broadcast_to(nkb_b, (batch, nq)))
+    if wl >= 0:
+        first = jnp.clip((row_lo + offset - wl) // bk, 0, last)
+    else:
+        first = jnp.zeros((batch, nq), jnp.int32)
+    nq_b = (lq + block_q - 1) // block_q
+    active = jnp.logical_and(qi_g < nq_b, lk > 0)
+    counts = jnp.where(active, last - first + 1, 0).reshape(-1)
+    cum = jnp.cumsum(counts)
+    real_total = cum[-1]
+    # clamp to >= 1 so an all-inactive batch still has a (guarded, no-op)
+    # step; the kernel re-checks activity from lens either way
+    total = jnp.maximum(real_total, 1)
+    t = jnp.arange(batch * nq * nkb, dtype=jnp.int32)
+    r = jnp.searchsorted(cum, t, side="right").astype(jnp.int32)
+    rc = jnp.clip(r, 0, batch * nq - 1)
+    firsts = first.reshape(-1)
+    in_row = t - (cum[rc] - counts[rc])
+    live = t < real_total
+    bmap = jnp.where(live, rc // nq, 0).astype(jnp.int32)
+    qmap = jnp.where(live, rc % nq, 0).astype(jnp.int32)
+    kmap = jnp.where(live, firsts[rc] + in_row, firsts[0]).astype(jnp.int32)
+    return bmap, qmap, kmap, total
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "max_seqlen_q", "causal", "sm_scale", "window", "softcap", "block_q",
-        "pages_per_compute_block", "return_lse", "interpret",
+        "pages_per_compute_block", "return_lse", "interpret", "fold",
     ),
 )
 def flash_attention_varlen_paged(
@@ -291,6 +356,7 @@ def flash_attention_varlen_paged(
     pages_per_compute_block: Optional[int] = None,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
+    fold: Optional[bool] = None,  # splash folded grid (None -> VP_SPLASH env)
 ):
     """Varlen queries attending over a paged KV cache, zero dense gathering.
 
@@ -373,6 +439,8 @@ def flash_attention_varlen_paged(
     k_pages = k_pages.reshape(num_pages, page_size, h_k * d)
     v_pages = v_pages.reshape(num_pages, page_size, h_k * d)
 
+    if fold is None:
+        fold = _SPLASH
     kernel = functools.partial(
         _kernel,
         batch=batch,
@@ -386,16 +454,44 @@ def flash_attention_varlen_paged(
         softcap=float(softcap),
         has_alibi=has_alibi,
         return_lse=return_lse,
+        nkb_s=nkb,
     )
-    if not return_lse:
+    if fold:
+        body = kernel
+        if return_lse:
+
+            def kernel(cu_r, lq_r, lk_r, bt_r, bm_r, qm_r, km_r,  # noqa: F811
+                       q_r, k_r, v_r, a_r, o_r, lse_r, *scr):
+                body(cu_r, lq_r, lk_r, bt_r, q_r, k_r, v_r, a_r, o_r, lse_r,
+                     *scr, bmap_ref=bm_r, qmap_ref=qm_r, kmap_ref=km_r)
+
+        else:
+
+            def kernel(cu_r, lq_r, lk_r, bt_r, bm_r, qm_r, km_r,  # noqa: F811
+                       q_r, k_r, v_r, a_r, o_r, *scr):
+                body(cu_r, lq_r, lk_r, bt_r, q_r, k_r, v_r, a_r, o_r, None,
+                     *scr, bmap_ref=bm_r, qmap_ref=qm_r, kmap_ref=km_r)
+
+    elif not return_lse:
         body = kernel
 
         def kernel(cu_r, lq_r, lk_r, bt_r, q_r, k_r, v_r, a_r, o_r, *scr):  # noqa: F811
             body(cu_r, lq_r, lk_r, bt_r, q_r, k_r, v_r, a_r, o_r, None, *scr)
 
-    grid = (h, batch, nq, nkb)
+    if fold:
+        bmap, qmap, kmap, total_steps = _build_paged_fold_maps(
+            lens_q_, lens_k, batch, nq, nkb, block_q, ppb * page_size,
+            causal, window,
+        )
+        grid = (h, total_steps)
+        num_prefetch = 7
+        semantics = ("arbitrary", "arbitrary")
+    else:
+        grid = (h, batch, nq, nkb)
+        num_prefetch = 4
+        semantics = ("arbitrary", "arbitrary", "arbitrary", "arbitrary")
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=num_prefetch,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # q stream
@@ -425,27 +521,25 @@ def flash_attention_varlen_paged(
         out_shape.append(
             jax.ShapeDtypeStruct((h, total_pad, MIN_LANES), jnp.float32)
         )
+    operands = [
+        cu_for_kernel,
+        lens_q_.astype(jnp.int32),
+        lens_k.astype(jnp.int32),
+        block_tables.astype(jnp.int32),
+    ]
+    if fold:
+        operands += [bmap, qmap, kmap]
+    operands += [q, k_pages, v_pages, alibi_slopes]
     results = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=(
-                "arbitrary", "arbitrary", "arbitrary", "arbitrary"
-            ),
+            dimension_semantics=semantics,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(
-        cu_for_kernel,
-        lens_q_.astype(jnp.int32),
-        lens_k.astype(jnp.int32),
-        block_tables.astype(jnp.int32),
-        q,
-        k_pages,
-        v_pages,
-        alibi_slopes,
-    )
+    )(*operands)
     out = results[0][:, new_idx, :d_orig]  # gather back to the caller's packing
     if return_lse:
         return out, results[1][:, new_idx, 0]
