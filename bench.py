@@ -413,7 +413,13 @@ def main():
             with open(os.path.join(os.path.dirname(__file__) or ".",
                                    "PROGRESS.jsonl")) as f:
                 for line in f:
-                    rnd = max(rnd, json.loads(line).get("round", 0))
+                    # tolerate blank/truncated lines (another process may be
+                    # appending mid-write) — one bad record must not abort
+                    # the preservation this block exists for
+                    try:
+                        rnd = max(rnd, json.loads(line).get("round", 0))
+                    except (ValueError, AttributeError):
+                        continue
         except OSError:
             pass
         name = f"BENCH_LOCAL_r{rnd:02d}.json" if rnd else "BENCH_LOCAL.json"

@@ -5,6 +5,7 @@ Pallas runs in interpreter mode on CPU (config.use_interpret), which doubles as
 the race/oob sanitizer path (SURVEY.md §5.2).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -202,7 +203,10 @@ def test_two_pass_matches_base(case):
         "softcap": dict(sq=200, sk=200, causal=True, softcap=8.0),
         "gqa": dict(sq=256, sk=256, h=8, h_k=2, causal=True),
         "lse": dict(sq=256, sk=256, causal=True),
-        "dead_rows": dict(sq=128, sk=128, window=(8, -4)),  # some rows empty
+        # sq > sk causal (bottom-right aligned): rows i < sq-sk attend to an
+        # EMPTY column range -> exercises the lse=+inf dead-row branch of
+        # _stats_kernel/_pv_kernel (exp2(s - inf) = 0, out must be 0 not NaN)
+        "dead_rows": dict(sq=128, sk=64, causal=True),
     }[case]
     h = kw.pop("h", 4)
     h_k = kw.pop("h_k", 4)
@@ -215,10 +219,12 @@ def test_two_pass_matches_base(case):
     slopes = (
         jnp.asarray(rng.random((1, h)) * 0.3, jnp.float32) if alibi else None
     )
-    if case == "dead_rows":
-        kw = dict(window=(8, -4))  # left 8, right -4: early rows fully masked
-        kw["window"] = (8, 2)
     want_lse = case == "lse"
+    if case == "dead_rows":
+        base_np = np.asarray(
+            flash_attention(q, k, v, slopes, two_pass=False, **kw)
+        )
+        assert np.all(base_np[:, :, : sq - sk] == 0)  # rows truly dead
     base = flash_attention(
         q, k, v, slopes, return_lse=want_lse, two_pass=False, **kw
     )
@@ -360,3 +366,56 @@ def test_ragged_lane_multiple_tail():
             interpret=True,
         )
         assert bool(jnp.all(jnp.isfinite(out))), f"kv_chunk={kc}"
+
+
+def test_unroll_knob_reaches_two_pass_kernel(monkeypatch):
+    """Regression: flash_attention once coerced unroll to bool before the
+    jit boundary, so two_pass composed with unroll=N silently ran N=1 and
+    the tp_unroll hardware A/Bs measured plain two-pass. Assert the int
+    reaches _flash_attention_two_pass intact (trace-time capture)."""
+    import vllm_flash_attn_tpu.kernels.flash_prefill as fp
+
+    seen = {}
+    real = fp._flash_attention_two_pass
+
+    def spy(*args, **kwargs):
+        seen["unroll"] = kwargs.get("unroll")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(fp, "_flash_attention_two_pass", spy)
+    rng = np.random.default_rng(31)
+    # unique shape so the jit cache cannot satisfy this call without tracing
+    q = jnp.asarray(rng.standard_normal((1, 2, 520, 64)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 2, 520, 64)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 2, 520, 64)), jnp.float32)
+    fp.flash_attention(
+        q, k, v, causal=True, block_q=128, block_k=128,
+        two_pass=True, unroll=4,
+    )
+    assert seen.get("unroll") == 4
+
+
+@pytest.mark.parametrize("knobs", [
+    dict(two_pass=True), dict(unroll=2), dict(two_pass=True, unroll=2),
+])
+def test_experiment_knobs_stay_differentiable(knobs):
+    """A leftover PF_TWOPASS/PF_UNROLL env setting (or explicit knob) must
+    not break jax.grad through flash_attention — the experiment forwards
+    route through the same custom_vjp as the base kernel."""
+    rng = np.random.default_rng(37)
+    q = jnp.asarray(rng.standard_normal((1, 2, 256, 64)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 2, 256, 64)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 2, 256, 64)), jnp.float32)
+
+    def loss(fn_kw):
+        def f(q_, k_, v_):
+            return flash_attention(
+                q_, k_, v_, causal=True, block_q=128, block_k=128, **fn_kw
+            ).sum()
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    gq, gk, gv = loss(knobs)
+    bq, bk, bv = loss({})
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(bq), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(bk), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(bv), atol=2e-4)

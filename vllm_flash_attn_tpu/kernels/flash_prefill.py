@@ -1298,39 +1298,66 @@ def _flash_attention_two_pass(
 # first-class via a linear-memory XLA backward (kernels/flash_backward.py).
 
 
+def _fwd_dispatch(
+    q, k, v, alibi_slopes, *, causal, sm_scale, window, softcap, block_q,
+    block_k, return_lse, fuse_rowsum, p_bf16, interleave, force_dense,
+    debug_skip, kv_chunk, pipe, no_diag, unroll, two_pass, interpret,
+):
+    """Route to the two-pass experiment kernels or the main impl. Both
+    produce identical out (and natural-log lse), so the backward below is
+    agnostic to which forward ran — the experiment knobs stay differentiable."""
+    if two_pass:
+        return _flash_attention_two_pass(
+            q, k, v, alibi_slopes, causal=causal, sm_scale=sm_scale,
+            window=window, softcap=softcap, block_q=block_q, block_k=block_k,
+            return_lse=return_lse, force_dense=force_dense,
+            interpret=interpret, unroll=unroll,
+        )
+    return _flash_attention_impl(
+        q, k, v, alibi_slopes, causal=causal, sm_scale=sm_scale,
+        window=window, softcap=softcap, block_q=block_q, block_k=block_k,
+        return_lse=return_lse, fuse_rowsum=fuse_rowsum, p_bf16=p_bf16,
+        interleave=interleave, force_dense=force_dense,
+        debug_skip=debug_skip, kv_chunk=kv_chunk, pipe=pipe,
+        unroll=unroll, no_diag=no_diag, interpret=interpret,
+    )
+
+
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18),
+    nondiff_argnums=tuple(range(4, 21)),
 )
 def _flash_attention_vjp(
     q, k, v, alibi_slopes, causal, sm_scale, window, softcap, block_q, block_k,
     fuse_rowsum, p_bf16, interleave, force_dense, debug_skip, kv_chunk,
-    pipe, no_diag, interpret,
+    pipe, no_diag, unroll, two_pass, interpret,
 ):
-    return _flash_attention_impl(
+    return _fwd_dispatch(
         q, k, v, alibi_slopes if alibi_slopes.size else None,
         causal=causal, sm_scale=sm_scale, window=window,
         softcap=softcap, block_q=block_q, block_k=block_k,
         return_lse=False, fuse_rowsum=fuse_rowsum, p_bf16=p_bf16,
         interleave=interleave, force_dense=force_dense,
         debug_skip=debug_skip, kv_chunk=kv_chunk, pipe=pipe,
-        no_diag=no_diag, interpret=interpret,
+        no_diag=no_diag, unroll=unroll, two_pass=two_pass,
+        interpret=interpret,
     )
 
 
 def _vjp_fwd(
     q, k, v, alibi_slopes, causal, sm_scale, window, softcap, block_q, block_k,
     fuse_rowsum, p_bf16, interleave, force_dense, debug_skip, kv_chunk,
-    pipe, no_diag, interpret,
+    pipe, no_diag, unroll, two_pass, interpret,
 ):
-    out, lse = _flash_attention_impl(
+    out, lse = _fwd_dispatch(
         q, k, v, alibi_slopes if alibi_slopes.size else None,
         causal=causal, sm_scale=sm_scale, window=window,
         softcap=softcap, block_q=block_q, block_k=block_k,
         return_lse=True, fuse_rowsum=fuse_rowsum, p_bf16=p_bf16,
         interleave=interleave, force_dense=force_dense,
         debug_skip=debug_skip, kv_chunk=kv_chunk, pipe=pipe,
-        no_diag=no_diag, interpret=interpret,
+        no_diag=no_diag, unroll=unroll, two_pass=two_pass,
+        interpret=interpret,
     )
     return out, (q, k, v, alibi_slopes, out, lse)
 
@@ -1338,7 +1365,7 @@ def _vjp_fwd(
 def _vjp_bwd(
     causal, sm_scale, window, softcap, block_q, block_k, fuse_rowsum,
     p_bf16, interleave, force_dense, debug_skip, kv_chunk, pipe, no_diag,
-    interpret, res, g
+    unroll, two_pass, interpret, res, g
 ):
     from vllm_flash_attn_tpu.kernels.flash_backward import mha_backward
     from vllm_flash_attn_tpu.kernels.flash_backward_pallas import (
@@ -1392,36 +1419,18 @@ _flash_attention_vjp.defvjp(_vjp_fwd, _vjp_bwd)
 def _flash_attention_jit(
     q, k, v, alibi_slopes, *, causal, sm_scale, window, softcap, block_q,
     block_k, return_lse, fuse_rowsum, p_bf16, interleave, force_dense,
-    debug_skip, kv_chunk, pipe, unroll=False, no_diag, two_pass=False,
+    debug_skip, kv_chunk, pipe, unroll=0, no_diag, two_pass=False,
     interpret,
 ):
-    if two_pass:
-        # round-4 experiment: lse-then-pv structure (fwd only, no vjp);
-        # composes with PF_UNROLL=N (N sub-tiles per grid step in BOTH passes)
-        return _flash_attention_two_pass(
-            q, k, v, alibi_slopes, causal=causal, sm_scale=sm_scale,
-            window=window, softcap=softcap, block_q=block_q, block_k=block_k,
-            return_lse=return_lse, force_dense=force_dense,
-            interpret=interpret, unroll=int(unroll) if unroll else 0,
-        )
-    if unroll and not return_lse:
-        # round-4 experiment knob: fwd-only direct call (not differentiable)
-        return _flash_attention_impl(
-            q, k, v, alibi_slopes, causal=causal, sm_scale=sm_scale,
-            window=window, softcap=softcap, block_q=block_q, block_k=block_k,
-            return_lse=False, fuse_rowsum=fuse_rowsum, p_bf16=p_bf16,
-            interleave=interleave, force_dense=force_dense,
-            debug_skip=debug_skip, kv_chunk=kv_chunk, pipe=pipe,
-            unroll=unroll, no_diag=no_diag, interpret=interpret,
-        )
     if return_lse:
-        return _flash_attention_impl(
+        return _fwd_dispatch(
             q, k, v, alibi_slopes, causal=causal, sm_scale=sm_scale,
             window=window, softcap=softcap, block_q=block_q, block_k=block_k,
             return_lse=True, fuse_rowsum=fuse_rowsum, p_bf16=p_bf16,
             interleave=interleave, force_dense=force_dense,
             debug_skip=debug_skip, kv_chunk=kv_chunk, pipe=pipe,
-            unroll=unroll, no_diag=no_diag, interpret=interpret,
+            no_diag=no_diag, unroll=unroll, two_pass=two_pass,
+            interpret=interpret,
         )
     if alibi_slopes is None:
         alibi_norm = jnp.zeros((0, 0), jnp.float32)
@@ -1434,7 +1443,8 @@ def _flash_attention_jit(
     return _flash_attention_vjp(
         q, k, v, alibi_norm, causal, float(sm_scale), tuple(window),
         float(softcap), block_q, block_k, fuse_rowsum, p_bf16, interleave,
-        force_dense, debug_skip, kv_chunk, pipe, no_diag, interpret,
+        force_dense, debug_skip, kv_chunk, pipe, no_diag, unroll, two_pass,
+        interpret,
     )
 
 
@@ -1514,6 +1524,6 @@ def flash_attention(
         block_k=block_k, return_lse=return_lse, fuse_rowsum=bool(fuse_rowsum),
         p_bf16=bool(p_bf16), interleave=int(interleave),
         force_dense=bool(force_dense), debug_skip=tuple(debug_skip),
-        kv_chunk=int(kv_chunk), pipe=bool(pipe), unroll=bool(unroll),
+        kv_chunk=int(kv_chunk), pipe=bool(pipe), unroll=int(unroll),
         no_diag=bool(no_diag), two_pass=bool(two_pass), interpret=interpret,
     )

@@ -559,12 +559,18 @@ def _varlen_backward_dense_pallas(
     h_k = k.shape[0]
     total_k = k.shape[1]
     b = cu_q.shape[0] - 1
-    len_q = cu_q[1:] - cu_q[:-1]  # (b,)
+    # Defensive clamps (build_varlen_metadata does the same for the fwd):
+    # seqused_k may not exceed its cu segment, and no length may exceed the
+    # static max_seqlen slot — an undersized caller max would otherwise make
+    # `start` negative and the dense gather read the NEIGHBORING sequence.
+    len_q = jnp.minimum(cu_q[1:] - cu_q[:-1], max_sq)  # (b,)
+    seg_k = cu_k[1:] - cu_k[:-1]
     len_k = (
-        seqused_k.astype(jnp.int32)
+        jnp.minimum(seqused_k.astype(jnp.int32), seg_k)
         if seqused_k.size
-        else cu_k[1:] - cu_k[:-1]
+        else seg_k
     )
+    len_k = jnp.minimum(len_k, max_sk)
 
     def to_dense(x, cu, lens, S, fill):
         # (hx, total, d) -> (b, hx, S, d), tokens at rows [S-len, S)

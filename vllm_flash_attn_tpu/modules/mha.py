@@ -59,6 +59,7 @@ def paged_cache_attention(
     from vllm_flash_attn_tpu.kernels.kv_quant import (
         QuantizedPages,
         append_kv_paged_quantized,
+        scales_packed,
     )
     from vllm_flash_attn_tpu.kernels.paged_decode import paged_attention
 
@@ -112,7 +113,7 @@ def paged_cache_attention(
         new_k_scales = upd(state.k_pages.scales, kp.scales, li, 0)
         # packed layout: k and v share ONE scale array — update it once and
         # reference it from both views (a second update would drop the k half)
-        packed = state.v_pages.scale_offset > 0
+        packed = scales_packed(state.k_pages, state.v_pages)
         new_v_scales = (
             new_k_scales
             if packed

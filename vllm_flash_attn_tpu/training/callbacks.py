@@ -172,36 +172,72 @@ class JsonlLogger:
 class CsvLogger:
     """Header covers the union of metric keys — keys that first appear
     mid-run (e.g. 'mfu' once SpeedMonitor has a throughput sample) are not
-    silently dropped. Every log() rewrites the file atomically (tmp +
-    os.replace) so a crash/SIGKILL mid-run loses at most the in-flight row
-    and resumed runs never produce multi-header files."""
+    silently dropped. Rows APPEND line-buffered (a crash/SIGKILL loses at
+    most the in-flight row; I/O stays O(rows) over a long run); only when a
+    new key widens the header is the file rewritten once atomically (tmp +
+    os.replace). Resumed runs adopt the existing header, so the file never
+    grows a second header line."""
 
     def __init__(self, path):
-        self._path = path
-        self._rows = []
-        self._keys = ["step"]
-
-    def log(self, step, metrics):
-        for k in sorted(metrics):
-            if k not in self._keys:
-                self._keys.append(k)
-        self._rows.append({"step": step, **metrics})
-        self._flush()
-
-    def _flush(self):
         import os
 
+        self._path = path
+        self._keys = ["step"]
+        self._f = None
+        if os.path.exists(path) and os.path.getsize(path) > 0:
+            with open(path) as f:
+                header = f.readline().strip()
+            if header:
+                self._keys = header.split(",")
+
+    def log(self, step, metrics):
+        row = {"step": step, **metrics}
+        new = [k for k in sorted(metrics) if k not in self._keys]
+        if new:
+            self._keys.extend(new)
+            self._rewrite(row)
+        else:
+            self._append(row)
+
+    def _line(self, row):
+        return ",".join(str(row.get(k, "")) for k in self._keys) + "\n"
+
+    def _append(self, row):
+        import os
+
+        if self._f is None:
+            fresh = (
+                not os.path.exists(self._path)
+                or os.path.getsize(self._path) == 0
+            )
+            self._f = open(self._path, "a", buffering=1)
+            if fresh:
+                self._f.write(",".join(self._keys) + "\n")
+        self._f.write(self._line(row))
+
+    def _rewrite(self, row):
+        import csv
+        import os
+
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+        old_rows = []
+        if os.path.exists(self._path):
+            with open(self._path) as f:
+                old_rows = list(csv.DictReader(f))
         tmp = self._path + ".tmp"
         with open(tmp, "w") as f:
             f.write(",".join(self._keys) + "\n")
-            for row in self._rows:
-                f.write(
-                    ",".join(str(row.get(k, "")) for k in self._keys) + "\n"
-                )
+            for old in old_rows:
+                f.write(self._line(old))
+            f.write(self._line(row))
         os.replace(tmp, self._path)
 
     def close(self):
-        self._flush()
+        if self._f is not None:
+            self._f.close()
+            self._f = None
 
 
 class StdoutLogger:

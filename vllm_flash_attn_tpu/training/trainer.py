@@ -255,15 +255,17 @@ class Trainer:
             while int(self.state.step) < max_steps:
                 step = int(self.state.step)
                 if cfg.profile_active > 0:
-                    if step == prof_start and not prof_on:
+                    # >= (not ==): a checkpoint-resumed run that lands past
+                    # prof_start still opens/closes the window correctly
+                    if step >= prof_stop and prof_on:
+                        jax.profiler.stop_trace()
+                        prof_on = False
+                    elif prof_start <= step < prof_stop and not prof_on:
                         import os
 
                         os.makedirs(cfg.profile_dir, exist_ok=True)
                         jax.profiler.start_trace(cfg.profile_dir)
                         prof_on = True
-                    elif step == prof_stop and prof_on:
-                        jax.profiler.stop_trace()
-                        prof_on = False
                 self.speed.on_step_start(step)
                 batch = next(it)
                 ids = jnp.asarray(batch[:, :-1], jnp.int32)
