@@ -33,6 +33,8 @@ STEPS = [
     # 3c. splash folded varlen grid vs dense skipped-step grid (also the
     #     Mosaic dynamic-grid-bound lowering smoke)
     ("varlen-splash", ["python", "benchmarks/bench_varlen_splash_hw.py"], 2400),
+    # 3d. split-KV merge-overhead + first hardware numerics for the split path
+    ("splitkv", ["python", "benchmarks/bench_splitkv_hw.py"], 2400),
     # 4. the driver metric end-to-end
     ("bench", ["python", "bench.py"], 2400),
 ]

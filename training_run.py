@@ -241,6 +241,16 @@ def apply_group(cfg, group: str, name: str):
 
 
 def main(argv=None):
+    import os
+
+    if os.environ.get("VFA_PLATFORM"):
+        # the axon sitecustomize force-selects the TPU relay regardless of
+        # JAX_PLATFORMS; this is the supported escape for CPU smoke runs
+        # (jax.config wins over the env when set after import)
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["VFA_PLATFORM"])
+
     from vllm_flash_attn_tpu.training.data import load_token_cache, synthetic_tokens
     from vllm_flash_attn_tpu.training.trainer import TrainConfig, Trainer
 
