@@ -64,6 +64,12 @@ VARIANTS = {
     "tp_unroll4": dict(two_pass=True, unroll=4),
     "tp_unroll4_bk512": dict(two_pass=True, unroll=4, block_k=512),
     "tp_unroll8_bk512": dict(two_pass=True, unroll=8, block_k=512),
+    # round-4 Mosaic compiler knobs (see flash_prefill._cparams)
+    "nobounds": dict(cp=("nobounds",)),
+    "fusein": dict(cp=("fusein",)),
+    "cpboth": dict(cp=("nobounds", "fusein")),
+    "tp_unroll4_nb": dict(two_pass=True, unroll=4, cp=("nobounds",)),
+    "unroll4_nb": dict(unroll=4, cp=("nobounds",)),
     "rowsum": dict(fuse_rowsum=True),
     "bq512": dict(block_q=512),
     "bk512": dict(block_k=512),

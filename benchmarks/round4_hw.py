@@ -23,6 +23,7 @@ STEPS = [
             "python", "benchmarks/bench_prefill_hw.py",
             "base", "twopass", "twopass_b512", "unroll2", "unroll4",
             "unroll4_bk512", "tp_unroll2", "tp_unroll4", "tp_unroll4_bk512",
+            "nobounds", "fusein", "cpboth", "unroll4_nb", "tp_unroll4_nb",
         ],
         5400,
     ),
@@ -35,6 +36,14 @@ STEPS = [
     ("varlen-splash", ["python", "benchmarks/bench_varlen_splash_hw.py"], 2400),
     # 3d. split-KV merge-overhead + first hardware numerics for the split path
     ("splitkv", ["python", "benchmarks/bench_splitkv_hw.py"], 2400),
+    # 3e. train-step A/B: Mosaic bounds checks off in the backward pair
+    #     (per-process knob, so a separate process per arm)
+    ("train-base", ["python", "benchmarks/bench_train_hw.py"], 2400),
+    (
+        "train-nb",
+        ["env", "PB_CP=nobounds", "python", "benchmarks/bench_train_hw.py"],
+        2400,
+    ),
     # 4. the driver metric end-to-end
     ("bench", ["python", "bench.py"], 2400),
 ]

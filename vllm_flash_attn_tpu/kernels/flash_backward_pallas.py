@@ -262,6 +262,16 @@ def mha_backward_pallas(
     block_k: int = 1024,  # 512x512 -> 59.9%, 256x1024 -> 59.7%
     interpret: Optional[bool] = None,
 ):
+    # per-PROCESS Mosaic knob (PB_CP=nobounds) — same caveat as PB_BQ/PB_BK:
+    # read at trace time, do not flip mid-process (stale jit cache)
+    import os as _os
+
+    _cp = tuple(x for x in _os.environ.get("PB_CP", "").split(",") if x)
+    _cpar = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        vmem_limit_bytes=100 * 1024 * 1024,
+        **({"disable_bounds_checks": True} if "nobounds" in _cp else {}),
+    )
     b, h, sq, d = q.shape
     sk = k.shape[2]
     h_k = k.shape[1]
@@ -319,12 +329,7 @@ def mha_backward_pallas(
         out_specs=pl.BlockSpec((1, 1, block_q, d), qix),
         out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=(
-                "parallel", "parallel", "parallel", "arbitrary"
-            ),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
+        compiler_params=_cpar,
         interpret=interpret,
     )(q_s, k, v, do, lse2, dval)
 
@@ -362,12 +367,7 @@ def mha_backward_pallas(
             pltpu.VMEM((block_k, d), jnp.float32),
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=(
-                "parallel", "parallel", "parallel", "arbitrary"
-            ),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
+        compiler_params=_cpar,
         interpret=interpret,
     )(q_s, k, v, do, lse2, dval)
 

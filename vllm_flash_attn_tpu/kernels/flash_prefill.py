@@ -611,6 +611,21 @@ def _build_folded_maps(nq, nk, block_q, block_k, sq, sk, wl, wr):
     return jnp.asarray(qmap, jnp.int32), jnp.asarray(kmap, jnp.int32)
 
 
+def _cparams(dims, cp, num_inputs):
+    """CompilerParams with round-4 Mosaic-knob A/B extras (PF_CP env,
+    resolved OUTSIDE the jit in flash_attention like every other knob):
+    'nobounds' disables Mosaic bounds checks (kernels are interpret-mode
+    sanitized; targets the per-tile machinery floor), 'fusein' lets XLA
+    fuse elementwise producers (e.g. the q sm_scale*LOG2E premultiply)
+    into the operand loads instead of a separate HBM round trip."""
+    kw = dict(dimension_semantics=dims, vmem_limit_bytes=100 * 1024 * 1024)
+    if "nobounds" in cp:
+        kw["disable_bounds_checks"] = True
+    if "fusein" in cp:
+        kw["allow_input_fusion"] = [True] * num_inputs
+    return pltpu.CompilerParams(**kw)
+
+
 def _flash_attention_impl(
     q: jax.Array,
     k: jax.Array,
@@ -633,6 +648,7 @@ def _flash_attention_impl(
     pipe: bool = False,
     unroll: bool = False,
     no_diag: bool = False,
+    cp: Tuple[str, ...] = (),
     interpret: Optional[bool] = None,
 ):
     """Flash attention forward.
@@ -776,11 +792,8 @@ def _flash_attention_impl(
                 pltpu.VMEM(_stats_block(block_q), jnp.float32),
                 pltpu.VMEM((block_q, d), jnp.float32),
             ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=(
-                    "parallel", "parallel", "parallel", "arbitrary"
-                ),
-                vmem_limit_bytes=100 * 1024 * 1024,
+            compiler_params=_cparams(
+                ("parallel", "parallel", "parallel", "arbitrary"), cp, 4
             ),
             interpret=interpret,
         )(q, k, v, alibi_c)
@@ -931,12 +944,11 @@ def _flash_attention_impl(
             kernel,
             grid_spec=grid_spec,
             out_shape=out_shape,
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary"),
-                # scalar-dynamic index maps defeat Mosaic's buffer-reuse proof,
-                # so the folded grid books more scoped VMEM than the dense one;
-                # the default 16MB limit is too tight at 1024-block sizes
-                vmem_limit_bytes=100 * 1024 * 1024,
+            # scalar-dynamic index maps defeat Mosaic's buffer-reuse proof,
+            # so the folded grid books more scoped VMEM than the dense one;
+            # the default 16MB limit is too tight at 1024-block sizes
+            compiler_params=_cparams(
+                ("parallel", "parallel", "arbitrary"), cp, 7
             ),
             interpret=interpret,
         )(qmap, kmap, q, k, v, alibi_slopes, diag_tile)
@@ -948,13 +960,10 @@ def _flash_attention_impl(
             out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=scratch_shapes,
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=(
-                    "parallel", "parallel", "parallel", "arbitrary"
-                ),
-                # big-block configs (2048-row tiles) exceed the default 16MB
-                # scoped-vmem budget
-                vmem_limit_bytes=100 * 1024 * 1024,
+            # big-block configs (2048-row tiles) exceed the default 16MB
+            # scoped-vmem budget
+            compiler_params=_cparams(
+                ("parallel", "parallel", "parallel", "arbitrary"), cp, 5
             ),
             interpret=interpret,
         )(q, k, v, alibi_slopes, diag_tile)
@@ -1144,6 +1153,7 @@ def _pv_kernel(
 def _flash_attention_two_pass(
     q, k, v, alibi_slopes, *, causal, sm_scale, window, softcap,
     block_q, block_k, return_lse, force_dense, interpret, unroll=0,
+    cp=(),
 ):
     """Two-pass forward (see the section comment). Same semantics as
     _flash_attention_impl for causal/window/alibi/softcap/GQA. With
@@ -1195,13 +1205,13 @@ def _flash_attention_two_pass(
         block_q=block_q, block_k=block_k, seqlen_q=sq, seqlen_k=sk,
         has_alibi=has_alibi, nk=nk, unroll=unroll,
     )
-    cparams = pltpu.CompilerParams(
-        dimension_semantics=(
-            ("parallel", "parallel", "arbitrary") if folded
-            else ("parallel", "parallel", "parallel", "arbitrary")
-        ),
-        vmem_limit_bytes=100 * 1024 * 1024,
+    dims = (
+        ("parallel", "parallel", "arbitrary") if folded
+        else ("parallel", "parallel", "parallel", "arbitrary")
     )
+    # per-pass input counts differ (pass 1 has no V/lse operand)
+    cparams_s = _cparams(dims, cp, 5 if folded else 3)
+    cparams_p = _cparams(dims, cp, 7 if folded else 5)
 
     if folded:
         def q_index(b_, h_, t, qm, km):
@@ -1243,14 +1253,14 @@ def _flash_attention_two_pass(
                 num_scalar_prefetch=2, grid=grid, in_specs=s_in_specs,
                 out_specs=s_out_spec, scratch_shapes=s_scratch,
             ),
-            out_shape=s_out_shape, compiler_params=cparams,
+            out_shape=s_out_shape, compiler_params=cparams_s,
             interpret=interpret,
         )(qmap, kmap, q, k, alibi_slopes)
     else:
         lse2 = pl.pallas_call(
             s_kernel, grid=grid, in_specs=s_in_specs, out_specs=s_out_spec,
             out_shape=s_out_shape, scratch_shapes=s_scratch,
-            compiler_params=cparams, interpret=interpret,
+            compiler_params=cparams_s, interpret=interpret,
         )(q, k, alibi_slopes)
 
     # ---- pass 2: out = exp2(s - lse) @ V, pure accumulation
@@ -1278,14 +1288,14 @@ def _flash_attention_two_pass(
                 num_scalar_prefetch=2, grid=grid, in_specs=p_in_specs,
                 out_specs=p_out_spec, scratch_shapes=p_scratch,
             ),
-            out_shape=p_out_shape, compiler_params=cparams,
+            out_shape=p_out_shape, compiler_params=cparams_p,
             interpret=interpret,
         )(qmap, kmap, q, k, v, alibi_slopes, lse2)
     else:
         out = pl.pallas_call(
             p_kernel, grid=grid, in_specs=p_in_specs, out_specs=p_out_spec,
             out_shape=p_out_shape, scratch_shapes=p_scratch,
-            compiler_params=cparams, interpret=interpret,
+            compiler_params=cparams_p, interpret=interpret,
         )(q, k, v, alibi_slopes, lse2)
 
     if return_lse:
@@ -1301,7 +1311,7 @@ def _flash_attention_two_pass(
 def _fwd_dispatch(
     q, k, v, alibi_slopes, *, causal, sm_scale, window, softcap, block_q,
     block_k, return_lse, fuse_rowsum, p_bf16, interleave, force_dense,
-    debug_skip, kv_chunk, pipe, no_diag, unroll, two_pass, interpret,
+    debug_skip, kv_chunk, pipe, no_diag, unroll, two_pass, cp, interpret,
 ):
     """Route to the two-pass experiment kernels or the main impl. Both
     produce identical out (and natural-log lse), so the backward below is
@@ -1311,7 +1321,7 @@ def _fwd_dispatch(
             q, k, v, alibi_slopes, causal=causal, sm_scale=sm_scale,
             window=window, softcap=softcap, block_q=block_q, block_k=block_k,
             return_lse=return_lse, force_dense=force_dense,
-            interpret=interpret, unroll=unroll,
+            interpret=interpret, unroll=unroll, cp=cp,
         )
     return _flash_attention_impl(
         q, k, v, alibi_slopes, causal=causal, sm_scale=sm_scale,
@@ -1319,18 +1329,18 @@ def _fwd_dispatch(
         return_lse=return_lse, fuse_rowsum=fuse_rowsum, p_bf16=p_bf16,
         interleave=interleave, force_dense=force_dense,
         debug_skip=debug_skip, kv_chunk=kv_chunk, pipe=pipe,
-        unroll=unroll, no_diag=no_diag, interpret=interpret,
+        unroll=unroll, no_diag=no_diag, cp=cp, interpret=interpret,
     )
 
 
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=tuple(range(4, 21)),
+    nondiff_argnums=tuple(range(4, 22)),
 )
 def _flash_attention_vjp(
     q, k, v, alibi_slopes, causal, sm_scale, window, softcap, block_q, block_k,
     fuse_rowsum, p_bf16, interleave, force_dense, debug_skip, kv_chunk,
-    pipe, no_diag, unroll, two_pass, interpret,
+    pipe, no_diag, unroll, two_pass, cp, interpret,
 ):
     return _fwd_dispatch(
         q, k, v, alibi_slopes if alibi_slopes.size else None,
@@ -1339,7 +1349,7 @@ def _flash_attention_vjp(
         return_lse=False, fuse_rowsum=fuse_rowsum, p_bf16=p_bf16,
         interleave=interleave, force_dense=force_dense,
         debug_skip=debug_skip, kv_chunk=kv_chunk, pipe=pipe,
-        no_diag=no_diag, unroll=unroll, two_pass=two_pass,
+        no_diag=no_diag, unroll=unroll, two_pass=two_pass, cp=cp,
         interpret=interpret,
     )
 
@@ -1347,7 +1357,7 @@ def _flash_attention_vjp(
 def _vjp_fwd(
     q, k, v, alibi_slopes, causal, sm_scale, window, softcap, block_q, block_k,
     fuse_rowsum, p_bf16, interleave, force_dense, debug_skip, kv_chunk,
-    pipe, no_diag, unroll, two_pass, interpret,
+    pipe, no_diag, unroll, two_pass, cp, interpret,
 ):
     out, lse = _fwd_dispatch(
         q, k, v, alibi_slopes if alibi_slopes.size else None,
@@ -1356,7 +1366,7 @@ def _vjp_fwd(
         return_lse=True, fuse_rowsum=fuse_rowsum, p_bf16=p_bf16,
         interleave=interleave, force_dense=force_dense,
         debug_skip=debug_skip, kv_chunk=kv_chunk, pipe=pipe,
-        no_diag=no_diag, unroll=unroll, two_pass=two_pass,
+        no_diag=no_diag, unroll=unroll, two_pass=two_pass, cp=cp,
         interpret=interpret,
     )
     return out, (q, k, v, alibi_slopes, out, lse)
@@ -1365,7 +1375,7 @@ def _vjp_fwd(
 def _vjp_bwd(
     causal, sm_scale, window, softcap, block_q, block_k, fuse_rowsum,
     p_bf16, interleave, force_dense, debug_skip, kv_chunk, pipe, no_diag,
-    unroll, two_pass, interpret, res, g
+    unroll, two_pass, cp, interpret, res, g
 ):
     from vllm_flash_attn_tpu.kernels.flash_backward import mha_backward
     from vllm_flash_attn_tpu.kernels.flash_backward_pallas import (
@@ -1413,14 +1423,14 @@ _flash_attention_vjp.defvjp(_vjp_fwd, _vjp_bwd)
         "causal", "sm_scale", "window", "softcap", "block_q", "block_k",
         "return_lse", "fuse_rowsum", "p_bf16", "interleave", "force_dense",
         "debug_skip", "kv_chunk", "pipe", "unroll", "no_diag", "two_pass",
-        "interpret",
+        "cp", "interpret",
     ),
 )
 def _flash_attention_jit(
     q, k, v, alibi_slopes, *, causal, sm_scale, window, softcap, block_q,
     block_k, return_lse, fuse_rowsum, p_bf16, interleave, force_dense,
     debug_skip, kv_chunk, pipe, unroll=0, no_diag, two_pass=False,
-    interpret,
+    cp=(), interpret,
 ):
     if return_lse:
         return _fwd_dispatch(
@@ -1429,7 +1439,7 @@ def _flash_attention_jit(
             return_lse=True, fuse_rowsum=fuse_rowsum, p_bf16=p_bf16,
             interleave=interleave, force_dense=force_dense,
             debug_skip=debug_skip, kv_chunk=kv_chunk, pipe=pipe,
-            no_diag=no_diag, unroll=unroll, two_pass=two_pass,
+            no_diag=no_diag, unroll=unroll, two_pass=two_pass, cp=cp,
             interpret=interpret,
         )
     if alibi_slopes is None:
@@ -1444,7 +1454,7 @@ def _flash_attention_jit(
         q, k, v, alibi_norm, causal, float(sm_scale), tuple(window),
         float(softcap), block_q, block_k, fuse_rowsum, p_bf16, interleave,
         force_dense, debug_skip, kv_chunk, pipe, no_diag, unroll, two_pass,
-        interpret,
+        cp, interpret,
     )
 
 
@@ -1471,6 +1481,7 @@ def flash_attention(
     unroll: Optional[int] = None,
     no_diag: Optional[bool] = None,
     two_pass: Optional[bool] = None,
+    cp: Optional[Tuple[str, ...]] = None,
     interpret: Optional[bool] = None,
 ):
     """Flash attention forward (differentiable when return_lse=False).
@@ -1516,6 +1527,9 @@ def flash_attention(
         # round-4 experiment: PF_UNROLL=N sweeps N block_k tiles per grid
         # step with a statically UNROLLED inner loop (chunked-kernel path)
         unroll = int(os.environ.get("PF_UNROLL", "0"))
+    if cp is None:
+        # round-4 Mosaic-knob experiments: PF_CP=nobounds,fusein (see _cparams)
+        cp = tuple(x for x in os.environ.get("PF_CP", "").split(",") if x)
     if unroll and not kv_chunk:
         kv_chunk = int(unroll) * block_k
     return _flash_attention_jit(
@@ -1525,5 +1539,6 @@ def flash_attention(
         p_bf16=bool(p_bf16), interleave=int(interleave),
         force_dense=bool(force_dense), debug_skip=tuple(debug_skip),
         kv_chunk=int(kv_chunk), pipe=bool(pipe), unroll=int(unroll),
-        no_diag=bool(no_diag), two_pass=bool(two_pass), interpret=interpret,
+        no_diag=bool(no_diag), two_pass=bool(two_pass), cp=tuple(cp),
+        interpret=interpret,
     )
