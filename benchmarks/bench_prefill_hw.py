@@ -64,6 +64,14 @@ VARIANTS = {
     "tp_unroll4": dict(two_pass=True, unroll=4),
     "tp_unroll4_bk512": dict(two_pass=True, unroll=4, block_k=512),
     "tp_unroll8_bk512": dict(two_pass=True, unroll=8, block_k=512),
+    # round-4 flat manual-DMA structure (one grid step per q block, hand
+    # double-buffered HBM->VMEM k/v ring; see _fwd_kernel_flat)
+    "flat": dict(cp=("flat",)),
+    "flat_nb": dict(cp=("flat", "nobounds")),
+    "flat_bk512": dict(cp=("flat",), block_k=512),
+    "flat_bk2048": dict(cp=("flat",), block_k=2048),
+    "flat_b512": dict(cp=("flat",), block_q=512, block_k=512),
+    "flat_bq2048": dict(cp=("flat",), block_q=2048),
     # round-4 Mosaic compiler knobs (see flash_prefill._cparams)
     "nobounds": dict(cp=("nobounds",)),
     "fusein": dict(cp=("fusein",)),

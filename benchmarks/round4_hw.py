@@ -27,6 +27,18 @@ STEPS = [
         ],
         5400,
     ),
+    # 2b. flat manual-DMA structure — SEPARATE step: it is the riskiest new
+    #     Mosaic surface (manual DMA ring); a run-time failure wedging the
+    #     relay must not poison the core A/Bs above
+    (
+        "prefill-flat",
+        [
+            "python", "benchmarks/bench_prefill_hw.py",
+            "base", "flat", "flat_nb", "flat_bk512", "flat_b512",
+            "flat_bq2048",
+        ],
+        5400,
+    ),
     # 3. decode: bf16 vs int8 (packed scales) marginal ratio
     ("decode-int8", ["python", "benchmarks/benchmark_decode.py"], 2400),
     # 3b. int8 PV experiment: qpv on/off in ONE process (MHA + GQA points)

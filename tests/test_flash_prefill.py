@@ -419,3 +419,63 @@ def test_experiment_knobs_stay_differentiable(knobs):
     np.testing.assert_allclose(np.asarray(gq), np.asarray(bq), atol=2e-4)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(bk), atol=2e-4)
     np.testing.assert_allclose(np.asarray(gv), np.asarray(bv), atol=2e-4)
+
+
+@pytest.mark.parametrize(
+    "case",
+    ["causal", "noncausal", "asym", "window", "gqa", "softcap", "dead_rows",
+     "ragged", "alibi", "lse"],
+)
+def test_flat_manual_dma_matches_base(case):
+    """Round-4 flat structure (PF_CP=flat): one grid step per q block with a
+    hand double-buffered HBM->VMEM ring for k/v (pltpu.make_async_copy).
+    Must match the grid-pipelined kernel bit-for-bit (same tile math/order)."""
+    rng = np.random.default_rng(41)
+    kw = {
+        "causal": dict(sq=384, sk=384, causal=True),
+        "noncausal": dict(sq=256, sk=256),
+        "asym": dict(sq=200, sk=392, causal=True),
+        "window": dict(sq=256, sk=256, window=(64, 32)),
+        "gqa": dict(sq=256, sk=256, h=8, h_k=2, causal=True),
+        "softcap": dict(sq=200, sk=200, causal=True, softcap=8.0),
+        "dead_rows": dict(sq=128, sk=64, causal=True),
+        "ragged": dict(sq=200, sk=460, causal=True),
+        "alibi": dict(sq=256, sk=256, causal=True, alibi=True),
+        "lse": dict(sq=256, sk=256, causal=True),
+    }[case]
+    h, h_k, d = kw.pop("h", 4), kw.pop("h_k", 4), 64
+    sq, sk = kw.pop("sq"), kw.pop("sk")
+    alibi = kw.pop("alibi", False)
+    q = jnp.asarray(rng.standard_normal((1, h, sq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, h_k, sk, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, h_k, sk, d)), jnp.float32)
+    slopes = (
+        jnp.asarray(rng.random((1, h)) * 0.3, jnp.float32) if alibi else None
+    )
+    want_lse = case == "lse"
+    base = flash_attention(
+        q, k, v, slopes, return_lse=want_lse, block_q=128, block_k=128, **kw
+    )
+    flat = flash_attention(
+        q, k, v, slopes, return_lse=want_lse, block_q=128, block_k=128,
+        cp=("flat",), **kw
+    )
+    if want_lse:
+        (base, lse_b), (flat, lse_f) = base, flat
+        np.testing.assert_allclose(
+            np.asarray(lse_f), np.asarray(lse_b), atol=1e-5, rtol=1e-5
+        )
+    np.testing.assert_allclose(np.asarray(flat), np.asarray(base), atol=1e-5)
+
+
+def test_flat_differentiable():
+    """PF_CP=flat routes through the same custom_vjp; grads match base."""
+    rng = np.random.default_rng(43)
+    q = jnp.asarray(rng.standard_normal((1, 2, 256, 64)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 2, 256, 64)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 2, 256, 64)), jnp.float32)
+    gb = jax.grad(lambda q_: flash_attention(q_, k, v, causal=True).sum())(q)
+    gf = jax.grad(
+        lambda q_: flash_attention(q_, k, v, causal=True, cp=("flat",)).sum()
+    )(q)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gb), atol=2e-5)

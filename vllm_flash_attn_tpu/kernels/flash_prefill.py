@@ -611,6 +611,301 @@ def _build_folded_maps(nq, nk, block_q, block_k, sq, sk, wl, wr):
     return jnp.asarray(qmap, jnp.int32), jnp.asarray(kmap, jnp.int32)
 
 
+# ------------------------------------------------ flat manual-DMA kernel
+# Round-4 experiment against the per-tile floor from a different angle than
+# two-pass/unroll: the round-3 stage isolation showed ~5.9us/tile remaining
+# with QK+softmax+PV all skipped, i.e. the EMPTY pipeline costs almost as
+# much as both GEMMs — consistent with Mosaic's grid pipeline not hiding
+# operand DMAs under compute on this rig. This kernel takes DMA scheduling
+# away from the grid machinery: ONE grid step per (b, h, q-block); k/v stay
+# in HBM (memory_space=ANY) and a statically-unrolled tile loop hand
+# double-buffers them into a 2-slot VMEM ring (pltpu.make_async_copy),
+# issuing tile j+1's copies before computing tile j. All DMA offsets and
+# ring slots are static (python-unrolled loop); activity is predicated with
+# pl.when so causal/window skips cost one branch, not a grid step.
+# Enabled via PF_CP=flat (composes with nobounds); differentiable like the
+# other structures (same out/lse contract through _fwd_dispatch).
+
+
+def _fwd_kernel_flat(
+    q_ref,      # (1, 1, block_q, d) VMEM (pre-scaled by sm_scale*log2e)
+    k_hbm,      # (b, h_kv, sk_pad, d) ANY
+    v_hbm,      # (b, h_kv, sk_pad, d) ANY
+    alibi_ref,  # (b, h) fp32 SMEM (or (1, 1) when unused)
+    o_ref,      # (1, 1, block_q, d)
+    lse_ref,    # (1, 1, block_q, MIN_LANES) or None
+    k_scr,      # (2, block_k, d) VMEM
+    v_scr,      # (2, block_k, d) VMEM
+    m_scr,      # stats blocks
+    l_scr,
+    acc_scr,    # (block_q, d) fp32
+    k_sem,      # DMA (2,)
+    v_sem,      # DMA (2,)
+    *,
+    causal: bool,
+    window: Tuple[int, int],
+    softcap: float,
+    block_q: int,
+    block_k: int,
+    seqlen_q: int,
+    seqlen_k: int,
+    has_alibi: bool,
+    return_lse: bool,
+    nk: int,
+    q_per_kv: int,
+):
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    qi = pl.program_id(2)
+    hk = hi // q_per_kv
+
+    offset = seqlen_k - seqlen_q
+    wl, wr = window
+    if causal:
+        wr = 0
+    first, last = _active_range(
+        qi, nk, block_q, block_k, seqlen_q, offset, wl, wr
+    )
+    # non-causal unbounded window: every tile active -> the pl.when guards
+    # below fold to constants and the loop is branch-free
+    min_row = qi * block_q
+    max_row = jnp.minimum(min_row + block_q, seqlen_q) - 1
+
+    m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+    l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+    acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    def start(j):
+        s = j % 2
+        pltpu.make_async_copy(
+            k_hbm.at[bi, hk, pl.ds(j * block_k, block_k), :],
+            k_scr.at[s], k_sem.at[s],
+        ).start()
+        pltpu.make_async_copy(
+            v_hbm.at[bi, hk, pl.ds(j * block_k, block_k), :],
+            v_scr.at[s], v_sem.at[s],
+        ).start()
+
+    def wait(j):
+        s = j % 2
+        pltpu.make_async_copy(
+            k_hbm.at[bi, hk, pl.ds(j * block_k, block_k), :],
+            k_scr.at[s], k_sem.at[s],
+        ).wait()
+        pltpu.make_async_copy(
+            v_hbm.at[bi, hk, pl.ds(j * block_k, block_k), :],
+            v_scr.at[s], v_sem.at[s],
+        ).wait()
+
+    def compute(j):
+        col_base = j * block_k
+        k = k_scr[j % 2]
+        v = v_scr[j % 2]
+        q = q_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_q, block_k)
+        if softcap > 0.0:
+            cap2 = softcap * LOG2E
+            s = jnp.tanh(s / cap2) * cap2
+        if has_alibi:
+            row = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + min_row
+            )
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + col_base
+            )
+            slope = alibi_ref[bi, hi]
+            s = s - slope * jnp.abs(row + offset - col).astype(jnp.float32)
+
+        def update(s, masked: bool):
+            if masked:
+                row = (
+                    jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + min_row
+                )
+                col = (
+                    jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + col_base
+                )
+                mask = col < seqlen_k
+                if wr >= 0:
+                    mask &= col <= row + offset + wr
+                if wl >= 0:
+                    mask &= col >= row + offset - wl
+                s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+            m_prev = m_scr[...]
+            l_prev = l_scr[...]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp2(m_prev - m_next)
+            nrep = block_k // MIN_LANES
+            m_big = (
+                pltpu.repeat(m_next, nrep, axis=1) if nrep > 1 else m_next
+            )
+            p = jnp.exp2(s - m_big)
+            l_scr[...] = alpha * l_prev + jnp.sum(
+                p, axis=1, keepdims=True, dtype=jnp.float32
+            )
+            m_scr[...] = m_next
+            # v rows past seqlen_k are host-zero-padded (no NaN poison)
+            pv = jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+            arep = acc_scr.shape[-1] // MIN_LANES
+            alpha_acc = pltpu.repeat(alpha, arep, axis=1) if arep > 1 else alpha
+            acc_scr[...] = acc_scr[...] * alpha_acc + pv
+
+        any_mask = (wl >= 0) or (wr >= 0) or (seqlen_k % block_k != 0)
+        if not any_mask:
+            update(s, False)
+        else:
+            needs = col_base + block_k > seqlen_k
+            if wr >= 0:
+                needs |= col_base + block_k - 1 > min_row + offset + wr
+            if wl >= 0:
+                needs |= col_base < max_row + offset - wl
+            jax.lax.cond(
+                needs,
+                lambda: update(s, True),
+                lambda: update(s, False),
+            )
+
+    # software pipeline over the static tile list: issue j+1, compute j.
+    # Activity guards are traced scalars on STATIC tile ids — every DMA
+    # offset and ring slot is a compile-time constant. With a full window
+    # (non-causal, unbounded) first/last are python ints, the guards fold
+    # to True at trace time, and the loop is branch-free straight-line code.
+    def _guard(cond, fn):
+        if isinstance(cond, bool):
+            if cond:
+                fn()
+        else:
+            pl.when(cond)(fn)
+
+    def _tile_body(j):
+        def body():
+            wait(j)
+            compute(j)
+        return body
+
+    _guard(first == 0, lambda: start(0))
+    for j in range(nk):
+        if j + 1 < nk:
+            _guard(
+                (j + 1 >= first) & (j + 1 <= last),
+                lambda j=j: start(j + 1),
+            )
+        _guard((j >= first) & (j <= last), _tile_body(j))
+
+    l = l_scr[...][:, :1]
+    m_fin = m_scr[...][:, :1]
+    dead = jnp.logical_or(l == 0.0, m_fin <= 0.5 * DEFAULT_MASK_VALUE)
+    l_inv = jnp.where(dead, 0.0, 1.0 / l)
+    o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+    if return_lse:
+        lse = jnp.where(dead, jnp.inf, m_fin * LN2 + jnp.log(l))
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+def _flash_attention_flat(
+    q, k, v, alibi_slopes, *, causal, sm_scale, window, softcap,
+    block_q, block_k, return_lse, cp, interpret,
+):
+    """Host wrapper for the flat manual-DMA kernel (PF_CP=flat)."""
+    b, h, sq, d = q.shape
+    _, h_k, sk, _ = k.shape
+    assert h % h_k == 0
+    q_per_kv = h // h_k
+
+    d_orig = d
+    if d % MIN_LANES != 0:
+        d = pl.cdiv(d, MIN_LANES) * MIN_LANES
+        pw = [(0, 0)] * 3 + [(0, d - d_orig)]
+        q, k, v = jnp.pad(q, pw), jnp.pad(k, pw), jnp.pad(v, pw)
+    q = (q * jnp.asarray(sm_scale * LOG2E, q.dtype)).astype(q.dtype)
+
+    block_q = _round_block(sq, block_q)
+    block_k = _round_block(sk, block_k)
+    nq = pl.cdiv(sq, block_q)
+    nk = pl.cdiv(sk, block_k)
+    if sk % block_k != 0:
+        # manual HBM DMAs must not read out of bounds; zero padding also
+        # keeps padded v rows from poisoning PV (p there is exactly 0)
+        pad = nk * block_k - sk
+        kv_pw = [(0, 0), (0, 0), (0, pad), (0, 0)]
+        k, v = jnp.pad(k, kv_pw), jnp.pad(v, kv_pw)
+
+    has_alibi = alibi_slopes is not None
+    if has_alibi:
+        alibi_slopes = jnp.broadcast_to(
+            jnp.asarray(alibi_slopes, jnp.float32).reshape(-1, h)[:1]
+            if alibi_slopes.ndim == 1
+            else alibi_slopes.astype(jnp.float32),
+            (b, h),
+        ) * LOG2E
+    else:
+        alibi_slopes = jnp.zeros((1, 1), jnp.float32)
+
+    kernel = functools.partial(
+        _fwd_kernel_flat,
+        causal=causal, window=(int(window[0]), int(window[1])),
+        softcap=float(softcap), block_q=block_q, block_k=block_k,
+        seqlen_q=sq, seqlen_k=sk, has_alibi=has_alibi,
+        return_lse=return_lse, nk=nk, q_per_kv=q_per_kv,
+    )
+    if not return_lse:
+        def kernel2(q_r, k_r, v_r, a_r, o_r, *scr):
+            kernel(q_r, k_r, v_r, a_r, o_r, None, *scr)
+    else:
+        kernel2 = kernel
+
+    out_shape = [jax.ShapeDtypeStruct((b, h, sq, d), q.dtype)]
+    out_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, qi: (b_, h_, qi, 0))
+    ]
+    if return_lse:
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, h, sq, MIN_LANES), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, block_q, MIN_LANES), lambda b_, h_, qi: (b_, h_, qi, 0)
+            )
+        )
+    results = pl.pallas_call(
+        kernel2,
+        grid=(b, h, nq),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, d), lambda b_, h_, qi: (b_, h_, qi, 0)
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, block_k, d), k.dtype),
+            pltpu.VMEM((2, block_k, d), v.dtype),
+            pltpu.VMEM(_stats_block(block_q), jnp.float32),
+            pltpu.VMEM(_stats_block(block_q), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=_cparams(
+            ("parallel", "parallel", "parallel"), cp, 4
+        ),
+        interpret=interpret,
+    )(q, k, v, alibi_slopes)
+    if return_lse:
+        out, lse = results
+        # the flat kernel stores natural-log LSE directly (same as _fwd_kernel)
+        return out[..., :d_orig], lse[..., 0]
+    return results[0][..., :d_orig]
+
+
 def _cparams(dims, cp, num_inputs):
     """CompilerParams with round-4 Mosaic-knob A/B extras (PF_CP env,
     resolved OUTSIDE the jit in flash_attention like every other knob):
@@ -673,6 +968,14 @@ def _flash_attention_impl(
         sm_scale = 1.0 / math.sqrt(d)
     if interpret is None:
         interpret = use_interpret()
+    if "flat" in cp:
+        # round-4 experiment: manual-DMA flat structure (PF_CP=flat)
+        return _flash_attention_flat(
+            q, k, v, alibi_slopes, causal=causal, sm_scale=sm_scale,
+            window=window, softcap=softcap, block_q=block_q,
+            block_k=block_k, return_lse=return_lse,
+            cp=tuple(x for x in cp if x != "flat"), interpret=interpret,
+        )
 
     # Arbitrary head dims: pad d to a lane multiple (the TPU analog of the
     # reference's pad-to-%8, flash_api.cpp:312-320). Zero-padded q/k columns
