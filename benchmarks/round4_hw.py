@@ -56,6 +56,11 @@ STEPS = [
         ["env", "PB_CP=nobounds", "python", "benchmarks/bench_train_hw.py"],
         2400,
     ),
+    (
+        "train-flat",
+        ["env", "PB_CP=flat", "python", "benchmarks/bench_train_hw.py"],
+        2400,
+    ),
     # 4. the driver metric end-to-end
     ("bench", ["python", "bench.py"], 2400),
 ]

@@ -313,3 +313,67 @@ def test_vjp_routes_pallas_and_fallback():
             scale = float(jnp.max(jnp.abs(b_))) + 1e-9
             err = float(jnp.max(jnp.abs(a - b_))) / scale
             assert err < 1e-3, (h, hk, name, err)
+
+
+@pytest.mark.parametrize("case", ["causal", "gqa", "window", "asym"])
+def test_flat_backward_matches_grid_pair(case):
+    """PB_CP=flat (round-4): manual-DMA flat backward pair must match the
+    grid-pipelined pair bit-for-bit. Module-level env knob -> isolated
+    subprocess (PB_CP is read at trace time inside mha_backward_pallas)."""
+    import os
+    import subprocess
+    import sys
+
+    code = f"""
+import jax; jax.config.update("jax_platforms", "cpu")
+import os
+os.environ["VFA_TPU_FORCE_INTERPRET"] = "1"
+import numpy as np, jax.numpy as jnp
+from vllm_flash_attn_tpu.kernels.flash_prefill import flash_attention
+from vllm_flash_attn_tpu.kernels.flash_backward_pallas import (
+    mha_backward_pallas,
+)
+kw = {{
+    "causal": dict(sq=384, sk=384, h=4, hk=4, causal=True),
+    "gqa": dict(sq=256, sk=256, h=8, hk=2, causal=True),
+    "window": dict(sq=256, sk=256, h=4, hk=4, window=(64, 32)),
+    "asym": dict(sq=200, sk=392, h=4, hk=4, causal=True),
+}}["{case}"]
+h, hk = kw.pop("h"), kw.pop("hk")
+sq, sk, d = kw.pop("sq"), kw.pop("sk"), 64
+rng = np.random.default_rng(7)
+q = jnp.asarray(rng.standard_normal((1, h, sq, d)), jnp.float32)
+k = jnp.asarray(rng.standard_normal((1, hk, sk, d)), jnp.float32)
+v = jnp.asarray(rng.standard_normal((1, hk, sk, d)), jnp.float32)
+do = jnp.asarray(rng.standard_normal((1, h, sq, d)), jnp.float32)
+out, lse = flash_attention(
+    q, k, v, return_lse=True, block_q=128, block_k=128,
+    causal=kw.get("causal", False), window=kw.get("window", (-1, -1)),
+)
+grads = mha_backward_pallas(
+    q, k, v, out, lse, do, causal=kw.get("causal", False),
+    sm_scale=1.0 / np.sqrt(d), window=kw.get("window", (-1, -1)),
+    block_q=128, block_k=128,
+)
+np.savez("{{out}}", dq=grads[0], dk=grads[1], dv=grads[2])
+"""
+    import tempfile
+
+    import numpy as np
+
+    outs = {}
+    with tempfile.TemporaryDirectory() as td:
+        for tag, env_val in [("base", ""), ("flat", "flat")]:
+            path = os.path.join(td, tag + ".npz")
+            env = dict(os.environ, PB_CP=env_val)
+            r = subprocess.run(
+                [sys.executable, "-c", code.replace("{out}", path)],
+                env=env, capture_output=True, text=True, timeout=600,
+            )
+            assert r.returncode == 0, r.stderr[-3000:]
+            outs[tag] = np.load(path)
+        for name in ("dq", "dk", "dv"):
+            np.testing.assert_array_equal(
+                outs["flat"][name], outs["base"][name],
+                err_msg=f"{name} not bit-equal ({case})",
+            )

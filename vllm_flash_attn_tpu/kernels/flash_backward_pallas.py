@@ -237,6 +237,250 @@ def _dkv_kernel(
             dv_out[0, 0] = dv_acc[...].astype(dv_out.dtype)
 
 
+# ---------------------------------------------- flat manual-DMA variants
+# PB_CP=flat (round-4 experiment, same hypothesis as the forward's
+# PF_CP=flat): take operand staging away from the grid pipeline. The grid
+# shrinks to its parallel axes only; the former serial axis becomes a
+# statically-unrolled in-kernel loop whose k/v (dq kernel) or q/do/lse/D
+# (dkv kernel) tiles are hand double-buffered HBM->VMEM with
+# pltpu.make_async_copy — tile j+1's copies issue before tile j computes.
+# All DMA offsets and ring slots are compile-time constants.
+
+
+def _guard(cond, fn):
+    if isinstance(cond, bool):
+        if cond:
+            fn()
+    else:
+        pl.when(cond)(fn)
+
+
+def _ring_start(hbm, scr, sem, idx):
+    pltpu.make_async_copy(hbm, scr, sem).start()
+
+
+def _dq_kernel_flat(
+    q_ref, do_ref, lse_ref, d_ref, k_hbm, v_hbm, dq_out,
+    dq_acc, k_scr, v_scr, k_sem, v_sem, *,
+    causal, window, block_q, block_k, seqlen_q, seqlen_k, sm_scale, nk,
+    q_per_kv,
+):
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    qi = pl.program_id(2)
+    hk = hi // q_per_kv
+    offset = seqlen_k - seqlen_q
+    wl, wr = window
+    if causal:
+        wr = 0
+    first, last = _active_range(
+        qi, nk, block_q, block_k, seqlen_q, offset, wl, wr
+    )
+    dq_acc[...] = jnp.zeros(dq_acc.shape, jnp.float32)
+    min_row = qi * block_q
+    q_s = q_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse2 = lse_ref[0, 0]
+    dval = d_ref[0, 0]
+
+    def start(j):
+        s = j % 2
+        pltpu.make_async_copy(
+            k_hbm.at[bi, hk, pl.ds(j * block_k, block_k), :],
+            k_scr.at[s], k_sem.at[s],
+        ).start()
+        pltpu.make_async_copy(
+            v_hbm.at[bi, hk, pl.ds(j * block_k, block_k), :],
+            v_scr.at[s], v_sem.at[s],
+        ).start()
+
+    def wait(j):
+        s = j % 2
+        pltpu.make_async_copy(
+            k_hbm.at[bi, hk, pl.ds(j * block_k, block_k), :],
+            k_scr.at[s], k_sem.at[s],
+        ).wait()
+        pltpu.make_async_copy(
+            v_hbm.at[bi, hk, pl.ds(j * block_k, block_k), :],
+            v_scr.at[s], v_sem.at[s],
+        ).wait()
+
+    def tile(j):
+        def body():
+            wait(j)
+            col_base = j * block_k
+            k = k_scr[j % 2]
+            v = v_scr[j % 2]
+
+            def update(masked: bool):
+                if masked:
+                    mask = _mask_tile(
+                        block_q, block_k, min_row, col_base, seqlen_q,
+                        seqlen_k, offset, wl, wr,
+                    )
+                    kk = _zero_oob_rows(k, col_base, seqlen_k)
+                else:
+                    mask, kk = None, k
+                _, ds_dq, _ = _tile_math(
+                    q_s, kk, v, do, lse2, dval, mask=mask, sm_scale=sm_scale
+                )
+                dq_acc[...] = dq_acc[...] + jax.lax.dot(
+                    ds_dq.astype(kk.dtype), kk,
+                    preferred_element_type=jnp.float32,
+                )
+
+            needs = col_base + block_k > seqlen_k
+            needs |= min_row + block_q > seqlen_q
+            if wr >= 0:
+                needs |= col_base + block_k - 1 > min_row + offset + wr
+            if wl >= 0:
+                max_row = jnp.minimum(min_row + block_q, seqlen_q) - 1
+                needs |= col_base < max_row + offset - wl
+            jax.lax.cond(needs, lambda: update(True), lambda: update(False))
+        return body
+
+    _guard(first == 0, lambda: start(0))
+    for j in range(nk):
+        if j + 1 < nk:
+            _guard((j + 1 >= first) & (j + 1 <= last), lambda j=j: start(j + 1))
+        _guard((j >= first) & (j <= last), tile(j))
+
+    dq_out[0, 0] = dq_acc[...].astype(dq_out.dtype)
+
+
+def _dkv_kernel_flat(
+    k_ref, v_ref, q_hbm, do_hbm, lse_hbm, d_hbm, dk_out, dv_out,
+    dk_acc, dv_acc, q_scr, do_scr, lse_scr, dv_scr_st, q_sem, do_sem,
+    lse_sem, dval_sem, *,
+    causal, window, block_q, block_k, seqlen_q, seqlen_k, sm_scale, nq,
+    q_per_kv,
+):
+    bi = pl.program_id(0)
+    hk = pl.program_id(1)
+    ki = pl.program_id(2)
+    offset = seqlen_k - seqlen_q
+    wl, wr = window
+    if causal:
+        wr = 0
+    col_base = ki * block_k
+    if wr >= 0:
+        first_q = jnp.clip((col_base - offset - wr) // block_q, 0, nq - 1)
+    else:
+        first_q = 0
+    if wl >= 0:
+        last_q = jnp.clip(
+            (col_base + block_k - 1 - offset + wl) // block_q, 0, nq - 1
+        )
+    else:
+        last_q = nq - 1
+
+    dk_acc[...] = jnp.zeros(dk_acc.shape, jnp.float32)
+    dv_acc[...] = jnp.zeros(dv_acc.shape, jnp.float32)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+
+    def active(t):
+        qi = t % nq  # static
+        return (qi >= first_q) & (qi <= last_q)
+
+    def start(t):
+        s = t % 2
+        g, qi = t // nq, t % nq  # static
+        h_ = hk * q_per_kv + g
+        row = qi * block_q
+        pltpu.make_async_copy(
+            q_hbm.at[bi, h_, pl.ds(row, block_q), :],
+            q_scr.at[s], q_sem.at[s],
+        ).start()
+        pltpu.make_async_copy(
+            do_hbm.at[bi, h_, pl.ds(row, block_q), :],
+            do_scr.at[s], do_sem.at[s],
+        ).start()
+        pltpu.make_async_copy(
+            lse_hbm.at[bi, h_, pl.ds(row, block_q), :],
+            lse_scr.at[s], lse_sem.at[s],
+        ).start()
+        pltpu.make_async_copy(
+            d_hbm.at[bi, h_, pl.ds(row, block_q), :],
+            dv_scr_st.at[s], dval_sem.at[s],
+        ).start()
+
+    def wait(t):
+        s = t % 2
+        g, qi = t // nq, t % nq
+        h_ = hk * q_per_kv + g
+        row = qi * block_q
+        pltpu.make_async_copy(
+            q_hbm.at[bi, h_, pl.ds(row, block_q), :],
+            q_scr.at[s], q_sem.at[s],
+        ).wait()
+        pltpu.make_async_copy(
+            do_hbm.at[bi, h_, pl.ds(row, block_q), :],
+            do_scr.at[s], do_sem.at[s],
+        ).wait()
+        pltpu.make_async_copy(
+            lse_hbm.at[bi, h_, pl.ds(row, block_q), :],
+            lse_scr.at[s], lse_sem.at[s],
+        ).wait()
+        pltpu.make_async_copy(
+            d_hbm.at[bi, h_, pl.ds(row, block_q), :],
+            dv_scr_st.at[s], dval_sem.at[s],
+        ).wait()
+
+    def tile(t):
+        def body():
+            wait(t)
+            qi = t % nq
+            min_row = qi * block_q
+            s = t % 2
+            q_s = q_scr[s]
+            do = do_scr[s].astype(jnp.float32)
+            lse2 = lse_scr[s]
+            dval = dv_scr_st[s]
+
+            def update(masked: bool):
+                if masked:
+                    mask = _mask_tile(
+                        block_q, block_k, min_row, col_base, seqlen_q,
+                        seqlen_k, offset, wl, wr,
+                    )
+                    do_ = _zero_oob_rows(do, min_row, seqlen_q)
+                    q_ = _zero_oob_rows(q_s, min_row, seqlen_q)
+                else:
+                    mask, do_, q_ = None, do, q_s
+                p, _, ds_dk = _tile_math(
+                    q_, k, v, do_, lse2, dval, mask=mask, sm_scale=sm_scale
+                )
+                dv_acc[...] = dv_acc[...] + jax.lax.dot_general(
+                    p.astype(do_.dtype), do_, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dk_acc[...] = dk_acc[...] + jax.lax.dot_general(
+                    ds_dk.astype(q_.dtype), q_, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            needs = col_base + block_k > seqlen_k
+            needs |= min_row + block_q > seqlen_q
+            if wr >= 0:
+                needs |= col_base + block_k - 1 > min_row + offset + wr
+            if wl >= 0:
+                max_row = jnp.minimum(min_row + block_q, seqlen_q) - 1
+                needs |= col_base < max_row + offset - wl
+            jax.lax.cond(needs, lambda: update(True), lambda: update(False))
+        return body
+
+    nt = q_per_kv * nq
+    _guard(active(0), lambda: start(0))
+    for t in range(nt):
+        if t + 1 < nt:
+            _guard(active(t + 1), lambda t=t: start(t + 1))
+        _guard(active(t), tile(t))
+
+    dk_out[0, 0] = dk_acc[...].astype(dk_out.dtype)
+    dv_out[0, 0] = dv_acc[...].astype(dv_out.dtype)
+
+
 def supports_pallas_backward(h, h_k, softcap, has_alibi) -> bool:
     return h % h_k == 0 and softcap == 0.0 and not has_alibi
 
@@ -304,6 +548,14 @@ def mha_backward_pallas(
     )
 
     wl_, wr_ = int(window[0]), int(window[1])
+
+    if "flat" in _cp:
+        return _mha_backward_flat(
+            q_s, k, v, do, lse2, dval, causal=causal, window=(wl_, wr_),
+            sm_scale=float(sm_scale), block_q=block_q, block_k=block_k,
+            seqlen_q=sq, seqlen_k=sk, q_per_kv=qpk, d_orig=d_orig,
+            cpar=_cpar, interpret=interpret,
+        )
 
     def qix(b_, h_, qi, ki):
         return (b_, h_, qi, 0)
@@ -374,3 +626,104 @@ def mha_backward_pallas(
     return (
         dq[..., :d_orig], dk[..., :d_orig], dv[..., :d_orig]
     )
+
+
+def _mha_backward_flat(
+    q_s, k, v, do, lse2, dval, *, causal, window, sm_scale, block_q,
+    block_k, seqlen_q, seqlen_k, q_per_kv, d_orig, cpar, interpret,
+):
+    """PB_CP=flat host path: grid = parallel axes only; the former serial
+    sweep runs inside the kernel over hand double-buffered HBM tiles.
+    Manual DMAs must never read out of bounds, so the manually-staged side
+    is zero-padded to whole blocks host-side (zero q/do rows keep the
+    contractions exact; the in-kernel masks already handle partial tiles)."""
+    b, h, sq, d = q_s.shape
+    h_k = k.shape[1]
+    sk = k.shape[2]
+    nq = pl.cdiv(sq, block_q)
+    nk = pl.cdiv(sk, block_k)
+
+    kp, vp = k, v
+    if sk % block_k != 0:
+        pw = [(0, 0), (0, 0), (0, nk * block_k - sk), (0, 0)]
+        kp, vp = jnp.pad(k, pw), jnp.pad(v, pw)
+    qp, dop, lsep, dvalp = q_s, do, lse2, dval
+    if sq % block_q != 0:
+        pw = [(0, 0), (0, 0), (0, nq * block_q - sq), (0, 0)]
+        qp, dop = jnp.pad(q_s, pw), jnp.pad(do, pw)
+        lsep, dvalp = jnp.pad(lse2, pw), jnp.pad(dval, pw)
+
+    def qix3(b_, h_, qi):
+        return (b_, h_, qi, 0)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_kernel_flat, causal=causal, window=window, block_q=block_q,
+            block_k=block_k, seqlen_q=sq, seqlen_k=sk, sm_scale=sm_scale,
+            nk=nk, q_per_kv=q_per_kv,
+        ),
+        grid=(b, h, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), qix3),
+            pl.BlockSpec((1, 1, block_q, d), qix3),
+            pl.BlockSpec((1, 1, block_q, MIN_LANES), qix3),
+            pl.BlockSpec((1, 1, block_q, MIN_LANES), qix3),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), qix3),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q_s.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((2, block_k, d), k.dtype),
+            pltpu.VMEM((2, block_k, d), v.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=cpar,
+        interpret=interpret,
+    )(q_s, do, lse2, dval, kp, vp)
+
+    def kix3(b_, hk_, ki):
+        return (b_, hk_, ki, 0)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_kernel_flat, causal=causal, window=window, block_q=block_q,
+            block_k=block_k, seqlen_q=sq, seqlen_k=sk, sm_scale=sm_scale,
+            nq=nq, q_per_kv=q_per_kv,
+        ),
+        grid=(b, h_k, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_k, d), kix3),
+            pl.BlockSpec((1, 1, block_k, d), kix3),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, d), kix3),
+            pl.BlockSpec((1, 1, block_k, d), kix3),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h_k, sk, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h_k, sk, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((2, block_q, d), q_s.dtype),
+            pltpu.VMEM((2, block_q, d), do.dtype),
+            pltpu.VMEM((2, block_q, MIN_LANES), jnp.float32),
+            pltpu.VMEM((2, block_q, MIN_LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=cpar,
+        interpret=interpret,
+    )(k, v, qp, dop, lsep, dvalp)
+
+    return dq[..., :d_orig], dk[..., :d_orig], dv[..., :d_orig]
