@@ -16,6 +16,10 @@ STEPS = [
     # 1. hardware smokes: padded/packed quantized pools, MQA int8, fused
     #    append, chunked prefill (each tiny; catches Mosaic-only failures)
     ("smoke", ["python", "benchmarks/smoke_engine_hw.py"], 2400),
+    # 1b. bank a driver-format number EARLY (bench.py self-preserves to
+    #     BENCH_LOCAL_r*.json) in case the relay window closes mid-runbook;
+    #     it runs again at the end after the A/Bs
+    ("bench-early", ["python", "bench.py"], 2400),
     # 2. prefill A/B: round-4 structures vs base, one process
     (
         "prefill-ab",
@@ -48,6 +52,8 @@ STEPS = [
     ("varlen-splash", ["python", "benchmarks/bench_varlen_splash_hw.py"], 2400),
     # 3d. split-KV merge-overhead + first hardware numerics for the split path
     ("splitkv", ["python", "benchmarks/bench_splitkv_hw.py"], 2400),
+    # 3d2. packed-batch varlen backward: Pallas pad-per-seq route vs XLA
+    ("varlen-bwd", ["python", "benchmarks/bench_varlen_bwd_hw.py"], 2400),
     # 3e. train-step A/B: Mosaic bounds checks off in the backward pair
     #     (per-process knob, so a separate process per arm)
     ("train-base", ["python", "benchmarks/bench_train_hw.py"], 2400),
