@@ -198,20 +198,52 @@ def bench_decode_int8(ctx_max=8192, ctx_points=(2048, 8192), batch=8, h=32,
     return best[1]
 
 
-def bench_prefill(s=4096, b=1, h=32, d=128):
+# prefill auto-tune candidates: structure/compiler knobs measured per run
+# (trace-time statics, so each gets its own executable). The winner's config
+# is reported in extra.prefill_config — round-4 structures become the
+# headline automatically the moment they win on the real device.
+PREFILL_CONFIGS = {
+    "base": dict(),
+    "nobounds": dict(cp=("nobounds",)),
+    "flat_nb": dict(cp=("flat", "nobounds")),
+}
+
+
+def bench_prefill(s=4096, b=1, h=32, d=128, configs=("base",),
+                  deadline=None):
+    """Times each named config (ONE process, comparable) and returns the
+    best: (tflops, dt, config_name). Extra configs are skipped past the
+    deadline (relay compile times are unpredictable)."""
     from vllm_flash_attn_tpu.kernels.flash_prefill import flash_attention
 
     rng = np.random.default_rng(1)
     q0 = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
     k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
     v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
-
-    def step(q, k, v):
-        return flash_attention(q, k, v, causal=True)
-
-    dt = timed(step, q0, k, v, n_iter=20)
     flops = 4 * b * s * s * h * d / 2  # causal convention, benchmarks/benchmark_flash_attention.py:27-30
-    return flops / dt / 1e12, dt
+
+    best = None
+    for i, name in enumerate(configs):
+        if i > 0 and deadline is not None and time.time() > deadline:
+            print(f"[bench] prefill config {name} skipped (budget)",
+                  file=sys.stderr, flush=True)
+            continue
+        kw = PREFILL_CONFIGS[name]
+
+        def step(q, k, v, kw=kw):
+            return flash_attention(q, k, v, causal=True, **kw)
+
+        try:
+            dt = timed(step, q0, k, v, n_iter=20)
+        except Exception as e:
+            print(f"[bench] prefill config {name} failed: {e!r}",
+                  file=sys.stderr, flush=True)
+            continue
+        print(f"[bench] prefill {name}@{s}: {flops/dt/1e12:.1f} TF raw",
+              file=sys.stderr, flush=True)
+        if best is None or dt < best[1]:
+            best = (flops / dt / 1e12, dt, name)
+    return best
 
 
 def bench_train(n_layer=4, n_embd=2048, n_head=16, seq=2048, batch=8,
@@ -315,9 +347,18 @@ def main():
         except Exception as e:
             print(f"[bench] int8 decode failed: {e!r}", file=sys.stderr)
 
-    # ---- prefill: causal 4k raw headline
-    tf_raw, dt_4k = bench_prefill(s=4096)
-    print(f"[bench] prefill 4k done at t={time.time()-t_start:.0f}s", file=sys.stderr, flush=True)
+    # ---- prefill: causal 4k raw headline, auto-tuned over the round-4
+    # structures (extra configs bounded by the stage deadline)
+    pf_configs = tuple(
+        c for c in os.environ.get(
+            "VFA_BENCH_PREFILL_CONFIGS", "base,nobounds,flat_nb"
+        ).split(",") if c in PREFILL_CONFIGS
+    ) or ("base",)
+    tf_raw, dt_4k, pf_name = bench_prefill(
+        s=4096, configs=pf_configs, deadline=t_start + 800
+    )
+    print(f"[bench] prefill 4k done at t={time.time()-t_start:.0f}s "
+          f"(winner: {pf_name})", file=sys.stderr, flush=True)
     fl_4k = 4 * 1 * 4096 * 4096 * 32 * 128 / 2
     fl_2k = 4 * 1 * 2048 * 2048 * 32 * 128 / 2
 
@@ -351,7 +392,7 @@ def main():
     # ---- prefill two-point fit (one more compile; skip over budget)
     if time.time() - t_start < 1100:
         try:
-            _, dt_p2k = bench_prefill(s=2048)
+            _, dt_p2k, _ = bench_prefill(s=2048, configs=(pf_name,))
             pre_rate = (fl_4k - fl_2k) / (dt_4k - dt_p2k)
             pre_fixed_us = (dt_4k - fl_4k / pre_rate) * 1e6
             pre_tflops = pre_rate / 1e12
@@ -386,6 +427,7 @@ def main():
                     "decode_int8_gbps_sustained": round(int8_gbps, 1),
                     "prefill_attn_tflops_sustained": round(pre_tflops, 2),
                     "prefill_attn_tflops_raw": round(tf_raw, 2),
+                    "prefill_config": pf_name,
                     "prefill_fixed_us_per_call": round(pre_fixed_us, 1),
                     "prefill_mxu_util_sustained": round(pre_tflops / peak, 4),
                     "train_tokens_per_sec": round(train_tok, 1),
