@@ -31,9 +31,10 @@ STEPS = [
         ],
         5400,
     ),
-    # 2b. flat manual-DMA structure — SEPARATE step: it is the riskiest new
+    # 2b. flat manual-DMA structure — SEPARATE steps: it is the riskiest new
     #     Mosaic surface (manual DMA ring); a run-time failure wedging the
-    #     relay must not poison the core A/Bs above
+    #     relay must not poison the core A/Bs above. Tiny-shape smoke first.
+    ("flat-smoke", ["python", "benchmarks/smoke_flat_hw.py"], 2400),
     (
         "prefill-flat",
         [
