@@ -15,6 +15,10 @@ import time
 STEPS = [
     # 1. hardware smokes: padded/packed quantized pools, MQA int8, fused
     #    append, chunked prefill (each tiny; catches Mosaic-only failures)
+    # 0. tiny-shape flat-kernel smoke FIRST: bench.py's prefill auto-tune
+    #    also tries the flat lowering, so resolve its run-or-wedge risk at
+    #    the smallest shape before anything else touches it
+    ("flat-smoke", ["python", "benchmarks/smoke_flat_hw.py"], 2400),
     ("smoke", ["python", "benchmarks/smoke_engine_hw.py"], 2400),
     # 1b. bank a driver-format number EARLY (bench.py self-preserves to
     #     BENCH_LOCAL_r*.json) in case the relay window closes mid-runbook;
@@ -33,8 +37,7 @@ STEPS = [
     ),
     # 2b. flat manual-DMA structure — SEPARATE steps: it is the riskiest new
     #     Mosaic surface (manual DMA ring); a run-time failure wedging the
-    #     relay must not poison the core A/Bs above. Tiny-shape smoke first.
-    ("flat-smoke", ["python", "benchmarks/smoke_flat_hw.py"], 2400),
+    #     relay must not poison the core A/Bs above (tiny smoke ran at step 0)
     (
         "prefill-flat",
         [
