@@ -243,6 +243,12 @@ def bench_prefill(s=4096, b=1, h=32, d=128, configs=("base",),
               file=sys.stderr, flush=True)
         if best is None or dt < best[1]:
             best = (flops / dt / 1e12, dt, name)
+    if best is None:
+        # every config failed (relay outage): surface the real error instead
+        # of a TypeError at the caller's unpack
+        raise RuntimeError(
+            f"bench_prefill: all configs failed at s={s} ({configs})"
+        )
     return best
 
 

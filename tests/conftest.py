@@ -27,7 +27,7 @@ import pytest  # noqa: E402
 
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_per_module():
-    """Bound live XLA CPU executables across the 339-test suite.
+    """Bound live XLA CPU executables across the full (~358-test) suite.
 
     The full suite deterministically segfaults the XLA CPU compiler
     (backend_compile_and_load) after ~320 tests' worth of accumulated

@@ -44,6 +44,7 @@ from vllm_flash_attn_tpu.kernels.flash_prefill import (
     LOG2E,
     MIN_LANES,
     _active_range,
+    _guard,
     _round_block,
 )
 
@@ -245,18 +246,6 @@ def _dkv_kernel(
 # (dkv kernel) tiles are hand double-buffered HBM->VMEM with
 # pltpu.make_async_copy — tile j+1's copies issue before tile j computes.
 # All DMA offsets and ring slots are compile-time constants.
-
-
-def _guard(cond, fn):
-    if isinstance(cond, bool):
-        if cond:
-            fn()
-    else:
-        pl.when(cond)(fn)
-
-
-def _ring_start(hbm, scr, sem, idx):
-    pltpu.make_async_copy(hbm, scr, sem).start()
 
 
 def _dq_kernel_flat(
@@ -485,13 +474,36 @@ def supports_pallas_backward(h, h_k, softcap, has_alibi) -> bool:
     return h % h_k == 0 and softcap == 0.0 and not has_alibi
 
 
+def mha_backward_pallas(
+    q, k, v, out, lse, do, *, causal, sm_scale,
+    window: Tuple[int, int] = (-1, -1),
+    block_q: int = 1024,
+    block_k: int = 1024,
+    cp: Optional[Tuple[str, ...]] = None,
+    interpret: Optional[bool] = None,
+):
+    """Public wrapper: resolves the PB_CP Mosaic knob OUTSIDE the jit
+    (each cp value is a real static arg with its own executable-cache
+    entry — flipping PB_CP mid-process cannot serve a stale trace)."""
+    import os as _os
+
+    if cp is None:
+        cp = tuple(x for x in _os.environ.get("PB_CP", "").split(",") if x)
+    return _mha_backward_pallas_jit(
+        q, k, v, out, lse, do, causal=causal, sm_scale=sm_scale,
+        window=tuple(window), block_q=block_q, block_k=block_k,
+        cp=tuple(cp), interpret=interpret,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "causal", "sm_scale", "window", "block_q", "block_k", "interpret",
+        "causal", "sm_scale", "window", "block_q", "block_k", "cp",
+        "interpret",
     ),
 )
-def mha_backward_pallas(
+def _mha_backward_pallas_jit(
     q: jax.Array,  # (b, h, sq, d)
     k: jax.Array,  # (b, h, sk, d)  (MHA: h == h_k)
     v: jax.Array,
@@ -504,17 +516,15 @@ def mha_backward_pallas(
     window: Tuple[int, int] = (-1, -1),
     block_q: int = 1024,  # v5e sweep: 1024x1024 -> 61.5% train MFU,
     block_k: int = 1024,  # 512x512 -> 59.9%, 256x1024 -> 59.7%
+    cp: Tuple[str, ...] = (),
     interpret: Optional[bool] = None,
 ):
-    # per-PROCESS Mosaic knob (PB_CP=nobounds) — same caveat as PB_BQ/PB_BK:
-    # read at trace time, do not flip mid-process (stale jit cache)
-    import os as _os
-
-    _cp = tuple(x for x in _os.environ.get("PB_CP", "").split(",") if x)
     _cpar = pltpu.CompilerParams(
+        # grid kernels below are 4-dim; the flat path builds its own 3-dim
+        # params (a length mismatch is a Mosaic lowering error)
         dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         vmem_limit_bytes=100 * 1024 * 1024,
-        **({"disable_bounds_checks": True} if "nobounds" in _cp else {}),
+        **({"disable_bounds_checks": True} if "nobounds" in cp else {}),
     )
     b, h, sq, d = q.shape
     sk = k.shape[2]
@@ -549,12 +559,12 @@ def mha_backward_pallas(
 
     wl_, wr_ = int(window[0]), int(window[1])
 
-    if "flat" in _cp:
+    if "flat" in cp:
         return _mha_backward_flat(
             q_s, k, v, do, lse2, dval, causal=causal, window=(wl_, wr_),
             sm_scale=float(sm_scale), block_q=block_q, block_k=block_k,
             seqlen_q=sq, seqlen_k=sk, q_per_kv=qpk, d_orig=d_orig,
-            cpar=_cpar, interpret=interpret,
+            cp=cp, interpret=interpret,
         )
 
     def qix(b_, h_, qi, ki):
@@ -630,13 +640,18 @@ def mha_backward_pallas(
 
 def _mha_backward_flat(
     q_s, k, v, do, lse2, dval, *, causal, window, sm_scale, block_q,
-    block_k, seqlen_q, seqlen_k, q_per_kv, d_orig, cpar, interpret,
+    block_k, seqlen_q, seqlen_k, q_per_kv, d_orig, cp, interpret,
 ):
     """PB_CP=flat host path: grid = parallel axes only; the former serial
     sweep runs inside the kernel over hand double-buffered HBM tiles.
     Manual DMAs must never read out of bounds, so the manually-staged side
     is zero-padded to whole blocks host-side (zero q/do rows keep the
     contractions exact; the in-kernel masks already handle partial tiles)."""
+    cpar = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "parallel"),
+        vmem_limit_bytes=100 * 1024 * 1024,
+        **({"disable_bounds_checks": True} if "nobounds" in cp else {}),
+    )
     b, h, sq, d = q_s.shape
     h_k = k.shape[1]
     sk = k.shape[2]

@@ -611,6 +611,16 @@ def _build_folded_maps(nq, nk, block_q, block_k, sq, sk, wl, wr):
     return jnp.asarray(qmap, jnp.int32), jnp.asarray(kmap, jnp.int32)
 
 
+def _guard(cond, fn):
+    """pl.when that folds away when the condition is a trace-time bool
+    (full-window cases make the flat kernels' activity guards static)."""
+    if isinstance(cond, bool):
+        if cond:
+            fn()
+    else:
+        pl.when(cond)(fn)
+
+
 # ------------------------------------------------ flat manual-DMA kernel
 # Round-4 experiment against the per-tile floor from a different angle than
 # two-pass/unroll: the round-3 stage isolation showed ~5.9us/tile remaining
@@ -775,13 +785,6 @@ def _fwd_kernel_flat(
     # offset and ring slot is a compile-time constant. With a full window
     # (non-causal, unbounded) first/last are python ints, the guards fold
     # to True at trace time, and the loop is branch-free straight-line code.
-    def _guard(cond, fn):
-        if isinstance(cond, bool):
-            if cond:
-                fn()
-        else:
-            pl.when(cond)(fn)
-
     def _tile_body(j):
         def body():
             wait(j)
