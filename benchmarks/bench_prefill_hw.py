@@ -72,6 +72,9 @@ VARIANTS = {
     "flat_bk2048": dict(cp=("flat",), block_k=2048),
     "flat_b512": dict(cp=("flat",), block_q=512, block_k=512),
     "flat_bq2048": dict(cp=("flat",), block_q=2048),
+    "tp_flat": dict(two_pass=True, cp=("flat",)),
+    "tp_flat_nb": dict(two_pass=True, cp=("flat", "nobounds")),
+    "tp_flat_bk512": dict(two_pass=True, cp=("flat",), block_k=512),
     # round-4 Mosaic compiler knobs (see flash_prefill._cparams)
     "nobounds": dict(cp=("nobounds",)),
     "fusein": dict(cp=("fusein",)),
@@ -149,7 +152,7 @@ def main():
             elif name.endswith("bk512"):
                 kw = dict(block_k=512)
         else:
-            kw = VARIANTS[name]
+            kw = dict(VARIANTS[name])  # copy: pop below must not mutate the table
 
         causal = kw.pop("causal", True) if isinstance(kw, dict) else True
 

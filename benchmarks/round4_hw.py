@@ -43,7 +43,7 @@ STEPS = [
         [
             "python", "benchmarks/bench_prefill_hw.py",
             "base", "flat", "flat_nb", "flat_bk512", "flat_b512",
-            "flat_bq2048",
+            "flat_bq2048", "tp_flat", "tp_flat_nb",
         ],
         5400,
     ),

@@ -479,3 +479,35 @@ def test_flat_differentiable():
         lambda q_: flash_attention(q_, k, v, causal=True, cp=("flat",)).sum()
     )(q)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gb), atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "case", ["causal", "asym", "window", "gqa", "alibi", "dead_rows"]
+)
+def test_flat_two_pass_composed(case):
+    """PF_TWOPASS=1 x PF_CP=flat: both passes hand-ring their HBM tiles
+    (pass 1 k-only — zero V traffic). Must match the base kernel."""
+    rng = np.random.default_rng(53)
+    kw = {
+        "causal": dict(sq=384, sk=384, causal=True),
+        "asym": dict(sq=200, sk=392, causal=True),
+        "window": dict(sq=256, sk=256, window=(64, 32)),
+        "gqa": dict(sq=256, sk=256, h=8, h_k=2, causal=True),
+        "alibi": dict(sq=256, sk=256, causal=True, alibi=True),
+        "dead_rows": dict(sq=128, sk=64, causal=True),
+    }[case]
+    h, h_k, d = kw.pop("h", 4), kw.pop("h_k", 4), 64
+    sq, sk = kw.pop("sq"), kw.pop("sk")
+    alibi = kw.pop("alibi", False)
+    q = jnp.asarray(rng.standard_normal((1, h, sq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, h_k, sk, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, h_k, sk, d)), jnp.float32)
+    sl = jnp.asarray(rng.random((1, h)) * 0.3, jnp.float32) if alibi else None
+    base = flash_attention(q, k, v, sl, block_q=128, block_k=128, **kw)
+    comp = flash_attention(
+        q, k, v, sl, block_q=128, block_k=128, two_pass=True, cp=("flat",),
+        **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(comp), np.asarray(base), atol=2e-5, rtol=2e-5
+    )

@@ -1456,6 +1456,228 @@ def _pv_kernel(
             o_ref[0, 0] = acc_scr[...].astype(o_ref.dtype)
 
 
+def _stats_kernel_flat(
+    q_ref, k_hbm, alibi_ref, lse_ref, m_scr, l_scr, k_scr, k_sem, *,
+    causal, window, softcap, block_q, block_k, seqlen_q, seqlen_k,
+    has_alibi, nk, q_per_kv,
+):
+    """Pass 1 of flat×two-pass: LSE only, k hand-ringed from HBM (no V
+    operand at all — no V traffic in this pass)."""
+    bi, hi, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    hk = hi // q_per_kv
+    offset = seqlen_k - seqlen_q
+    wl, wr = window
+    if causal:
+        wr = 0
+    first, last = _active_range(
+        qi, nk, block_q, block_k, seqlen_q, offset, wl, wr
+    )
+    m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+    l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+    min_row = qi * block_q
+    q = q_ref[0, 0]
+
+    def start(j):
+        s = j % 2
+        pltpu.make_async_copy(
+            k_hbm.at[bi, hk, pl.ds(j * block_k, block_k), :],
+            k_scr.at[s], k_sem.at[s],
+        ).start()
+
+    def tile(j):
+        def body():
+            s_slot = j % 2
+            pltpu.make_async_copy(
+                k_hbm.at[bi, hk, pl.ds(j * block_k, block_k), :],
+                k_scr.at[s_slot], k_sem.at[s_slot],
+            ).wait()
+            col_base = j * block_k
+            s = jax.lax.dot_general(
+                q, k_scr[s_slot], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = _mask_and_bias(
+                s, bi, hi, min_row, col_base, block_rows=block_q,
+                block_k=block_k, seqlen_q=seqlen_q, seqlen_k=seqlen_k,
+                offset=offset, wl=wl, wr=wr, has_alibi=has_alibi,
+                alibi_ref=alibi_ref, softcap=softcap,
+            )
+            m_prev = m_scr[...]
+            l_prev = l_scr[...]
+            m_next = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp2(m_prev - m_next)
+            nrep = block_k // MIN_LANES
+            m_big = pltpu.repeat(m_next, nrep, axis=1) if nrep > 1 else m_next
+            p = jnp.exp2(s - m_big)
+            m_scr[...] = m_next
+            l_scr[...] = alpha * l_prev + jnp.sum(
+                p, axis=1, keepdims=True, dtype=jnp.float32
+            )
+        return body
+
+    _guard(first == 0, lambda: start(0))
+    for j in range(nk):
+        if j + 1 < nk:
+            _guard((j + 1 >= first) & (j + 1 <= last), lambda j=j: start(j + 1))
+        _guard((j >= first) & (j <= last), tile(j))
+
+    m_fin = m_scr[...]
+    l = l_scr[...]
+    dead = jnp.logical_or(l == 0.0, m_fin <= 0.5 * DEFAULT_MASK_VALUE)
+    lse_ref[0, 0] = jnp.where(
+        dead, jnp.inf, m_fin + jnp.log2(jnp.maximum(l, 1e-45))
+    )
+
+
+def _pv_kernel_flat(
+    q_ref, lse_ref, k_hbm, v_hbm, alibi_ref, o_ref, acc_scr, k_scr, v_scr,
+    k_sem, v_sem, *,
+    causal, window, softcap, block_q, block_k, seqlen_q, seqlen_k,
+    has_alibi, nk, q_per_kv,
+):
+    """Pass 2 of flat×two-pass: out = exp2(s - lse) @ V, no online state,
+    k/v hand-ringed. Host zero-padding keeps OOB v rows inert (p there 0)."""
+    bi, hi, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    hk = hi // q_per_kv
+    offset = seqlen_k - seqlen_q
+    wl, wr = window
+    if causal:
+        wr = 0
+    first, last = _active_range(
+        qi, nk, block_q, block_k, seqlen_q, offset, wl, wr
+    )
+    acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+    min_row = qi * block_q
+    q = q_ref[0, 0]
+    lse2 = lse_ref[0, 0]
+    nrep = block_k // MIN_LANES
+    lse_big = pltpu.repeat(lse2, nrep, axis=1) if nrep > 1 else lse2
+
+    def start(j):
+        s = j % 2
+        pltpu.make_async_copy(
+            k_hbm.at[bi, hk, pl.ds(j * block_k, block_k), :],
+            k_scr.at[s], k_sem.at[s],
+        ).start()
+        pltpu.make_async_copy(
+            v_hbm.at[bi, hk, pl.ds(j * block_k, block_k), :],
+            v_scr.at[s], v_sem.at[s],
+        ).start()
+
+    def tile(j):
+        def body():
+            s_slot = j % 2
+            pltpu.make_async_copy(
+                k_hbm.at[bi, hk, pl.ds(j * block_k, block_k), :],
+                k_scr.at[s_slot], k_sem.at[s_slot],
+            ).wait()
+            pltpu.make_async_copy(
+                v_hbm.at[bi, hk, pl.ds(j * block_k, block_k), :],
+                v_scr.at[s_slot], v_sem.at[s_slot],
+            ).wait()
+            col_base = j * block_k
+            s = jax.lax.dot_general(
+                q, k_scr[s_slot], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = _mask_and_bias(
+                s, bi, hi, min_row, col_base, block_rows=block_q,
+                block_k=block_k, seqlen_q=seqlen_q, seqlen_k=seqlen_k,
+                offset=offset, wl=wl, wr=wr, has_alibi=has_alibi,
+                alibi_ref=alibi_ref, softcap=softcap,
+            )
+            p = jnp.exp2(s - lse_big)
+            acc_scr[...] = acc_scr[...] + jax.lax.dot(
+                p.astype(v_scr.dtype), v_scr[s_slot],
+                preferred_element_type=jnp.float32,
+            )
+        return body
+
+    _guard(first == 0, lambda: start(0))
+    for j in range(nk):
+        if j + 1 < nk:
+            _guard((j + 1 >= first) & (j + 1 <= last), lambda j=j: start(j + 1))
+        _guard((j >= first) & (j <= last), tile(j))
+
+    o_ref[0, 0] = acc_scr[...].astype(o_ref.dtype)
+
+
+def _two_pass_flat(
+    q, k, v, alibi_slopes, *, causal, window, softcap, block_q, block_k,
+    seqlen_q, seqlen_k, has_alibi, q_per_kv, return_lse, d_orig, cp,
+    interpret,
+):
+    """Host side of the flat×two-pass composition (q pre-scaled, d padded,
+    alibi normalized by the caller). Pads k/v to whole blocks for the
+    manual DMAs."""
+    b, h, sq, d = q.shape
+    sk = seqlen_k
+    nq = pl.cdiv(sq, block_q)
+    nk = pl.cdiv(sk, block_k)
+    if sk % block_k != 0:
+        pad = nk * block_k - sk
+        kv_pw = [(0, 0), (0, 0), (0, pad), (0, 0)]
+        k, v = jnp.pad(k, kv_pw), jnp.pad(v, kv_pw)
+
+    statics = dict(
+        causal=causal, window=(int(window[0]), int(window[1])),
+        softcap=float(softcap), block_q=block_q, block_k=block_k,
+        seqlen_q=sq, seqlen_k=sk, has_alibi=has_alibi, nk=nk,
+        q_per_kv=q_per_kv,
+    )
+    dims3 = ("parallel", "parallel", "parallel")
+
+    def qix3(b_, h_, qi):
+        return (b_, h_, qi, 0)
+
+    lse2 = pl.pallas_call(
+        functools.partial(_stats_kernel_flat, **statics),
+        grid=(b, h, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), qix3),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, MIN_LANES), qix3),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, MIN_LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM(_stats_block(block_q), jnp.float32),
+            pltpu.VMEM(_stats_block(block_q), jnp.float32),
+            pltpu.VMEM((2, block_k, d), k.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=_cparams(dims3, cp, 3),
+        interpret=interpret,
+    )(q, k, alibi_slopes)
+
+    out = pl.pallas_call(
+        functools.partial(_pv_kernel_flat, **statics),
+        grid=(b, h, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), qix3),
+            pl.BlockSpec((1, 1, block_q, MIN_LANES), qix3),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), qix3),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((2, block_k, d), k.dtype),
+            pltpu.VMEM((2, block_k, d), v.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=_cparams(dims3, cp, 5),
+        interpret=interpret,
+    )(q, lse2, k, v, alibi_slopes)
+
+    if return_lse:
+        return out[..., :d_orig], lse2[..., 0] * LN2
+    return out[..., :d_orig]
+
+
 def _flash_attention_two_pass(
     q, k, v, alibi_slopes, *, causal, sm_scale, window, softcap,
     block_q, block_k, return_lse, force_dense, interpret, unroll=0,
@@ -1505,6 +1727,18 @@ def _flash_attention_two_pass(
         ) * LOG2E
     else:
         alibi_slopes = jnp.zeros((1, 1), jnp.float32)
+
+    if "flat" in cp:
+        # flat×two-pass composition: both passes hand-ring their k (and v)
+        # tiles; unroll is meaningless here (the ring already amortizes the
+        # per-tile grid machinery the super-blocks targeted)
+        return _two_pass_flat(
+            q, k, v, alibi_slopes, causal=causal, window=window,
+            softcap=softcap, block_q=block_q, block_k=block_k,
+            seqlen_q=sq, seqlen_k=sk, has_alibi=has_alibi,
+            q_per_kv=q_per_kv, return_lse=return_lse, d_orig=d_orig,
+            cp=cp, interpret=interpret,
+        )
 
     statics = dict(
         causal=causal, window=(_wl0, int(window[1])), softcap=float(softcap),
