@@ -310,3 +310,41 @@ def test_kvcache_num_splits_routes_and_matches():
             np.asarray(out), np.asarray(base), atol=2e-5, rtol=2e-5,
             err_msg=f"num_splits={ns}",
         )
+
+
+def test_runbook_variant_names_valid():
+    """A typo'd variant name in the round-4 hardware runbook would waste a
+    relay window with a KeyError mid-run. Validate every bench_prefill_hw
+    variant named by round4_hw.py against the harness tables, and every
+    bench.py auto-tune config against its own table."""
+    import ast
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(root))
+    sys.path.insert(0, str(root / "benchmarks"))
+    import importlib
+
+    bph = importlib.import_module("bench_prefill_hw")
+    known = set(bph.VARIANTS) | set(bph.ENV_VARIANTS)
+
+    tree = ast.parse((root / "benchmarks" / "round4_hw.py").read_text())
+    checked = 0
+    for node in ast.walk(tree):
+        if isinstance(node, ast.List):
+            vals = [
+                e.value for e in node.elts
+                if isinstance(e, ast.Constant) and isinstance(e.value, str)
+            ]
+            if "benchmarks/bench_prefill_hw.py" in vals:
+                i = vals.index("benchmarks/bench_prefill_hw.py")
+                for name in vals[i + 1:]:
+                    assert name in known, f"unknown prefill variant {name!r}"
+                    checked += 1
+    assert checked > 0, "no bench_prefill_hw steps found in round4_hw.py"
+
+    import bench
+
+    for name, kw in bench.PREFILL_CONFIGS.items():
+        assert isinstance(kw, dict), name

@@ -174,3 +174,11 @@ def test_empty_key_sequence():
         causal=True,
     )
     assert np.all(np.asarray(out)[:, :4] == 0.0)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_dtype_axis(dtype):
+    """fp32 x bf16 on a representative packed-causal case (the reference
+    parametrizes every varlen test over dtypes, test_flash_attn.py:1546)."""
+    run_varlen_case([200, 120, 56], [200, 120, 56], causal=True,
+                    dtype=dtype, mult=2.5)
