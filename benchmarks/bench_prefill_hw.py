@@ -75,6 +75,10 @@ VARIANTS = {
     "tp_flat": dict(two_pass=True, cp=("flat",)),
     "tp_flat_nb": dict(two_pass=True, cp=("flat", "nobounds")),
     "tp_flat_bk512": dict(two_pass=True, cp=("flat",), block_k=512),
+    # ring depth: d3/d4 deepen the DMA prefetch pipeline
+    "flat_d3": dict(cp=("flat", "d3")),
+    "flat_d4": dict(cp=("flat", "d4")),
+    "flat_d3_bk512": dict(cp=("flat", "d3"), block_k=512),
     # round-4 Mosaic compiler knobs (see flash_prefill._cparams)
     "nobounds": dict(cp=("nobounds",)),
     "fusein": dict(cp=("fusein",)),

@@ -42,8 +42,9 @@ STEPS = [
         "prefill-flat",
         [
             "python", "benchmarks/bench_prefill_hw.py",
-            "base", "flat", "flat_nb", "flat_bk512", "flat_b512",
-            "flat_bq2048", "tp_flat", "tp_flat_nb",
+            "base", "flat", "flat_nb", "flat_d3", "flat_bk512",
+            "flat_d3_bk512", "flat_b512", "flat_bq2048", "tp_flat",
+            "tp_flat_nb",
         ],
         5400,
     ),

@@ -44,7 +44,9 @@ from vllm_flash_attn_tpu.kernels.flash_prefill import (
     LOG2E,
     MIN_LANES,
     _active_range,
+    _flat_pipeline,
     _guard,
+    _ring_depth,
     _round_block,
 )
 
@@ -252,7 +254,7 @@ def _dq_kernel_flat(
     q_ref, do_ref, lse_ref, d_ref, k_hbm, v_hbm, dq_out,
     dq_acc, k_scr, v_scr, k_sem, v_sem, *,
     causal, window, block_q, block_k, seqlen_q, seqlen_k, sm_scale, nk,
-    q_per_kv,
+    q_per_kv, depth=2,
 ):
     bi = pl.program_id(0)
     hi = pl.program_id(1)
@@ -273,7 +275,7 @@ def _dq_kernel_flat(
     dval = d_ref[0, 0]
 
     def start(j):
-        s = j % 2
+        s = j % depth
         pltpu.make_async_copy(
             k_hbm.at[bi, hk, pl.ds(j * block_k, block_k), :],
             k_scr.at[s], k_sem.at[s],
@@ -284,7 +286,7 @@ def _dq_kernel_flat(
         ).start()
 
     def wait(j):
-        s = j % 2
+        s = j % depth
         pltpu.make_async_copy(
             k_hbm.at[bi, hk, pl.ds(j * block_k, block_k), :],
             k_scr.at[s], k_sem.at[s],
@@ -298,8 +300,8 @@ def _dq_kernel_flat(
         def body():
             wait(j)
             col_base = j * block_k
-            k = k_scr[j % 2]
-            v = v_scr[j % 2]
+            k = k_scr[j % depth]
+            v = v_scr[j % depth]
 
             def update(masked: bool):
                 if masked:
@@ -328,11 +330,7 @@ def _dq_kernel_flat(
             jax.lax.cond(needs, lambda: update(True), lambda: update(False))
         return body
 
-    _guard(first == 0, lambda: start(0))
-    for j in range(nk):
-        if j + 1 < nk:
-            _guard((j + 1 >= first) & (j + 1 <= last), lambda j=j: start(j + 1))
-        _guard((j >= first) & (j <= last), tile(j))
+    _flat_pipeline(nk, first, last, start, tile, depth=depth)
 
     dq_out[0, 0] = dq_acc[...].astype(dq_out.dtype)
 
@@ -342,7 +340,7 @@ def _dkv_kernel_flat(
     dk_acc, dv_acc, q_scr, do_scr, lse_scr, dv_scr_st, q_sem, do_sem,
     lse_sem, dval_sem, *,
     causal, window, block_q, block_k, seqlen_q, seqlen_k, sm_scale, nq,
-    q_per_kv,
+    q_per_kv, depth=2,
 ):
     bi = pl.program_id(0)
     hk = pl.program_id(1)
@@ -373,7 +371,7 @@ def _dkv_kernel_flat(
         return (qi >= first_q) & (qi <= last_q)
 
     def start(t):
-        s = t % 2
+        s = t % depth
         g, qi = t // nq, t % nq  # static
         h_ = hk * q_per_kv + g
         row = qi * block_q
@@ -395,7 +393,7 @@ def _dkv_kernel_flat(
         ).start()
 
     def wait(t):
-        s = t % 2
+        s = t % depth
         g, qi = t // nq, t % nq
         h_ = hk * q_per_kv + g
         row = qi * block_q
@@ -421,7 +419,7 @@ def _dkv_kernel_flat(
             wait(t)
             qi = t % nq
             min_row = qi * block_q
-            s = t % 2
+            s = t % depth
             q_s = q_scr[s]
             do = do_scr[s].astype(jnp.float32)
             lse2 = lse_scr[s]
@@ -459,11 +457,16 @@ def _dkv_kernel_flat(
             jax.lax.cond(needs, lambda: update(True), lambda: update(False))
         return body
 
+    # the dkv serial axis has PER-TILE activity (qi(t) in range), not a
+    # contiguous [first, last] span — use per-id guards, pipelined by depth:
+    # iteration t starts t+depth-1 and computes t (slot reuse is safe: tile
+    # t+depth's start happens at iteration t+1, after t computed)
     nt = q_per_kv * nq
-    _guard(active(0), lambda: start(0))
+    for tt in range(min(depth - 1, nt)):
+        _guard(active(tt), lambda tt=tt: start(tt))
     for t in range(nt):
-        if t + 1 < nt:
-            _guard(active(t + 1), lambda t=t: start(t + 1))
+        if t + depth - 1 < nt:
+            _guard(active(t + depth - 1), lambda t=t: start(t + depth - 1))
         _guard(active(t), tile(t))
 
     dk_out[0, 0] = dk_acc[...].astype(dk_out.dtype)
@@ -652,6 +655,7 @@ def _mha_backward_flat(
         vmem_limit_bytes=100 * 1024 * 1024,
         **({"disable_bounds_checks": True} if "nobounds" in cp else {}),
     )
+    depth = _ring_depth(cp)
     b, h, sq, d = q_s.shape
     h_k = k.shape[1]
     sk = k.shape[2]
@@ -675,7 +679,7 @@ def _mha_backward_flat(
         functools.partial(
             _dq_kernel_flat, causal=causal, window=window, block_q=block_q,
             block_k=block_k, seqlen_q=sq, seqlen_k=sk, sm_scale=sm_scale,
-            nk=nk, q_per_kv=q_per_kv,
+            nk=nk, q_per_kv=q_per_kv, depth=depth,
         ),
         grid=(b, h, nq),
         in_specs=[
@@ -690,10 +694,10 @@ def _mha_backward_flat(
         out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q_s.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((2, block_k, d), k.dtype),
-            pltpu.VMEM((2, block_k, d), v.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((depth, block_k, d), k.dtype),
+            pltpu.VMEM((depth, block_k, d), v.dtype),
+            pltpu.SemaphoreType.DMA((depth,)),
+            pltpu.SemaphoreType.DMA((depth,)),
         ],
         compiler_params=cpar,
         interpret=interpret,
@@ -706,7 +710,7 @@ def _mha_backward_flat(
         functools.partial(
             _dkv_kernel_flat, causal=causal, window=window, block_q=block_q,
             block_k=block_k, seqlen_q=sq, seqlen_k=sk, sm_scale=sm_scale,
-            nq=nq, q_per_kv=q_per_kv,
+            nq=nq, q_per_kv=q_per_kv, depth=depth,
         ),
         grid=(b, h_k, nk),
         in_specs=[
@@ -728,14 +732,14 @@ def _mha_backward_flat(
         scratch_shapes=[
             pltpu.VMEM((block_k, d), jnp.float32),
             pltpu.VMEM((block_k, d), jnp.float32),
-            pltpu.VMEM((2, block_q, d), q_s.dtype),
-            pltpu.VMEM((2, block_q, d), do.dtype),
-            pltpu.VMEM((2, block_q, MIN_LANES), jnp.float32),
-            pltpu.VMEM((2, block_q, MIN_LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((depth, block_q, d), q_s.dtype),
+            pltpu.VMEM((depth, block_q, d), do.dtype),
+            pltpu.VMEM((depth, block_q, MIN_LANES), jnp.float32),
+            pltpu.VMEM((depth, block_q, MIN_LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((depth,)),
+            pltpu.SemaphoreType.DMA((depth,)),
+            pltpu.SemaphoreType.DMA((depth,)),
+            pltpu.SemaphoreType.DMA((depth,)),
         ],
         compiler_params=cpar,
         interpret=interpret,

@@ -621,6 +621,36 @@ def _guard(cond, fn):
         pl.when(cond)(fn)
 
 
+def _ring_depth(cp) -> int:
+    """Flat-kernel DMA ring depth: 'd3'/'d4' in cp deepen the prefetch
+    pipeline (if one tile's compute is shorter than the DMA latency, a
+    2-slot ring under-prefetches)."""
+    return 4 if "d4" in cp else (3 if "d3" in cp else 2)
+
+
+def _flat_pipeline(nk, first, last, start, tile, depth=2):
+    """Shared software-pipeline skeleton for the flat kernels.
+
+    Prologue: start the first depth-1 active tiles ([first, first+depth-2]).
+    Iteration j: start tile j+depth-1 (when j >= first keeps it disjoint
+    from the prologue), then wait+compute tile j. Every tile id is a static
+    python int (DMA offsets and ring slots are compile-time constants);
+    activity is predicated with _guard, which folds away when first/last
+    are trace-time ints (full-window case)."""
+    for jj in range(nk):
+        _guard(
+            (jj >= first) & (jj <= last) & (jj <= first + (depth - 2)),
+            lambda jj=jj: start(jj),
+        )
+    for j in range(nk):
+        if j + depth - 1 < nk:
+            _guard(
+                (j >= first) & (j + depth - 1 <= last),
+                lambda j=j: start(j + depth - 1),
+            )
+        _guard((j >= first) & (j <= last), tile(j))
+
+
 # ------------------------------------------------ flat manual-DMA kernel
 # Round-4 experiment against the per-tile floor from a different angle than
 # two-pass/unroll: the round-3 stage isolation showed ~5.9us/tile remaining
@@ -663,6 +693,7 @@ def _fwd_kernel_flat(
     return_lse: bool,
     nk: int,
     q_per_kv: int,
+    depth: int = 2,
 ):
     bi = pl.program_id(0)
     hi = pl.program_id(1)
@@ -686,7 +717,7 @@ def _fwd_kernel_flat(
     acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
     def start(j):
-        s = j % 2
+        s = j % depth
         pltpu.make_async_copy(
             k_hbm.at[bi, hk, pl.ds(j * block_k, block_k), :],
             k_scr.at[s], k_sem.at[s],
@@ -697,7 +728,7 @@ def _fwd_kernel_flat(
         ).start()
 
     def wait(j):
-        s = j % 2
+        s = j % depth
         pltpu.make_async_copy(
             k_hbm.at[bi, hk, pl.ds(j * block_k, block_k), :],
             k_scr.at[s], k_sem.at[s],
@@ -709,8 +740,8 @@ def _fwd_kernel_flat(
 
     def compute(j):
         col_base = j * block_k
-        k = k_scr[j % 2]
-        v = v_scr[j % 2]
+        k = k_scr[j % depth]
+        v = v_scr[j % depth]
         q = q_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -791,14 +822,7 @@ def _fwd_kernel_flat(
             compute(j)
         return body
 
-    _guard(first == 0, lambda: start(0))
-    for j in range(nk):
-        if j + 1 < nk:
-            _guard(
-                (j + 1 >= first) & (j + 1 <= last),
-                lambda j=j: start(j + 1),
-            )
-        _guard((j >= first) & (j <= last), _tile_body(j))
+    _flat_pipeline(nk, first, last, start, _tile_body, depth=depth)
 
     l = l_scr[...][:, :1]
     m_fin = m_scr[...][:, :1]
@@ -849,12 +873,13 @@ def _flash_attention_flat(
     else:
         alibi_slopes = jnp.zeros((1, 1), jnp.float32)
 
+    depth = _ring_depth(cp)
     kernel = functools.partial(
         _fwd_kernel_flat,
         causal=causal, window=(int(window[0]), int(window[1])),
         softcap=float(softcap), block_q=block_q, block_k=block_k,
         seqlen_q=sq, seqlen_k=sk, has_alibi=has_alibi,
-        return_lse=return_lse, nk=nk, q_per_kv=q_per_kv,
+        return_lse=return_lse, nk=nk, q_per_kv=q_per_kv, depth=depth,
     )
     if not return_lse:
         def kernel2(q_r, k_r, v_r, a_r, o_r, *scr):
@@ -889,13 +914,13 @@ def _flash_attention_flat(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, block_k, d), k.dtype),
-            pltpu.VMEM((2, block_k, d), v.dtype),
+            pltpu.VMEM((depth, block_k, d), k.dtype),
+            pltpu.VMEM((depth, block_k, d), v.dtype),
             pltpu.VMEM(_stats_block(block_q), jnp.float32),
             pltpu.VMEM(_stats_block(block_q), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((depth,)),
+            pltpu.SemaphoreType.DMA((depth,)),
         ],
         compiler_params=_cparams(
             ("parallel", "parallel", "parallel"), cp, 4
@@ -1459,7 +1484,7 @@ def _pv_kernel(
 def _stats_kernel_flat(
     q_ref, k_hbm, alibi_ref, lse_ref, m_scr, l_scr, k_scr, k_sem, *,
     causal, window, softcap, block_q, block_k, seqlen_q, seqlen_k,
-    has_alibi, nk, q_per_kv,
+    has_alibi, nk, q_per_kv, depth=2,
 ):
     """Pass 1 of flat×two-pass: LSE only, k hand-ringed from HBM (no V
     operand at all — no V traffic in this pass)."""
@@ -1478,7 +1503,7 @@ def _stats_kernel_flat(
     q = q_ref[0, 0]
 
     def start(j):
-        s = j % 2
+        s = j % depth
         pltpu.make_async_copy(
             k_hbm.at[bi, hk, pl.ds(j * block_k, block_k), :],
             k_scr.at[s], k_sem.at[s],
@@ -1486,7 +1511,7 @@ def _stats_kernel_flat(
 
     def tile(j):
         def body():
-            s_slot = j % 2
+            s_slot = j % depth
             pltpu.make_async_copy(
                 k_hbm.at[bi, hk, pl.ds(j * block_k, block_k), :],
                 k_scr.at[s_slot], k_sem.at[s_slot],
@@ -1515,11 +1540,7 @@ def _stats_kernel_flat(
             )
         return body
 
-    _guard(first == 0, lambda: start(0))
-    for j in range(nk):
-        if j + 1 < nk:
-            _guard((j + 1 >= first) & (j + 1 <= last), lambda j=j: start(j + 1))
-        _guard((j >= first) & (j <= last), tile(j))
+    _flat_pipeline(nk, first, last, start, tile, depth=depth)
 
     m_fin = m_scr[...]
     l = l_scr[...]
@@ -1533,7 +1554,7 @@ def _pv_kernel_flat(
     q_ref, lse_ref, k_hbm, v_hbm, alibi_ref, o_ref, acc_scr, k_scr, v_scr,
     k_sem, v_sem, *,
     causal, window, softcap, block_q, block_k, seqlen_q, seqlen_k,
-    has_alibi, nk, q_per_kv,
+    has_alibi, nk, q_per_kv, depth=2,
 ):
     """Pass 2 of flat×two-pass: out = exp2(s - lse) @ V, no online state,
     k/v hand-ringed. Host zero-padding keeps OOB v rows inert (p there 0)."""
@@ -1554,7 +1575,7 @@ def _pv_kernel_flat(
     lse_big = pltpu.repeat(lse2, nrep, axis=1) if nrep > 1 else lse2
 
     def start(j):
-        s = j % 2
+        s = j % depth
         pltpu.make_async_copy(
             k_hbm.at[bi, hk, pl.ds(j * block_k, block_k), :],
             k_scr.at[s], k_sem.at[s],
@@ -1566,7 +1587,7 @@ def _pv_kernel_flat(
 
     def tile(j):
         def body():
-            s_slot = j % 2
+            s_slot = j % depth
             pltpu.make_async_copy(
                 k_hbm.at[bi, hk, pl.ds(j * block_k, block_k), :],
                 k_scr.at[s_slot], k_sem.at[s_slot],
@@ -1593,11 +1614,7 @@ def _pv_kernel_flat(
             )
         return body
 
-    _guard(first == 0, lambda: start(0))
-    for j in range(nk):
-        if j + 1 < nk:
-            _guard((j + 1 >= first) & (j + 1 <= last), lambda j=j: start(j + 1))
-        _guard((j >= first) & (j <= last), tile(j))
+    _flat_pipeline(nk, first, last, start, tile, depth=depth)
 
     o_ref[0, 0] = acc_scr[...].astype(o_ref.dtype)
 
@@ -1619,11 +1636,12 @@ def _two_pass_flat(
         kv_pw = [(0, 0), (0, 0), (0, pad), (0, 0)]
         k, v = jnp.pad(k, kv_pw), jnp.pad(v, kv_pw)
 
+    depth = _ring_depth(cp)
     statics = dict(
         causal=causal, window=(int(window[0]), int(window[1])),
         softcap=float(softcap), block_q=block_q, block_k=block_k,
         seqlen_q=sq, seqlen_k=sk, has_alibi=has_alibi, nk=nk,
-        q_per_kv=q_per_kv,
+        q_per_kv=q_per_kv, depth=depth,
     )
     dims3 = ("parallel", "parallel", "parallel")
 
@@ -1643,8 +1661,8 @@ def _two_pass_flat(
         scratch_shapes=[
             pltpu.VMEM(_stats_block(block_q), jnp.float32),
             pltpu.VMEM(_stats_block(block_q), jnp.float32),
-            pltpu.VMEM((2, block_k, d), k.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((depth, block_k, d), k.dtype),
+            pltpu.SemaphoreType.DMA((depth,)),
         ],
         compiler_params=_cparams(dims3, cp, 3),
         interpret=interpret,
@@ -1664,10 +1682,10 @@ def _two_pass_flat(
         out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((2, block_k, d), k.dtype),
-            pltpu.VMEM((2, block_k, d), v.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((depth, block_k, d), k.dtype),
+            pltpu.VMEM((depth, block_k, d), v.dtype),
+            pltpu.SemaphoreType.DMA((depth,)),
+            pltpu.SemaphoreType.DMA((depth,)),
         ],
         compiler_params=_cparams(dims3, cp, 5),
         interpret=interpret,
