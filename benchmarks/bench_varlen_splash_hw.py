@@ -36,13 +36,13 @@ def run_case(seqlens, h=16, h_k=16, d=128, block=512, causal=True):
         (s * s / 2 if causal else s * s) for s in seqlens
     )
 
-    def make(fold):
+    def make(fold, cp=()):
         @jax.jit
         def many(q, k, v, cu):
             def body(y, _):
                 o = flash_attention_varlen(
                     y, k, v, cu, cu, causal=causal,
-                    block_q=block, block_k=block, fold=fold,
+                    block_q=block, block_k=block, fold=fold, cp=cp,
                 )
                 return o.astype(y.dtype), None
 
@@ -51,7 +51,14 @@ def run_case(seqlens, h=16, h_k=16, d=128, block=512, causal=True):
 
         return many
 
-    fns = {"dense": make(False), "fold": make(True)}
+    fns = {
+        "dense": make(False),
+        "fold": make(True),
+        # round-4 flat manual-DMA structure (VF_CP=flat port of PF_CP=flat)
+        "flat": make(False, cp=("flat",)),
+        "flat_nb": make(False, cp=("flat", "nobounds")),
+        "flat_d3": make(False, cp=("flat", "d3")),
+    }
     for name, fn in fns.items():
         t0 = time.time()
         float(fn(q, k, v, cu))

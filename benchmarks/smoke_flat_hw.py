@@ -57,6 +57,32 @@ def main():
     print(f"fwd flat window/gqa maxerr {errw:.2e}", flush=True)
     assert errw < 2e-2, errw
 
+    # varlen flat port (VF_CP=flat): packed ragged batch, MQA, seg masking
+    from vllm_flash_attn_tpu.kernels.flash_varlen import (
+        flash_attention_varlen,
+    )
+
+    lens = [300, 212]
+    cu = jnp.asarray(np.concatenate([[0], np.cumsum(lens)]), jnp.int32)
+    qv = jnp.asarray(rng.standard_normal((4, sum(lens), 128)), jnp.bfloat16)
+    kv_ = jnp.asarray(rng.standard_normal((1, sum(lens), 128)), jnp.bfloat16)
+    vv = jnp.asarray(rng.standard_normal((1, sum(lens), 128)), jnp.bfloat16)
+    vbase = np.asarray(
+        flash_attention_varlen(
+            qv, kv_, vv, cu, cu, causal=True, block_q=256, block_k=256,
+            cp=(),
+        ).astype(jnp.float32)
+    )
+    vflat = np.asarray(
+        flash_attention_varlen(
+            qv, kv_, vv, cu, cu, causal=True, block_q=256, block_k=256,
+            cp=("flat",),
+        ).astype(jnp.float32)
+    )
+    errv = np.abs(vflat - vbase).max()
+    print(f"varlen flat-vs-base maxerr {errv:.2e}", flush=True)
+    assert errv < 2e-2, errv
+
     # backward pair (PB_CP read at import/trace time in this process)
     os.environ["PB_CP"] = "flat"
     from vllm_flash_attn_tpu.kernels.flash_backward_pallas import (

@@ -36,6 +36,7 @@ def run_varlen_case(
     dtype=jnp.bfloat16,
     mult=2.0,
     fold=None,
+    cp=None,
 ):
     rng = np.random.default_rng(sum(seqlens_q) + 31 * sum(seqlens_k))
     q, k, v = make_packed(rng, seqlens_q, seqlens_k, h, h_k, d, dtype)
@@ -50,6 +51,7 @@ def run_varlen_case(
         causal=causal,
         window=window,
         fold=fold,
+        cp=cp,
     )
 
     # oracle: per-sequence dense attention
@@ -161,6 +163,69 @@ def test_splash_fold_vs_oracle():
     # — NOT the env/module default, which is jit-cache-keyed per process)
     run_varlen_case(
         [37, 128, 1, 200], [37, 128, 1, 200], causal=True, fold=True
+    )
+
+
+@pytest.mark.parametrize(
+    "case",
+    [
+        dict(sq=[200, 150, 300, 100, 250, 64], sk=None, causal=True),
+        dict(sq=[130, 270, 100], sk=None, h=8, h_k=2, window=(64, 0)),
+        dict(sq=[100, 200], sk=None, causal=True, alibi=True, lse=True),
+        dict(sq=[100, 37], sk=[257, 129]),  # ragged cross-attention
+        dict(sq=[128, 128], sk=[256, 256], causal=True, seqused=[200, 180]),
+        dict(sq=[100, 60], sk=None, d=80, causal=True),  # odd head dim
+        dict(sq=[300, 200], sk=None, h=4, h_k=1, causal=True, d3=True),  # MQA
+    ],
+    ids=["causal6", "gqa-window", "alibi-lse", "cross", "seqused", "odd-d",
+         "mqa-d3"],
+)
+def test_flat_bit_equal(case):
+    """The flat manual-DMA structure (VF_CP=flat: one grid step per
+    (head, q-block), hand double-buffered k/v HBM ring) must be BIT-equal
+    to the grid-pipelined kernel: same tiles, same visit order, same fp32
+    accumulation — only the DMA scheduling differs."""
+    sq = case["sq"]
+    sk = case.get("sk") or sq
+    h, h_k, d = case.get("h", 4), case.get("h_k", 4), case.get("d", 128)
+    rng = np.random.default_rng(7)
+    q, k, v = make_packed(rng, sq, sk, h, h_k, d, jnp.bfloat16)
+    cu_q, cu_k = generate_cu_seqlens(sq), generate_cu_seqlens(sk)
+    kw = dict(
+        causal=case.get("causal", False),
+        window=case.get("window", (-1, -1)),
+        return_lse=case.get("lse", False),
+        seqused_k=(
+            jnp.asarray(case["seqused"], jnp.int32)
+            if "seqused" in case else None
+        ),
+        alibi_slopes=(
+            jnp.asarray(rng.uniform(0.01, 0.1, (h,)), jnp.float32)
+            if case.get("alibi") else None
+        ),
+    )
+    a = flash_attention_varlen(q, k, v, cu_q, cu_k, cp=(), **kw)
+    b = flash_attention_varlen(
+        q, k, v, cu_q, cu_k,
+        cp=("flat", "d3") if case.get("d3") else ("flat",), **kw
+    )
+    if case.get("lse"):
+        (ao, alse), (bo, blse) = a, b
+        assert jnp.array_equal(jnp.isinf(alse), jnp.isinf(blse))
+        fin = ~jnp.isinf(alse)
+        assert jnp.array_equal(
+            jnp.where(fin, alse, 0), jnp.where(fin, blse, 0)
+        )
+    else:
+        ao, bo = a, b
+    assert jnp.array_equal(ao, bo)
+
+
+def test_flat_vs_oracle():
+    # oracle correctness with the flat structure forced on (explicit static
+    # arg — NOT the env/module default)
+    run_varlen_case(
+        [37, 128, 1, 200], [37, 128, 1, 200], causal=True, cp=("flat",)
     )
 
 

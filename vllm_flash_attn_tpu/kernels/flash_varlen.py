@@ -34,6 +34,9 @@ from vllm_flash_attn_tpu.kernels.flash_prefill import (
     LN2,
     LOG2E,
     MIN_LANES,
+    _cparams,
+    _flat_pipeline,
+    _ring_depth,
 )
 
 # Splash-style folded grid (dynamic-length, active pairs only) as the varlen
@@ -41,6 +44,12 @@ from vllm_flash_attn_tpu.kernels.flash_prefill import (
 # steps. Default off until hardware-validated; per-process module constant
 # (like PD_QINT8) — pass fold= explicitly for in-process A/Bs.
 _SPLASH = os.environ.get("VF_SPLASH", "0") == "1"
+
+# Round-4 structure knob, mirroring flash_prefill's PF_CP: 'flat' routes the
+# forward through the manual-DMA flat kernel below, 'nobounds' disables
+# Mosaic bounds checks, 'd3'/'d4' deepen the DMA ring. Module constant (read
+# once per process, never inside a jit trace); pass cp= for in-process A/Bs.
+_VF_CP = tuple(x for x in os.environ.get("VF_CP", "").split(",") if x)
 
 
 def build_varlen_metadata(
@@ -276,6 +285,147 @@ def _varlen_kernel(
                 lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
+def _varlen_kernel_flat(
+    bounds_ref,  # SMEM (nq, 2) int32
+    q_ref,       # (1, block_q, d) VMEM (pre-scaled by sm_scale*log2e)
+    k_hbm,       # (h_k, nk*block_k, d) ANY (zero-padded tail)
+    v_hbm,       # (h_k, nk*block_k, d) ANY (zero-padded tail)
+    q_info_ref,  # (2, block_q) VMEM
+    k_info_ref,  # (2, nk*block_k) VMEM (tail padded with seg=-2)
+    alibi_ref,   # SMEM (1, h) fp32 (or (1, 1) when unused)
+    o_ref,       # (1, block_q, d)
+    lse_ref,     # (1, block_q, MIN_LANES) or None
+    k_scr,       # (depth, block_k, d) VMEM
+    v_scr,       # (depth, block_k, d) VMEM
+    m_scr,
+    l_scr,
+    acc_scr,     # (block_q, d) fp32
+    k_sem,       # DMA (depth,)
+    v_sem,       # DMA (depth,)
+    *,
+    causal: bool,
+    window: Tuple[int, int],
+    softcap: float,
+    block_q: int,
+    block_k: int,
+    has_alibi: bool,
+    nk: int,
+    q_per_kv: int,
+    depth: int = 2,
+):
+    """Flat manual-DMA varlen forward (VF_CP=flat).
+
+    Port of flash_prefill's round-4 flat structure to the packed ragged
+    batch: ONE grid step per (head, q-block); k/v stay in HBM and a
+    statically-unrolled tile loop hand double-buffers them into a
+    depth-slot VMEM ring (pltpu.make_async_copy), issuing tile j+depth-1's
+    copies before computing tile j. The per-q-block [first, last] active
+    kv range comes from SMEM bounds (traced scalars predicating the static
+    tile list via pl.when), replacing the grid version's skipped steps —
+    and, per the round-3 stage isolation, the grid pipeline's ~5.9us/tile
+    machinery floor. Compute body mirrors _varlen_kernel exactly
+    (bit-equal in interpret mode)."""
+    hi = pl.program_id(0)
+    qi = pl.program_id(1)
+    hk = hi // q_per_kv
+
+    wl, wr = window
+    if causal:
+        wr = 0
+
+    first = bounds_ref[qi, 0]
+    last = bounds_ref[qi, 1]
+
+    m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+    l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+    acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    def start(j):
+        s = j % depth
+        pltpu.make_async_copy(
+            k_hbm.at[hk, pl.ds(j * block_k, block_k), :],
+            k_scr.at[s], k_sem.at[s],
+        ).start()
+        pltpu.make_async_copy(
+            v_hbm.at[hk, pl.ds(j * block_k, block_k), :],
+            v_scr.at[s], v_sem.at[s],
+        ).start()
+
+    def wait(j):
+        s = j % depth
+        pltpu.make_async_copy(
+            k_hbm.at[hk, pl.ds(j * block_k, block_k), :],
+            k_scr.at[s], k_sem.at[s],
+        ).wait()
+        pltpu.make_async_copy(
+            v_hbm.at[hk, pl.ds(j * block_k, block_k), :],
+            v_scr.at[s], v_sem.at[s],
+        ).wait()
+
+    def compute(j):
+        k = k_scr[j % depth]
+        v = v_scr[j % depth]
+        q = q_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if softcap > 0.0:
+            cap2 = softcap * LOG2E
+            s = jnp.tanh(s / cap2) * cap2
+
+        q_seg = q_info_ref[0, :][:, None]  # (block_q, 1)
+        q_pos = q_info_ref[1, :][:, None]
+        # static slice of the VMEM-resident metadata (j is a python int)
+        k_seg = k_info_ref[0, j * block_k:(j + 1) * block_k][None, :]
+        k_pos = k_info_ref[1, j * block_k:(j + 1) * block_k][None, :]
+
+        # k_info's host-padded tail carries seg=-2, so no extra iota guard;
+        # v's tail is host-zero-padded (p there is exactly 0 via the mask)
+        mask = q_seg == k_seg
+        if wr >= 0:
+            mask &= k_pos <= q_pos + wr
+        if wl >= 0:
+            mask &= k_pos >= q_pos - wl
+
+        if has_alibi:
+            slope = alibi_ref[0, hi]  # pre-scaled by log2(e) host-side
+            s = s - slope * jnp.abs(q_pos - k_pos).astype(jnp.float32)
+
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next[:, :1])
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        pv = jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+    def _tile_body(j):
+        def body():
+            wait(j)
+            compute(j)
+        return body
+
+    _flat_pipeline(nk, first, last, start, _tile_body, depth=depth)
+
+    l = l_scr[...][:, :1]
+    m_fin = m_scr[...][:, :1]
+    dead = jnp.logical_or(l == 0.0, m_fin <= 0.5 * DEFAULT_MASK_VALUE)
+    l_inv = jnp.where(dead, 0.0, 1.0 / l)
+    o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+    if lse_ref is not None:
+        lse = jnp.where(dead, jnp.inf, m_fin * LN2 + jnp.log(l))
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
 def _flash_attention_varlen_impl(
     q: jax.Array,  # (h, total_q, d)
     k: jax.Array,  # (h_k, total_k, d)
@@ -294,9 +444,12 @@ def _flash_attention_varlen_impl(
     return_lse: bool = False,
     interpret: Optional[bool] = None,
     fold: Optional[bool] = None,
+    cp: Optional[Tuple[str, ...]] = None,
 ):
     if fold is None:
         fold = _SPLASH
+    if cp is None:
+        cp = _VF_CP
     h, total_q, d = q.shape
     h_k, total_k, _ = k.shape
     assert h % h_k == 0
@@ -347,6 +500,86 @@ def _flash_attention_varlen_impl(
         )  # kernel scores are log2-domain
     else:
         alibi_slopes = jnp.zeros((1, 1), jnp.float32)
+
+    if "flat" in cp:
+        # round-4 experiment: manual-DMA flat structure (VF_CP=flat).
+        # k/v/k_info are hand-DMA'd from HBM, so their tile tails must be
+        # real memory: zero-pad k/v (p is exactly 0 there via the seg mask)
+        # and pad k_info with seg=-2 (matches no q segment).
+        sk_pad = nk * block_k
+        if total_k != sk_pad:
+            kv_pw = [(0, 0), (0, sk_pad - total_k), (0, 0)]
+            k = jnp.pad(k, kv_pw)
+            v = jnp.pad(v, kv_pw)
+            k_info = jnp.pad(
+                k_info,
+                [(0, 0), (0, sk_pad - total_k)],
+                constant_values=-2,
+            )
+            k_info = k_info.at[1, total_k:].set(0)
+        depth = _ring_depth(cp)
+        flat_kernel = functools.partial(
+            _varlen_kernel_flat,
+            causal=causal,
+            window=tuple(int(w) for w in window),
+            softcap=float(softcap),
+            block_q=block_q,
+            block_k=block_k,
+            has_alibi=has_alibi,
+            nk=nk,
+            q_per_kv=q_per_kv,
+            depth=depth,
+        )
+        if not return_lse:
+            def flat_kernel2(b_r, q_r, k_r, v_r, qi_r, ki_r, a_r, o_r, *scr,
+                             _k=flat_kernel):
+                _k(b_r, q_r, k_r, v_r, qi_r, ki_r, a_r, o_r, None, *scr)
+        else:
+            flat_kernel2 = flat_kernel
+        out_specs = [
+            pl.BlockSpec((1, block_q, d), lambda h_, qi: (h_, qi, 0))
+        ]
+        if return_lse:
+            out_specs.append(
+                pl.BlockSpec(
+                    (1, block_q, MIN_LANES), lambda h_, qi: (h_, qi, 0)
+                )
+            )
+        results = pl.pallas_call(
+            flat_kernel2,
+            grid=(h, nq),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # bounds (nq, 2)
+                pl.BlockSpec((1, block_q, d), lambda h_, qi: (h_, qi, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),  # k (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),  # v (HBM)
+                pl.BlockSpec((2, block_q), lambda h_, qi: (0, qi)),
+                pl.BlockSpec((2, sk_pad), lambda h_, qi: (0, 0)),  # k_info
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # alibi (1, h)
+            ],
+            out_specs=out_specs,
+            out_shape=[
+                jax.ShapeDtypeStruct((h, total_q, d), q.dtype),
+            ] + (
+                [jax.ShapeDtypeStruct((h, total_q, MIN_LANES), jnp.float32)]
+                if return_lse else []
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((depth, block_k, d), k.dtype),
+                pltpu.VMEM((depth, block_k, d), v.dtype),
+                pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+                pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+                pltpu.VMEM((block_q, d), jnp.float32),
+                pltpu.SemaphoreType.DMA((depth,)),
+                pltpu.SemaphoreType.DMA((depth,)),
+            ],
+            compiler_params=_cparams(("parallel", "parallel"), cp, 7),
+            interpret=interpret,
+        )(bounds, q, k, v, q_info, k_info, alibi_slopes)
+        if return_lse:
+            out, lse = results
+            return out[..., :d_orig], lse[..., 0]
+        return results[0][..., :d_orig]
 
     kernel = functools.partial(
         _varlen_kernel,
@@ -503,12 +736,12 @@ def _int_zeros(x):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17)
 )
 def _varlen_vjp(
     q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_k, alibi_slopes,
     causal, sm_scale, window, softcap, block_q, block_k, interpret,
-    max_seqlen_q=0, max_seqlen_k=0, fold=None,
+    max_seqlen_q=0, max_seqlen_k=0, fold=None, cp=None,
 ):
     return _flash_attention_varlen_impl(
         q, k, v, cu_seqlens_q, cu_seqlens_k,
@@ -516,14 +749,14 @@ def _varlen_vjp(
         alibi_slopes if alibi_slopes.size else None,
         causal=causal, sm_scale=sm_scale, window=window, softcap=softcap,
         block_q=block_q, block_k=block_k, return_lse=False,
-        interpret=interpret, fold=fold,
+        interpret=interpret, fold=fold, cp=cp,
     )
 
 
 def _varlen_vjp_fwd(
     q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_k, alibi_slopes,
     causal, sm_scale, window, softcap, block_q, block_k, interpret,
-    max_seqlen_q=0, max_seqlen_k=0, fold=None,
+    max_seqlen_q=0, max_seqlen_k=0, fold=None, cp=None,
 ):
     out, lse = _flash_attention_varlen_impl(
         q, k, v, cu_seqlens_q, cu_seqlens_k,
@@ -531,7 +764,7 @@ def _varlen_vjp_fwd(
         alibi_slopes if alibi_slopes.size else None,
         causal=causal, sm_scale=sm_scale, window=window, softcap=softcap,
         block_q=block_q, block_k=block_k, return_lse=True,
-        interpret=interpret, fold=fold,
+        interpret=interpret, fold=fold, cp=cp,
     )
     res = (q, k, v, out, lse, cu_seqlens_q, cu_seqlens_k, seqused_k,
            alibi_slopes)
@@ -619,7 +852,7 @@ def _varlen_backward_dense_pallas(
 
 def _varlen_vjp_bwd(
     causal, sm_scale, window, softcap, block_q, block_k, interpret,
-    max_seqlen_q, max_seqlen_k, fold, res, g,
+    max_seqlen_q, max_seqlen_k, fold, cp, res, g,
 ):
     from vllm_flash_attn_tpu.kernels.flash_backward import mha_backward_varlen
 
@@ -676,6 +909,7 @@ _varlen_vjp.defvjp(_varlen_vjp_fwd, _varlen_vjp_bwd)
         "max_seqlen_q",
         "max_seqlen_k",
         "fold",
+        "cp",
     ),
 )
 def flash_attention_varlen(
@@ -698,6 +932,7 @@ def flash_attention_varlen(
     max_seqlen_q: int = 0,
     max_seqlen_k: int = 0,
     fold: Optional[bool] = None,  # splash folded grid (None -> VF_SPLASH env)
+    cp: Optional[Tuple[str, ...]] = None,  # structure knobs (None -> VF_CP)
 ):
     """Varlen flash attention over head-major packed tokens.
 
@@ -721,7 +956,7 @@ def flash_attention_varlen(
             q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_k, alibi_slopes,
             causal=causal, sm_scale=sm_scale, window=window, softcap=softcap,
             block_q=block_q, block_k=block_k, return_lse=True,
-            interpret=interpret, fold=fold,
+            interpret=interpret, fold=fold, cp=cp,
         )
     if seqused_k is None:
         seqused_k = jnp.zeros((0,), jnp.int32)
@@ -733,5 +968,5 @@ def flash_attention_varlen(
         q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_k, alibi_slopes,
         causal, float(sm_scale), tuple(int(w) for w in window),
         float(softcap), block_q, block_k, interpret,
-        int(max_seqlen_q), int(max_seqlen_k), fold,
+        int(max_seqlen_q), int(max_seqlen_k), fold, cp,
     )
