@@ -22,6 +22,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 import numpy as np
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
 
 
 def run(ctx, batch=8, h=32, h_kv=8, d=128, page_size=16, n_iter=20):
