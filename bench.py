@@ -304,6 +304,34 @@ def bench_train(n_layer=4, n_embd=2048, n_head=16, seq=2048, batch=8,
     return tokens_per_sec, mfu, dt
 
 
+def _preserve(payload: str):
+    """Self-preserve a payload line to BENCH_LOCAL_r{N}.json. Called after
+    EVERY completed stage (not only at the end): the relay has a history of
+    multi-hour outages and unknown driver-side timeouts — a bench process
+    killed mid-run must still leave its freshest complete stages behind."""
+    try:
+        rnd = 0
+        try:
+            with open(os.path.join(os.path.dirname(__file__) or ".",
+                                   "PROGRESS.jsonl")) as f:
+                for line in f:
+                    # tolerate blank/truncated lines (another process may be
+                    # appending mid-write)
+                    try:
+                        rnd = max(rnd, json.loads(line).get("round", 0))
+                    except (ValueError, AttributeError):
+                        continue
+        except OSError:
+            pass
+        name = f"BENCH_LOCAL_r{rnd:02d}.json" if rnd else "BENCH_LOCAL.json"
+        with open(os.path.join(os.path.dirname(__file__) or ".", name),
+                  "w") as f:
+            f.write(payload + "\n")
+        print(f"[bench] preserved to {name}", file=sys.stderr, flush=True)
+    except Exception as e:
+        print(f"[bench] local preserve failed: {e!r}", file=sys.stderr)
+
+
 def main():
     t_start = time.time()
     dev = jax.devices()[0]
@@ -334,90 +362,15 @@ def main():
     # tokens/s the kernel sustains at the llama-7B shape (fixed cost excluded)
     tok_s = 8 / (bytes_2k / dec_rate)
 
-    # ---- int8 decode: marginal ratio vs bf16 (BASELINE FP8/INT8-KV target)
+    # progressively-filled result fields (preserved after each stage)
     int8_ratio, int8_gbps = -1.0, -1.0
-    if time.time() - t_start < 700:
-        try:
-            pt8 = bench_decode_int8(ctx_max=8192, ctx_points=(2048, 8192),
-                                    batch=8, h=32, h_k=32, d=128, page_size=16)
-            d8_2k, d8_8k = pt8[2048], pt8[8192]
-            int8_ratio = (d8_8k - d8_2k) / (dt_8k - dt_2k)
-            # actual bytes: int8 k+v payload + one shared 128-lane fp32
-            # scale tile per token
-            b8_2k = 8 * 2048 * (2 * 32 * 128 * 1 + 128 * 4)
-            b8_8k = 8 * 8192 * (2 * 32 * 128 * 1 + 128 * 4)
-            int8_gbps = (b8_8k - b8_2k) / (d8_8k - d8_2k) / 1e9
-            print(f"[bench] int8 decode done at t={time.time()-t_start:.0f}s "
-                  f"(marginal int8/bf16 {int8_ratio:.2f}, {int8_gbps:.0f} GB/s)",
-                  file=sys.stderr, flush=True)
-        except Exception as e:
-            print(f"[bench] int8 decode failed: {e!r}", file=sys.stderr)
-
-    # ---- prefill: causal 4k raw headline, auto-tuned over the round-4
-    # structures (extra configs bounded by the stage deadline)
-    pf_configs = tuple(
-        c for c in os.environ.get(
-            "VFA_BENCH_PREFILL_CONFIGS", "base,nobounds,flat_nb"
-        ).split(",") if c in PREFILL_CONFIGS
-    ) or ("base",)
-    tf_raw, dt_4k, pf_name = bench_prefill(
-        s=4096, configs=pf_configs, deadline=t_start + 800
-    )
-    print(f"[bench] prefill 4k done at t={time.time()-t_start:.0f}s "
-          f"(winner: {pf_name})", file=sys.stderr, flush=True)
-    fl_4k = 4 * 1 * 4096 * 4096 * 32 * 128 / 2
-    fl_2k = 4 * 1 * 2048 * 2048 * 32 * 128 / 2
-
-    # ---- train step MFU BEFORE the optional prefill fit (an unrecorded
-    # number reads as zero; the fit is the most expendable stage)
+    tf_raw, pf_name = -1.0, "none"
+    pre_tflops, pre_fixed_us = -1.0, -1.0
     train_tok, train_mfu = -1.0, -1.0
-    if time.time() - t_start < 900:
-        try:
-            train_tok, train_mfu, _ = bench_train(peak_tflops=peak)
-            print(f"[bench] train done at t={time.time()-t_start:.0f}s",
-                  file=sys.stderr, flush=True)
-        except Exception as e:  # keep the headline metric robust
-            print(f"[bench] train bench failed: {e!r}", file=sys.stderr)
-
-    # ---- 2.7B-shape train point (hdim-128 scale check, reference table
-    # training/README.md:212): same per-layer shape as GPT3-2.7B (n_embd
-    # 2560, 20 heads, d=128) at a layer count that fits one chip — shows the
-    # MFU number is not a small-width artifact
     train27_tok, train27_mfu = -1.0, -1.0
-    if time.time() - t_start < 1000:
-        try:
-            train27_tok, train27_mfu, _ = bench_train(
-                n_layer=2, n_embd=2560, n_head=20, seq=2048, batch=4,
-                peak_tflops=peak,
-            )
-            print(f"[bench] train-2.7Bshape done at t={time.time()-t_start:.0f}s"
-                  f" ({100*train27_mfu:.1f}% MFU)", file=sys.stderr, flush=True)
-        except Exception as e:
-            print(f"[bench] train-2.7Bshape failed: {e!r}", file=sys.stderr)
 
-    # ---- prefill two-point fit (one more compile; skip over budget)
-    if time.time() - t_start < 1100:
-        try:
-            _, dt_p2k, _ = bench_prefill(s=2048, configs=(pf_name,))
-            pre_rate = (fl_4k - fl_2k) / (dt_4k - dt_p2k)
-            pre_fixed_us = (dt_4k - fl_4k / pre_rate) * 1e6
-            pre_tflops = pre_rate / 1e12
-        except Exception:
-            pre_tflops, pre_fixed_us = tf_raw, -1.0
-    else:  # time budget: fall back to the raw (fixed-cost-laden) number
-        pre_tflops, pre_fixed_us = tf_raw, -1.0
-
-    print(
-        f"[bench] device={kind} decode: {dec_gbps:.0f} GB/s sustained "
-        f"({100*dec_gbps/hbm:.1f}% HBM SoL, {tok_s:.0f} tok/s; raw step "
-        f"{dt_2k*1e6:.0f}us = {raw_gbps:.0f} GB/s incl. {dec_fixed_us:.0f}us "
-        f"fixed/call) | prefill causal 4k: {pre_tflops:.1f} TFLOP/s sustained "
-        f"({100*pre_tflops/peak:.1f}% MXU; raw {tf_raw:.1f} TFLOP/s, "
-        f"{dt_4k*1e3:.2f}ms) | train: {train_tok:.0f} tok/s "
-        f"({100*train_mfu:.1f}% MFU)",
-        file=sys.stderr,
-    )
-    payload = json.dumps(
+    def payload():
+        return json.dumps(
             {
                 "metric": "llama7b_paged_decode_attn_tokens_per_sec_per_chip",
                 "value": round(tok_s, 1),
@@ -449,34 +402,97 @@ def main():
                     "device": kind,
                 },
             }
+        )
+
+    _preserve(payload())
+
+    # ---- prefill: causal 4k raw headline, auto-tuned over the round-4
+    # structures (extra configs bounded by the stage deadline)
+    pf_configs = tuple(
+        c for c in os.environ.get(
+            "VFA_BENCH_PREFILL_CONFIGS", "base,nobounds,flat_nb"
+        ).split(",") if c in PREFILL_CONFIGS
+    ) or ("base",)
+    tf_raw, dt_4k, pf_name = bench_prefill(
+        s=4096, configs=pf_configs,
+        deadline=max(t_start + 800, time.time() + 420),
     )
-    print(payload)
-    # self-preserve every successful run: the relay has a history of
-    # multi-hour outages at round end (round 2, round 4) — the newest
-    # BENCH_LOCAL_r*.json is the fallback of record if the driver's
-    # end-of-round capture hits one
-    try:
-        rnd = 0
+    pre_tflops = tf_raw  # refined by the two-point fit below if budget allows
+    print(f"[bench] prefill 4k done at t={time.time()-t_start:.0f}s "
+          f"(winner: {pf_name})", file=sys.stderr, flush=True)
+    fl_4k = 4 * 1 * 4096 * 4096 * 32 * 128 / 2
+    fl_2k = 4 * 1 * 2048 * 2048 * 32 * 128 / 2
+    _preserve(payload())
+
+    # ---- train step MFU next: it is a judged headline (>=65% target), so it
+    # outranks the int8/2.7B/fit extras on a slow-relay day
+    if time.time() - t_start < 2400:
         try:
-            with open(os.path.join(os.path.dirname(__file__) or ".",
-                                   "PROGRESS.jsonl")) as f:
-                for line in f:
-                    # tolerate blank/truncated lines (another process may be
-                    # appending mid-write) — one bad record must not abort
-                    # the preservation this block exists for
-                    try:
-                        rnd = max(rnd, json.loads(line).get("round", 0))
-                    except (ValueError, AttributeError):
-                        continue
-        except OSError:
-            pass
-        name = f"BENCH_LOCAL_r{rnd:02d}.json" if rnd else "BENCH_LOCAL.json"
-        with open(os.path.join(os.path.dirname(__file__) or ".", name),
-                  "w") as f:
-            f.write(payload + "\n")
-        print(f"[bench] preserved to {name}", file=sys.stderr)
-    except Exception as e:
-        print(f"[bench] local preserve failed: {e!r}", file=sys.stderr)
+            train_tok, train_mfu, _ = bench_train(peak_tflops=peak)
+            print(f"[bench] train done at t={time.time()-t_start:.0f}s",
+                  file=sys.stderr, flush=True)
+        except Exception as e:  # keep the headline metric robust
+            print(f"[bench] train bench failed: {e!r}", file=sys.stderr)
+        _preserve(payload())
+
+    # ---- int8 decode: marginal ratio vs bf16 (BASELINE FP8/INT8-KV target)
+    if time.time() - t_start < 3000:
+        try:
+            pt8 = bench_decode_int8(ctx_max=8192, ctx_points=(2048, 8192),
+                                    batch=8, h=32, h_k=32, d=128, page_size=16)
+            d8_2k, d8_8k = pt8[2048], pt8[8192]
+            int8_ratio = (d8_8k - d8_2k) / (dt_8k - dt_2k)
+            # actual bytes: int8 k+v payload + one shared 128-lane fp32
+            # scale tile per token
+            b8_2k = 8 * 2048 * (2 * 32 * 128 * 1 + 128 * 4)
+            b8_8k = 8 * 8192 * (2 * 32 * 128 * 1 + 128 * 4)
+            int8_gbps = (b8_8k - b8_2k) / (d8_8k - d8_2k) / 1e9
+            print(f"[bench] int8 decode done at t={time.time()-t_start:.0f}s "
+                  f"(marginal int8/bf16 {int8_ratio:.2f}, {int8_gbps:.0f} GB/s)",
+                  file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"[bench] int8 decode failed: {e!r}", file=sys.stderr)
+        _preserve(payload())
+
+    # ---- 2.7B-shape train point (hdim-128 scale check, reference table
+    # training/README.md:212): same per-layer shape as GPT3-2.7B (n_embd
+    # 2560, 20 heads, d=128) at a layer count that fits one chip — shows the
+    # MFU number is not a small-width artifact
+    if time.time() - t_start < 3300:
+        try:
+            train27_tok, train27_mfu, _ = bench_train(
+                n_layer=2, n_embd=2560, n_head=20, seq=2048, batch=4,
+                peak_tflops=peak,
+            )
+            print(f"[bench] train-2.7Bshape done at t={time.time()-t_start:.0f}s"
+                  f" ({100*train27_mfu:.1f}% MFU)", file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"[bench] train-2.7Bshape failed: {e!r}", file=sys.stderr)
+        _preserve(payload())
+
+    # ---- prefill two-point fit (one more compile; skip over budget)
+    if time.time() - t_start < 3500:
+        try:
+            _, dt_p2k, _ = bench_prefill(s=2048, configs=(pf_name,))
+            pre_rate = (fl_4k - fl_2k) / (dt_4k - dt_p2k)
+            pre_fixed_us = (dt_4k - fl_4k / pre_rate) * 1e6
+            pre_tflops = pre_rate / 1e12
+        except Exception:
+            pre_tflops, pre_fixed_us = tf_raw, -1.0
+
+    print(
+        f"[bench] device={kind} decode: {dec_gbps:.0f} GB/s sustained "
+        f"({100*dec_gbps/hbm:.1f}% HBM SoL, {tok_s:.0f} tok/s; raw step "
+        f"{dt_2k*1e6:.0f}us = {raw_gbps:.0f} GB/s incl. {dec_fixed_us:.0f}us "
+        f"fixed/call) | prefill causal 4k: {pre_tflops:.1f} TFLOP/s sustained "
+        f"({100*pre_tflops/peak:.1f}% MXU; raw {tf_raw:.1f} TFLOP/s, "
+        f"{dt_4k*1e3:.2f}ms) | train: {train_tok:.0f} tok/s "
+        f"({100*train_mfu:.1f}% MFU)",
+        file=sys.stderr,
+    )
+    out = payload()
+    print(out)
+    _preserve(out)
 
 
 if __name__ == "__main__":
