@@ -203,7 +203,8 @@ def bench_decode_int8(ctx_max=8192, ctx_points=(2048, 8192), batch=8, h=32,
 # is reported in extra.prefill_config — round-4 structures become the
 # headline automatically the moment they win on the real device.
 PREFILL_CONFIGS = {
-    "base": dict(),
+    "cpboth": dict(cp=("nobounds", "fusein")),  # round-4 winner (+26%)
+    "base": dict(cp=()),                        # no-knob regression anchor
     "nobounds": dict(cp=("nobounds",)),
     "flat_nb": dict(cp=("flat", "nobounds")),
 }
@@ -410,7 +411,7 @@ def main():
     # structures (extra configs bounded by the stage deadline)
     pf_configs = tuple(
         c for c in os.environ.get(
-            "VFA_BENCH_PREFILL_CONFIGS", "base,nobounds,flat_nb"
+            "VFA_BENCH_PREFILL_CONFIGS", "cpboth,base,flat_nb"
         ).split(",") if c in PREFILL_CONFIGS
     ) or ("base",)
     tf_raw, dt_4k, pf_name = bench_prefill(

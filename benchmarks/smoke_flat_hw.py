@@ -28,9 +28,19 @@ def main():
     k = jnp.asarray(rng.standard_normal((1, 4, 512, 128)), jnp.bfloat16)
     v = jnp.asarray(rng.standard_normal((1, 4, 512, 128)), jnp.bfloat16)
     base = np.asarray(
+        flash_attention(q, k, v, causal=True, block_q=256, block_k=256,
+                        cp=())
+        .astype(jnp.float32)
+    )
+    # the hardware default is cp=("nobounds","fusein") (round-4 winner);
+    # assert the compiler knobs do not change numerics on the real device
+    dflt = np.asarray(
         flash_attention(q, k, v, causal=True, block_q=256, block_k=256)
         .astype(jnp.float32)
     )
+    errd = np.abs(dflt - base).max()
+    print(f"fwd default(cpboth)-vs-noknob maxerr {errd:.2e}", flush=True)
+    assert errd < 2e-2, errd
     flat = np.asarray(
         flash_attention(
             q, k, v, causal=True, block_q=256, block_k=256, cp=("flat",)

@@ -2086,8 +2086,17 @@ def flash_attention(
         # step with a statically UNROLLED inner loop (chunked-kernel path)
         unroll = int(os.environ.get("PF_UNROLL", "0"))
     if cp is None:
-        # round-4 Mosaic-knob experiments: PF_CP=nobounds,fusein (see _cparams)
-        cp = tuple(x for x in os.environ.get("PF_CP", "").split(",") if x)
+        # Mosaic compiler knobs (see _cparams). Hardware default measured
+        # round 4: bounds checks off + input fusion on = +26% raw TFLOP/s
+        # in-process on v5e (benchmarks/bench_prefill_hw.py: base 41.7 ->
+        # cpboth 52.7). PF_CP overrides for A/Bs; PF_CP=none forces empty.
+        # Interpret mode (the CPU sanitizer path) keeps no knobs so its
+        # coverage is independent of Mosaic compiler behavior.
+        env = os.environ.get("PF_CP")
+        if env is None:
+            cp = () if interpret else ("nobounds", "fusein")
+        else:
+            cp = tuple(x for x in env.split(",") if x and x != "none")
     if unroll and not kv_chunk:
         kv_chunk = int(unroll) * block_k
     return _flash_attention_jit(
