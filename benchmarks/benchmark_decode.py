@@ -31,20 +31,19 @@ def bench(ctx, batch, h, h_k, d, page_size, kv_dtype, rng):
     q = jnp.asarray(rng.standard_normal((batch, h, d)), jnp.bfloat16)
     if kv_dtype == "bf16":
         kq, vq = kp.astype(jnp.bfloat16), vp.astype(jnp.bfloat16)
-
-        def fn(q_):
-            return paged_attention(q_, kq, vq, lens, bt)
-
         bpt = 2 * h_k * d * 2
     else:
         dt = jnp.int8 if kv_dtype == "int8" else jnp.float8_e4m3fn
         kq, vq = quantize_pages(kp, vp, dt)
-
-        def fn(q_):
-            return paged_attention(q_, kq, vq, lens, bt)
-
         bpt = 2 * h_k * d * 1 + 2 * h_k * 4
-    sec, _ = benchmark_forward(fn, q, n_iter=30)
+
+    # pools/tables are explicit jit ARGUMENTS (QuantizedPages is a registered
+    # pytree): closed-over operands embed as HLO constants and blow the
+    # relay's remote-compile HTTP 413 size limit at ctx>=2048
+    def fn(q_, kq, vq, lens, bt):
+        return paged_attention(q_, kq, vq, lens, bt)
+
+    sec, _ = benchmark_forward(fn, q, kq, vq, lens, bt, n_iter=30)
     gbps = batch * ctx * bpt / sec / 1e9
     return batch / sec, gbps, sec
 
