@@ -131,6 +131,27 @@ def test_quantized_decode_padded_pools(h, h_k, d, dtype):
         )
 
 
+def test_qpv_on_off_agree():
+    """qpv defaults ON for int8 (round-4 hardware win); the fp32-PV path
+    (qpv=False) stays covered and both must agree to within the p-requant
+    error (1/127 relative)."""
+    rng = np.random.default_rng(7)
+    b, h, h_k, d, ps = 2, 8, 4, 128, 16
+    lengths = [100, 37]
+    k_pages, v_pages, bt = make_paged_cache(
+        rng, b, lengths, h_k, d, ps, jnp.float32
+    )
+    kq, vq = quantize_pages(k_pages, v_pages, jnp.int8)
+    q = jnp.asarray(rng.standard_normal((b, h, d)), jnp.bfloat16)
+    lens = jnp.asarray(lengths, jnp.int32)
+    out_on = paged_attention(q, kq, vq, lens, bt, qpv=True)
+    out_off = paged_attention(q, kq, vq, lens, bt, qpv=False)
+    np.testing.assert_allclose(
+        np.asarray(out_on, np.float32), np.asarray(out_off, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )
+
+
 def test_packed_scales_append_then_decode():
     """Quantize-on-append into the packed/padded layout, then decode: the
     appended token must be attendable and both scale halves must survive

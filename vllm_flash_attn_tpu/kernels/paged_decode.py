@@ -58,10 +58,13 @@ _DEBUG_SKIP = frozenset(
 # (in-process v5e A/B), ppl delta +0.015 vs the 0.05 budget
 # (eval_kv_quant_ppl). PD_QINT8=0 reverts. Read per process like PD_SKIP.
 _QINT8 = os.environ.get("PD_QINT8", "1") == "1"
-# int8 PV experiment: requantize p per q head and run PV as int8 x int8 MXU
-# matmul against the raw int8 V block (skips the V dequant cast + head-repeat
-# passes). Default off until measured on hardware. Read per process.
-_QPV = os.environ.get("PD_QPV", "0") == "1"
+# int8 PV: requantize p per q head (v scales folded in first — exact) and run
+# PV as int8 x int8 MXU matmul against the raw int8 V block (skips the V
+# dequant cast + head-repeat passes). Default ON since the round-4 hardware
+# A/B: marginal int8/bf16 step time 0.807 -> 0.547 at the llama-7B MHA shape
+# (benchmarks/bench_qpv_hw.py), ppl budget still met
+# (tests/test_kv_quant.py::test_quantized_cache_ppl_delta). PD_QPV=0 escapes.
+_QPV = os.environ.get("PD_QPV", "1") == "1"
 
 
 def _decode_kernel(
