@@ -83,6 +83,10 @@ VARIANTS = {
     "flat_d4": dict(cp=("flat", "d4")),
     "flat_d3_bk512": dict(cp=("flat", "d3"), block_k=512),
     # round-4 Mosaic compiler knobs (see flash_prefill._cparams)
+    # 2048 blocks OOM scoped-vmem under allow_input_fusion: nobounds-only
+    "b2048_nb": dict(block_q=2048, block_k=2048, cp=("nobounds",)),
+    "bq2048_nb": dict(block_q=2048, cp=("nobounds",)),
+    "bk2048_nb": dict(block_k=2048, cp=("nobounds",)),
     "nobounds": dict(cp=("nobounds",)),
     "fusein": dict(cp=("fusein",)),
     "cpboth": dict(cp=("nobounds", "fusein")),
@@ -114,6 +118,10 @@ ENV_VARIANTS = {
     "sk_sm": {"PF_SKIP": "softmax"},        # overhead+DMA+both GEMMs
     "sk_qkpv": {"PF_SKIP": "qk,pv"},        # overhead+DMA+softmax VPU
     "sk_smqk": {"PF_SKIP": "qk,softmax,pv"},  # overhead+DMA only
+    # floor decomposition: per-STEP constant vs per-BYTE — bk512 doubles
+    # step count at half the tile area; b2048 quarters steps at 4x area
+    "sk_smqk_bk512": {"PF_SKIP": "qk,softmax,pv"},
+    "sk_smqk_b2048": {"PF_SKIP": "qk,softmax,pv"},
     "sk_all_dense": {"PF_SKIP": "qk,softmax,pv", "PF_DENSE": "1"},
     # chunked-sweep kernel: kv tiles loop inside the grid step
     "ck2k": {"PF_CHUNK": "2048"},
@@ -158,6 +166,8 @@ def main():
                 kw = dict(block_q=512)
             elif name.endswith("bk512"):
                 kw = dict(block_k=512)
+            elif name.endswith("b2048"):
+                kw = dict(block_q=2048, block_k=2048, cp=("nobounds",))
         else:
             kw = dict(VARIANTS[name])  # copy: pop below must not mutate the table
 
@@ -166,7 +176,14 @@ def main():
         def step(q, k, v, kw=kw, causal=causal):
             return flash_attention(q, k, v, causal=causal, **kw)
 
-        dt, t_c = timed(step, q0, k, v)
+        try:
+            dt, t_c = timed(step, q0, k, v)
+        except Exception as e:
+            # one variant failing to compile (e.g. VMEM OOM at big blocks
+            # under allow_input_fusion) must not kill the rest of the sweep
+            print(f"{name:8s} causal 4k: FAILED ({type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:120]})", flush=True)
+            continue
         print(
             f"{name:8s} causal 4k: {flops/dt/1e12:6.1f} TFLOP/s raw  "
             f"({dt*1e3:.2f} ms/step, compile {t_c:.0f}s)",

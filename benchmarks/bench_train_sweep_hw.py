@@ -22,6 +22,8 @@ ARMS = [
     # name, env
     ("base", {}),
     ("nb", {"PB_CP": "nobounds"}),
+    ("fi", {"PB_CP": "fusein"}),
+    ("nb_fi", {"PB_CP": "nobounds,fusein"}),
     ("flat_nb", {"PB_CP": "flat,nobounds"}),
     ("ce2048", {"TB_CE_CHUNK": "2048"}),
     ("ce8192", {"TB_CE_CHUNK": "8192"}),

@@ -528,6 +528,11 @@ def _mha_backward_pallas_jit(
         dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         vmem_limit_bytes=100 * 1024 * 1024,
         **({"disable_bounds_checks": True} if "nobounds" in cp else {}),
+        # 'fusein' mirrors the forward's win: let XLA fuse elementwise
+        # producers (q*sm_scale, the lse/delta lane broadcasts) into the
+        # operand loads instead of separate HBM round trips (both grid
+        # kernels take 6 operands)
+        **({"allow_input_fusion": [True] * 6} if "fusein" in cp else {}),
     )
     b, h, sq, d = q.shape
     sk = k.shape[2]
