@@ -136,12 +136,16 @@ def bench_decode(ctx_max=8192, ctx_points=(2048, 8192), batch=8, h=32,
     return rounds
 
 
-def bench_decode_int8(ctx_max=8192, ctx_points=(2048, 8192), batch=8, h=32,
-                      h_k=32, d=128, page_size=16):
-    """int8-KV decode at the same shape as bench_decode: the marginal
-    (2k->8k) step-time ratio vs bf16 is the BASELINE.json FP8/INT8-KV
-    target (bytes are ~0.53x, so a bandwidth-bound kernel should land
-    near that)."""
+def bench_decode_int8_ab(ctx_max=8192, ctx_points=(2048, 8192), batch=8,
+                         h=32, h_k=32, d=128, page_size=16, rounds=3,
+                         n_iter=50):
+    """int8-KV decode vs bf16 at the same shape, measured BACK-TO-BACK in
+    ONE stage: each round times bf16@2k, bf16@8k, int8@2k, int8@8k
+    consecutively, so the int8/bf16 marginal ratio is computed from a
+    coherent snapshot — relay drift between separate stages cannot leak into
+    the headline (round-4 banked 0.244/1658 GB/s, physically impossible on
+    819 GB/s HBM, from exactly that leak). Returns a list of per-round
+    {"bf16": {ctx: dt}, "int8": {ctx: dt}}."""
     from vllm_flash_attn_tpu.kernels.kv_quant import quantize_pages
     from vllm_flash_attn_tpu.kernels.paged_decode import paged_attention
 
@@ -155,15 +159,28 @@ def bench_decode_int8(ctx_max=8192, ctx_points=(2048, 8192), batch=8, h=32,
         rng.standard_normal((num_pages, page_size, h_k, d)), jnp.float32
     )
     kq, vq = quantize_pages(kp, vp, jnp.int8)
+    kbf = kp.astype(jnp.bfloat16)
+    vbf = vp.astype(jnp.bfloat16)
     del kp, vp
     bt = jnp.asarray(
         rng.permutation(num_pages).reshape(batch, pages_per_seq).astype(np.int32)
     )
     q0 = jnp.asarray(rng.standard_normal((batch, h, d)), jnp.bfloat16)
-    n_iter = 50
 
     @jax.jit
-    def many(q, kd, ks, vd, lens, bt):
+    def many_bf(q, kp, vp, lens, bt):
+        def body(y, _):
+            out = paged_attention(
+                y, kp, vp, lens, bt,
+                pages_per_compute_block=512 // page_size,
+            )
+            return out.astype(y.dtype), None
+
+        y, _ = jax.lax.scan(body, q, None, length=n_iter)
+        return jnp.sum(y.astype(jnp.float32))
+
+    @jax.jit
+    def many_q8(q, kd, ks, vd, lens, bt):
         from vllm_flash_attn_tpu.kernels.kv_quant import QuantizedPages
 
         kq = QuantizedPages(kd, ks, 0, h_k, d)
@@ -179,23 +196,26 @@ def bench_decode_int8(ctx_max=8192, ctx_points=(2048, 8192), batch=8, h=32,
         y, _ = jax.lax.scan(body, q, None, length=n_iter)
         return jnp.sum(y.astype(jnp.float32))
 
-    args = (q0, kq.data, kq.scales, vq.data)
     lens_by_ctx = {
         ctx: jnp.full((batch,), ctx, jnp.int32) for ctx in ctx_points
     }
-    for ctx in ctx_points:
-        float(many(*args, lens_by_ctx[ctx], bt))
-    best = None
-    for _ in range(3):
-        pt = {}
+    bf_args = (q0, kbf, vbf)
+    q8_args = (q0, kq.data, kq.scales, vq.data)
+    for ctx in ctx_points:  # compile + warm both variants at both points
+        float(many_bf(*bf_args, lens_by_ctx[ctx], bt))
+        float(many_q8(*q8_args, lens_by_ctx[ctx], bt))
+    out = []
+    for _ in range(rounds):
+        r = {"bf16": {}, "int8": {}}
         for ctx in ctx_points:
             t0 = time.time()
-            float(many(*args, lens_by_ctx[ctx], bt))
-            pt[ctx] = (time.time() - t0) / n_iter
-        rate = 1.0 / (pt[ctx_points[1]] - pt[ctx_points[0]])
-        if best is None or rate > best[0]:
-            best = (rate, pt)
-    return best[1]
+            float(many_bf(*bf_args, lens_by_ctx[ctx], bt))
+            r["bf16"][ctx] = (time.time() - t0) / n_iter
+            t0 = time.time()
+            float(many_q8(*q8_args, lens_by_ctx[ctx], bt))
+            r["int8"][ctx] = (time.time() - t0) / n_iter
+        out.append(r)
+    return out
 
 
 # prefill auto-tune candidates: structure/compiler knobs measured per run
@@ -366,7 +386,7 @@ def main():
     # progressively-filled result fields (preserved after each stage)
     int8_ratio, int8_gbps = -1.0, -1.0
     tf_raw, pf_name = -1.0, "none"
-    tf_raw_b1, pf_batch = -1.0, 1
+    tf_raw_b4 = -1.0
     pre_tflops, pre_fixed_us = -1.0, -1.0
     train_tok, train_mfu = -1.0, -1.0
     train27_tok, train27_mfu = -1.0, -1.0
@@ -386,10 +406,12 @@ def main():
                     "decode_fixed_us_per_call": round(dec_fixed_us, 1),
                     "decode_int8_marginal_vs_bf16": round(int8_ratio, 3),
                     "decode_int8_gbps_sustained": round(int8_gbps, 1),
+                    # raw = b=1 (stable key since r01); the b=4 amortized
+                    # point gets its OWN key (ADVICE r04: do not redefine
+                    # an existing field's meaning)
                     "prefill_attn_tflops_sustained": round(pre_tflops, 2),
                     "prefill_attn_tflops_raw": round(tf_raw, 2),
-                    "prefill_attn_tflops_raw_b1": round(tf_raw_b1, 2),
-                    "prefill_raw_batch": pf_batch,
+                    "prefill_attn_tflops_raw_b4": round(tf_raw_b4, 2),
                     "prefill_config": pf_name,
                     "prefill_fixed_us_per_call": round(pre_fixed_us, 1),
                     "prefill_mxu_util_sustained": round(pre_tflops / peak, 4),
@@ -403,8 +425,10 @@ def main():
                         "rig; profiler-confirmed as a constant per-invocation "
                         "DISPATCH gap — kernel device-busy at b=1 causal 4k "
                         "is 106-108 TF while wall reads ~51) from the "
-                        "sustained rate; prefill raw headline is b=4 (gap "
-                        "amortized over real work), b=1 point kept alongside"
+                        "sustained rate; prefill raw = b=1 wall-clock, the "
+                        "b=4 gap-amortized point is reported under _raw_b4; "
+                        "int8 ratio is bf16-vs-int8 marginals interleaved "
+                        "back-to-back in one stage with a physical SoL clamp"
                     ),
                     "device": kind,
                 },
@@ -425,29 +449,28 @@ def main():
         deadline=max(t_start + 800, time.time() + 420),
     )
     pre_tflops = tf_raw  # refined by the two-point fit below if budget allows
-    tf_raw_b1 = tf_raw
     print(f"[bench] prefill 4k done at t={time.time()-t_start:.0f}s "
           f"(winner: {pf_name})", file=sys.stderr, flush=True)
     fl_4k = 4 * 1 * 4096 * 4096 * 32 * 128 / 2
     fl_2k = 4 * 1 * 2048 * 2048 * 32 * 128 / 2
     _preserve(payload())
 
-    # ---- prefill raw headline at a production-shaped batch (b=4): the
+    # ---- prefill amortized point at a production-shaped batch (b=4): the
     # per-pallas-call DISPATCH gap on this rig is a measured CONSTANT
     # (~1.4ms/invocation; jax.profiler shows kernel device-busy time of
     # 106-108 TF at b=1 vs ~51 TF wall — benchmarks/profile_prefill_hw.py),
     # so b=1 raw mostly times the relay dispatcher, not the kernel. b=4
     # amortizes the constant over 4x the work while remaining honest
-    # wall-clock of real calls; the b=1 point is kept alongside.
-    try:
-        tf4, _, _ = bench_prefill(s=4096, b=4, configs=(pf_name,))
-        if tf4 > tf_raw:
-            tf_raw, pf_batch = tf4, 4
-        print(f"[bench] prefill b4 raw {tf4:.1f} TF at "
-              f"t={time.time()-t_start:.0f}s", file=sys.stderr, flush=True)
-    except Exception as e:
-        print(f"[bench] prefill b4 failed: {e!r}", file=sys.stderr)
-    _preserve(payload())
+    # wall-clock of real calls; reported under its own key. Time-gated: a
+    # fresh b=4 compile on a degraded relay must not starve the train stage.
+    if time.time() - t_start < 1500:
+        try:
+            tf_raw_b4, _, _ = bench_prefill(s=4096, b=4, configs=(pf_name,))
+            print(f"[bench] prefill b4 raw {tf_raw_b4:.1f} TF at "
+                  f"t={time.time()-t_start:.0f}s", file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"[bench] prefill b4 failed: {e!r}", file=sys.stderr)
+        _preserve(payload())
 
     # ---- train step MFU next: it is a judged headline (>=65% target), so it
     # outranks the int8/2.7B/fit extras on a slow-relay day
@@ -460,21 +483,40 @@ def main():
             print(f"[bench] train bench failed: {e!r}", file=sys.stderr)
         _preserve(payload())
 
-    # ---- int8 decode: marginal ratio vs bf16 (BASELINE FP8/INT8-KV target)
+    # ---- int8 decode: marginal ratio vs bf16, both measured back-to-back in
+    # ONE stage (BASELINE FP8/INT8-KV target). Physical sanity clamp: a round
+    # whose implied bandwidth exceeds HBM SoL was hit by a relay stall on one
+    # of its four points and is discarded.
     if time.time() - t_start < 3000:
         try:
-            pt8 = bench_decode_int8(ctx_max=8192, ctx_points=(2048, 8192),
-                                    batch=8, h=32, h_k=32, d=128, page_size=16)
-            d8_2k, d8_8k = pt8[2048], pt8[8192]
-            int8_ratio = (d8_8k - d8_2k) / (dt_8k - dt_2k)
+            ab = bench_decode_int8_ab(ctx_max=8192, ctx_points=(2048, 8192),
+                                      batch=8, h=32, h_k=32, d=128,
+                                      page_size=16)
             # actual bytes: int8 k+v payload + one shared 128-lane fp32
             # scale tile per token
-            b8_2k = 8 * 2048 * (2 * 32 * 128 * 1 + 128 * 4)
-            b8_8k = 8 * 8192 * (2 * 32 * 128 * 1 + 128 * 4)
-            int8_gbps = (b8_8k - b8_2k) / (d8_8k - d8_2k) / 1e9
-            print(f"[bench] int8 decode done at t={time.time()-t_start:.0f}s "
-                  f"(marginal int8/bf16 {int8_ratio:.2f}, {int8_gbps:.0f} GB/s)",
-                  file=sys.stderr, flush=True)
+            b8_marg = 8 * (8192 - 2048) * (2 * 32 * 128 * 1 + 128 * 4)
+            bf_marg = bytes_8k - bytes_2k
+            best8 = None
+            for r in ab:
+                mb = r["bf16"][8192] - r["bf16"][2048]
+                m8 = r["int8"][8192] - r["int8"][2048]
+                if mb <= 0 or m8 <= 0:
+                    continue
+                gbps8 = b8_marg / m8 / 1e9
+                gbpsb = bf_marg / mb / 1e9
+                if gbps8 > hbm * 1.05 or gbpsb > hbm * 1.05:
+                    continue  # unphysical -> stalled sample, discard
+                # fastest bf16 marginal = least-stalled round
+                if best8 is None or mb < best8[0]:
+                    best8 = (mb, m8 / mb, gbps8)
+            if best8 is not None:
+                int8_ratio, int8_gbps = best8[1], best8[2]
+                print(f"[bench] int8 decode done at t={time.time()-t_start:.0f}s"
+                      f" (marginal int8/bf16 {int8_ratio:.2f},"
+                      f" {int8_gbps:.0f} GB/s)", file=sys.stderr, flush=True)
+            else:
+                print("[bench] int8 decode: all rounds failed the physical "
+                      "sanity clamp (relay stalls)", file=sys.stderr)
         except Exception as e:
             print(f"[bench] int8 decode failed: {e!r}", file=sys.stderr)
         _preserve(payload())
@@ -503,7 +545,7 @@ def main():
             pre_fixed_us = (dt_4k - fl_4k / pre_rate) * 1e6
             pre_tflops = pre_rate / 1e12
         except Exception:
-            pre_tflops, pre_fixed_us = tf_raw, -1.0
+            pre_tflops, pre_fixed_us = tf_raw, -1.0  # tf_raw is the b=1 raw
 
     print(
         f"[bench] device={kind} decode: {dec_gbps:.0f} GB/s sustained "
