@@ -224,6 +224,7 @@ def bench_decode_int8_ab(ctx_max=8192, ctx_points=(2048, 8192), batch=8,
 # headline automatically the moment they win on the real device.
 PREFILL_CONFIGS = {
     "cpboth": dict(cp=("nobounds", "fusein")),  # round-4 winner (+26%)
+    "u4cp": dict(unroll=4, cp=("nobounds", "fusein")),  # r5 b=4 sweep edge
     "base": dict(cp=()),                        # no-knob regression anchor
     "nobounds": dict(cp=("nobounds",)),
     "flat_nb": dict(cp=("flat", "nobounds")),
@@ -441,7 +442,7 @@ def main():
     # structures (extra configs bounded by the stage deadline)
     pf_configs = tuple(
         c for c in os.environ.get(
-            "VFA_BENCH_PREFILL_CONFIGS", "cpboth,base,flat_nb"
+            "VFA_BENCH_PREFILL_CONFIGS", "cpboth,u4cp,base"
         ).split(",") if c in PREFILL_CONFIGS
     ) or ("base",)
     tf_raw, dt_4k, pf_name = bench_prefill(

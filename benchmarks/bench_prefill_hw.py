@@ -90,6 +90,22 @@ VARIANTS = {
     "nobounds": dict(cp=("nobounds",)),
     "fusein": dict(cp=("fusein",)),
     "cpboth": dict(cp=("nobounds", "fusein")),
+    # round-5: structure x the winning compiler knobs, for the b=4 A/Bs
+    # (every earlier structure A/B ran b=1 where the ~1.4ms dispatch gap
+    # polluted ~50% of wall — VERDICT r04 #1)
+    "tp_cpboth": dict(two_pass=True, cp=("nobounds", "fusein")),
+    "unroll2_cpboth": dict(unroll=2, cp=("nobounds", "fusein")),
+    "unroll4_cpboth": dict(unroll=4, cp=("nobounds", "fusein")),
+    "tp_unroll2_cpboth": dict(two_pass=True, unroll=2,
+                              cp=("nobounds", "fusein")),
+    "tp_unroll4_cpboth": dict(two_pass=True, unroll=4,
+                              cp=("nobounds", "fusein")),
+    "bk2048_cpboth": dict(block_k=2048, cp=("nobounds", "fusein")),
+    "bq512_cpboth": dict(block_q=512, cp=("nobounds", "fusein")),
+    "bk512_cpboth": dict(block_k=512, cp=("nobounds", "fusein")),
+    "bq2048_cpboth": dict(block_q=2048, cp=("nobounds", "fusein")),
+    "unroll8_bk512_cpboth": dict(unroll=8, block_k=512,
+                                 cp=("nobounds", "fusein")),
     "tp_unroll4_nb": dict(two_pass=True, unroll=4, cp=("nobounds",)),
     "unroll4_nb": dict(unroll=4, cp=("nobounds",)),
     "rowsum": dict(fuse_rowsum=True),
@@ -119,7 +135,9 @@ ENV_VARIANTS = {
     "sk_qkpv": {"PF_SKIP": "qk,pv"},        # overhead+DMA+softmax VPU
     "sk_smqk": {"PF_SKIP": "qk,softmax,pv"},  # overhead+DMA only
     # floor decomposition: per-STEP constant vs per-BYTE — bk512 doubles
-    # step count at half the tile area; b2048 quarters steps at 4x area
+    # step count at half the tile area; b2048 quarters steps at 4x area.
+    # All three arms run cp=("nobounds",) (set below) so only block geometry
+    # varies — a compiler knob on one arm would confound the decomposition.
     "sk_smqk_bk512": {"PF_SKIP": "qk,softmax,pv"},
     "sk_smqk_b2048": {"PF_SKIP": "qk,softmax,pv"},
     "sk_all_dense": {"PF_SKIP": "qk,softmax,pv", "PF_DENSE": "1"},
@@ -136,6 +154,13 @@ ENV_VARIANTS = {
     "pr": {"PF_PBF16": "1", "PF_ROWSUM": "1"},
     "nodiag": {"PF_NODIAG": "1"},  # disable the diagonal-bias fast path
     "prd": {"PF_PBF16": "1", "PF_ROWSUM": "1", "PF_DENSE": "1"},
+    # env knob x winning compiler params (names ending "cp" get
+    # cp=("nobounds","fusein") below) — the round-5 b=4 sweep
+    "pbf16cp": {"PF_PBF16": "1"},
+    "prcp": {"PF_PBF16": "1", "PF_ROWSUM": "1"},
+    "il2cp": {"PF_INTERLEAVE": "2"},
+    "il4cp": {"PF_INTERLEAVE": "4"},
+    "densecp": {"PF_DENSE": "1"},
 }
 _ENV_KEYS = (
     "PF_INTERLEAVE", "PF_PBF16", "PF_DENSE", "PF_ROWSUM", "PF_SKIP",
@@ -147,7 +172,12 @@ def main():
     from vllm_flash_attn_tpu.kernels.flash_prefill import flash_attention
 
     names = sys.argv[1:] or ["base", "rowsum"]
-    b, h, s, d = 1, 32, 4096, 128
+    # VFA_PF_B/VFA_PF_S: run the sweep at another (batch, seqlen) — the
+    # round-5 headline shape is b=4 (dispatch gap amortized; every earlier
+    # b=1 A/B had the ~1.4ms constant polluting ~50% of the wall clock)
+    b = int(os.environ.get("VFA_PF_B", "1"))
+    s = int(os.environ.get("VFA_PF_S", "4096"))
+    h, d = 32, 128
     rng = np.random.default_rng(1)
     q0 = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
     k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
@@ -167,7 +197,11 @@ def main():
             elif name.endswith("bk512"):
                 kw = dict(block_k=512)
             elif name.endswith("b2048"):
-                kw = dict(block_q=2048, block_k=2048, cp=("nobounds",))
+                kw = dict(block_q=2048, block_k=2048)
+            if name.startswith("sk_smqk"):
+                kw["cp"] = ("nobounds",)  # same cp across all three arms
+            if name.endswith("cp") and not name.startswith("sk_"):
+                kw["cp"] = ("nobounds", "fusein")
         else:
             kw = dict(VARIANTS[name])  # copy: pop below must not mutate the table
 

@@ -36,6 +36,11 @@ def main():
     kw = {}
     if variant == "sk_smqk":
         os.environ["PF_SKIP"] = "qk,softmax,pv"
+    elif variant == "cpboth":
+        kw = dict(cp=("nobounds", "fusein"))
+    elif variant != "base":
+        # silently profiling 'base' under a typo'd name poisons A/B notes
+        raise SystemExit(f"unknown variant {variant!r} (base|sk_smqk|cpboth)")
 
     b, h, s, d = 1, 32, 4096, 128
     if len(sys.argv) > 2:

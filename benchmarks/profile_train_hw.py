@@ -66,7 +66,9 @@ def main():
     NIT = 4
 
     @jax.jit
-    def many(p, os_, it):
+    def many(p, os_, it, ids, labels):
+        # ids/labels are jit ARGUMENTS (not closures): embedded HLO constants
+        # risk the relay's HTTP 413 size limit (CLAUDE.md remote-compile rule)
         def body(c, _):
             p, os_, it = c
             loss, g = jax.value_and_grad(model.loss)(p, ids, labels)
@@ -80,14 +82,14 @@ def main():
 
     it0 = jnp.zeros((), jnp.int32)
     t0 = time.time()
-    float(many(params, opt_state, it0))  # compile + warm
+    float(many(params, opt_state, it0, ids, labels))  # compile + warm
     print(f"compile+warm {time.time()-t0:.0f}s", flush=True)
 
     tdir = "/tmp/train_profile"
     os.system(f"rm -rf {tdir}")
     with jax.profiler.trace(tdir):
         t0 = time.time()
-        float(many(params, opt_state, it0))
+        float(many(params, opt_state, it0, ids, labels))
         wall = time.time() - t0
     print(f"traced wall {wall*1e3:.1f} ms for {NIT} steps", flush=True)
 

@@ -59,7 +59,14 @@ def run_decode_case(
     k_pages, v_pages, bt = make_paged_cache(rng, b, lengths, h_k, d, page_size, dtype)
     q = jnp.asarray(rng.standard_normal((b, h, d)), dtype)
     lens = jnp.asarray(lengths, jnp.int32)
-    slopes = jnp.asarray(rng.random((h,)) * 0.3, jnp.float32) if alibi else None
+    # alibi=True -> shared (h,) slopes; alibi="bh" -> per-batch (b, h)
+    # slopes (both validated by the reference, flash_api.cpp:221-237)
+    if alibi == "bh":
+        slopes = jnp.asarray(rng.random((b, h)) * 0.3, jnp.float32)
+    elif alibi:
+        slopes = jnp.asarray(rng.random((h,)) * 0.3, jnp.float32)
+    else:
+        slopes = None
 
     out = paged_attention(
         q, k_pages, v_pages, lens, bt, slopes, window=window,
@@ -75,7 +82,10 @@ def run_decode_case(
         q_i = q[i][None, None]  # (1, 1, h, d)
         k_i = jnp.asarray(ks[i])[None]
         v_i = jnp.asarray(vs[i])[None]
-        sl = None if slopes is None else slopes[None]
+        sl = (
+            None if slopes is None
+            else (slopes[i][None] if slopes.ndim == 2 else slopes[None])
+        )
         out_ref, _ = attention_ref(
             q_i, k_i, v_i, window_size=window, alibi_slopes=sl, causal=True,
             upcast=True,
@@ -114,6 +124,60 @@ def test_window():
 
 def test_alibi():
     run_decode_case([90, 130], alibi=True, mult=5.0)
+
+
+def test_alibi_per_batch():
+    # (batch, nheads) slopes on the decode kernel, incl. the GQA lane
+    # permutation and MQA padded-lane paths (flash_api.cpp:221-237)
+    run_decode_case([90, 130], alibi="bh", mult=5.0)
+    run_decode_case([64, 33, 7], h=8, h_k=1, alibi="bh", mult=5.0)
+
+
+def test_alibi_per_batch_splitkv():
+    """(batch, nheads) slopes through the split-KV path: every split must
+    read ITS batch row's slopes with global positions (VERDICT r04 gap #1:
+    the reference validates both shapes, flash_api.cpp:221-237)."""
+    from vllm_flash_attn_tpu.kernels.paged_decode import paged_attention_splitkv
+
+    rng = np.random.default_rng(21)
+    lengths = [700, 260, 64]
+    k_pages, v_pages, bt = make_paged_cache(
+        rng, 3, lengths, 2, 128, 16, jnp.float32
+    )
+    q = jnp.asarray(rng.standard_normal((3, 4, 128)), jnp.float32)
+    lens = jnp.asarray(lengths, jnp.int32)
+    slopes = jnp.asarray(rng.uniform(0.01, 0.3, (3, 4)), jnp.float32)
+
+    base, lse_base = paged_attention(
+        q, k_pages, v_pages, lens, bt, slopes,
+        pages_per_compute_block=4, return_lse=True,
+    )
+    # oracle: per-sequence dense attention with that row's slopes
+    ks = dense_view(k_pages, bt, lengths)
+    vs = dense_view(v_pages, bt, lengths)
+    for i, L in enumerate(lengths):
+        out_ref, _ = attention_ref(
+            q[i][None, None], jnp.asarray(ks[i])[None],
+            jnp.asarray(vs[i])[None], alibi_slopes=slopes[i][None],
+            causal=True, upcast=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(base[i]), np.asarray(out_ref[0, 0]), atol=2e-3,
+            rtol=2e-3,
+        )
+    for ns in (2, 4):
+        out, lse = paged_attention_splitkv(
+            q, k_pages, v_pages, lens, bt, slopes, num_splits=ns,
+            pages_per_compute_block=4, return_lse=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(base), atol=2e-5, rtol=2e-5
+        )
+        fin = np.isfinite(np.asarray(lse_base))
+        np.testing.assert_allclose(
+            np.asarray(lse)[fin], np.asarray(lse_base)[fin], atol=1e-5,
+            rtol=1e-5,
+        )
 
 
 def test_bf16():

@@ -84,7 +84,9 @@ def _decode_kernel(
     v_pages_ref,
     k_scales_ref,  # (num_pages, page_size, h_k) ANY/HBM or None
     v_scales_ref,
-    alibi_ref,  # SMEM (1, hq) or (1, 1)
+    alibi_ref,  # SMEM (1, hq) / (1, 1), or VMEM (1, 1, hq) per-b block when
+    #             the caller passes per-batch (batch, nheads) slopes
+    #             (flash_api.cpp:221-237 validates both shapes)
     q_scale_ref,  # (1, hq) fp32 VMEM — per-head q dequant scales (qint8)
     k_new_ref,  # (batch, h_k, d) VMEM — this step's new tokens, or (1,1,1)
     v_new_ref,
@@ -303,7 +305,10 @@ def _decode_kernel(
             mask &= col_g <= qpos + wr
 
         if has_alibi:
-            slopes = alibi_ref[...]  # (1, hq)
+            if len(alibi_ref.shape) == 3:
+                slopes = alibi_ref[0]  # per-batch slopes: this row's block
+            else:
+                slopes = alibi_ref[...]  # (1, hq) shared across the batch
             dist = jnp.abs(qpos - col_g).astype(jnp.float32)
             s = s - slopes * dist
 
@@ -548,13 +553,22 @@ def paged_attention(
         )
         q = jnp.take(qz, jnp.asarray(_np.where(perm < 0, h_q_orig, perm)), axis=1)
         if alibi_slopes is not None:
-            az = jnp.concatenate(
-                [jnp.asarray(alibi_slopes, jnp.float32).reshape(h_q_orig),
-                 jnp.zeros((1,), jnp.float32)]
-            )
-            alibi_slopes = jnp.take(
-                az, jnp.asarray(_np.where(perm < 0, h_q_orig, perm))
-            )
+            a = jnp.asarray(alibi_slopes, jnp.float32)
+            if a.ndim == 2:  # per-batch (batch, nheads) slopes
+                az = jnp.concatenate(
+                    [a, jnp.zeros((batch, 1), jnp.float32)], axis=1
+                )
+                alibi_slopes = jnp.take(
+                    az, jnp.asarray(_np.where(perm < 0, h_q_orig, perm)),
+                    axis=1,
+                )
+            else:
+                az = jnp.concatenate(
+                    [a.reshape(h_q_orig), jnp.zeros((1,), jnp.float32)]
+                )
+                alibi_slopes = jnp.take(
+                    az, jnp.asarray(_np.where(perm < 0, h_q_orig, perm))
+                )
 
     # arbitrary head dims. Fast path: the pool was allocated lane-padded
     # (kv_quant.lane_pad / PagedState.allocate) — only q needs padding, no
@@ -644,9 +658,15 @@ def paged_attention(
     has_alibi = alibi_slopes is not None
     if has_alibi:
         # already lane-permuted alongside q; kernel scores are log2-domain
-        alibi_slopes = (
-            jnp.asarray(alibi_slopes, jnp.float32).reshape(1, h_q) * LOG2E
-        )
+        a = jnp.asarray(alibi_slopes, jnp.float32)
+        if a.ndim == 2:
+            # per-batch (batch, nheads) slopes (flash_api.cpp:221-237): ride
+            # a per-b VMEM block like q_scales — SMEM holds scalars only, and
+            # the kernel consumes the slopes as a (1, hq) vector
+            assert a.shape[0] == batch, (a.shape, batch)
+            alibi_slopes = a.reshape(batch, 1, h_q) * LOG2E
+        else:
+            alibi_slopes = a.reshape(1, h_q) * LOG2E
     else:
         alibi_slopes = jnp.zeros((1, 1), jnp.float32)
 
@@ -708,7 +728,15 @@ def paged_attention(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),  # k_scales
             pl.BlockSpec(memory_space=pl.ANY),  # v_scales
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            (  # alibi: per-b (1, 1, hq) VMEM block for (batch, nheads)
+               # slopes; shared SMEM row for the classic (nheads,) shape
+                pl.BlockSpec(
+                    (1, 1, h_q),
+                    lambda c, b, i, *refs, nc=ncores: (b * nc + c, 0, 0),
+                )
+                if alibi_slopes.ndim == 3
+                else pl.BlockSpec(memory_space=pltpu.SMEM)
+            ),
             (  # q_scales: per-b (1, 1, hq) block when qint8; ones otherwise
                 pl.BlockSpec(
                     (1, 1, h_q),
@@ -931,15 +959,12 @@ def paged_attention_splitkv(
     alibi_v = None
     if alibi_slopes is not None:
         a = jnp.asarray(alibi_slopes, jnp.float32)
-        # paged_attention takes (h_q,) slopes only; per-batch (b, h) slopes
-        # would need a per-row slope operand in the kernel (unsupported —
-        # the reference validates both but vLLM only ever passes (h,),
-        # flash_api.cpp:221-237)
-        assert a.ndim == 1, (
-            "per-batch (batch, nheads) alibi_slopes are not supported; "
-            "pass (nheads,) slopes"
-        )
-        alibi_v = a
+        if a.ndim == 2:
+            # per-batch (batch, nheads) slopes (flash_api.cpp:221-237):
+            # virtual row r = sp*batch + bb reads row bb's slopes
+            alibi_v = jnp.tile(a, (S, 1))
+        else:
+            alibi_v = a
 
     out_v, lse_v = paged_attention(
         q_v, k_pages, v_pages, lens_v, tables_v, alibi_v,

@@ -223,7 +223,10 @@ def _kernel(
         if wl >= 0:
             mask &= col >= row + offset - wl
         if has_alibi:
-            slope = alibi_ref[0, h_]  # pre-scaled by log2(e) host-side
+            # (1, h) shared slopes or (batch, h) per-batch slopes — both are
+            # scalar SMEM reads (flash_api.cpp:221-237 validates both shapes)
+            ab = 0 if alibi_ref.shape[0] == 1 else b
+            slope = alibi_ref[ab, h_]  # pre-scaled by log2(e) host-side
             s = s - slope * jnp.abs(row + offset - col).astype(jnp.float32)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
@@ -428,9 +431,9 @@ def flash_attention_varlen_paged(
 
     has_alibi = alibi_slopes is not None
     if has_alibi:
-        alibi_slopes = (
-            jnp.asarray(alibi_slopes, jnp.float32).reshape(1, h) * LOG2E
-        )  # kernel scores are log2-domain
+        a = jnp.asarray(alibi_slopes, jnp.float32)
+        # (h,) shared or (batch, h) per-batch; kernel scores are log2-domain
+        alibi_slopes = (a if a.ndim == 2 else a.reshape(1, h)) * LOG2E
     else:
         alibi_slopes = jnp.zeros((1, 1), jnp.float32)
 
