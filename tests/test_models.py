@@ -130,3 +130,40 @@ def test_num_last_tokens():
     np.testing.assert_allclose(
         np.asarray(full[:, -1:]), np.asarray(last), atol=1e-5
     )
+
+
+def test_embedding_grad_paths_match():
+    """The one-hot-matmul embedding gradient (used where XLA's TPU scatter
+    degenerates — modules/embedding.py measurement table) must be exact
+    against the scatter autodiff, including tied-weight accumulation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vllm_flash_attn_tpu.config import get_config
+    from vllm_flash_attn_tpu.modules.embedding import (
+        _use_matmul_grad,
+        embedding_lookup,
+    )
+
+    rng = np.random.default_rng(7)
+    tab = jnp.asarray(rng.standard_normal((96, 24)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 96, (3, 11)), jnp.int32)
+    g = jnp.asarray(rng.standard_normal((3, 11, 24)), jnp.float32)
+    ref = jax.grad(lambda t: (jnp.take(t, ids, axis=0) * g).sum())(tab)
+    cfg = get_config()
+    old = cfg.embed_grad
+    try:
+        for mode in ("matmul", "scatter", "auto"):
+            cfg.embed_grad = mode
+            d = jax.grad(lambda t: (embedding_lookup(t, ids) * g).sum())(tab)
+            np.testing.assert_allclose(np.asarray(d), np.asarray(ref),
+                                       atol=1e-6, rtol=1e-6)
+    finally:
+        cfg.embed_grad = old
+    # auto heuristic: the measured degenerate widths route to matmul
+    assert _use_matmul_grad(32000, 2560)
+    assert _use_matmul_grad(32000, 5120)
+    assert _use_matmul_grad(32000, 6144)
+    assert not _use_matmul_grad(32000, 2048)
+    assert not _use_matmul_grad(32000, 4096)

@@ -23,6 +23,10 @@ class Config:
     block_k: int = 1024
     # Decode kernel: kv tokens gathered per compute block.
     decode_block_k: int = 512
+    # Embedding-gradient path: "auto" (one-hot MXU matmul at widths where
+    # XLA's TPU scatter degenerates — see modules/embedding.py measurement
+    # table), "matmul", or "scatter".
+    embed_grad: str = "auto"
 
 
 _config = Config()

@@ -128,7 +128,9 @@ class BertModel:
         c = self.config
         b, s = input_ids.shape
         emb = params["embeddings"]
-        x = jnp.take(emb["word_embeddings"], input_ids, axis=0)
+        from vllm_flash_attn_tpu.modules.embedding import embedding_lookup
+
+        x = embedding_lookup(emb["word_embeddings"], input_ids)
         x = x + emb["position_embeddings"][None, :s]
         tt = token_type_ids if token_type_ids is not None else jnp.zeros_like(input_ids)
         x = x + jnp.take(emb["token_type_embeddings"], tt, axis=0)
