@@ -274,6 +274,51 @@ def bench_prefill(s=4096, b=1, h=32, d=128, configs=("base",),
     return best
 
 
+def bench_varlen_prefill(h=32, d=128, configs=("fold", "dense"),
+                         deadline=None):
+    """Packed ragged-batch causal prefill (the continuous-batching prefill
+    path, mha_varlen_fwd flash_api.cpp:422-668): realistic mixed lengths,
+    auto-tuned over the splash-folded vs dense grid. Returns
+    (tflops_raw, dt, config)."""
+    from vllm_flash_attn_tpu.kernels.flash_varlen import flash_attention_varlen
+
+    seqlens = [3072, 2048, 1024, 768, 512, 384, 256, 128]  # total 8192
+    total = sum(seqlens)
+    rng = np.random.default_rng(2)
+    q0 = jnp.asarray(rng.standard_normal((h, total, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((h, total, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((h, total, d)), jnp.bfloat16)
+    cu = jnp.asarray(np.concatenate([[0], np.cumsum(seqlens)]), jnp.int32)
+    flops = 4 * h * d * sum(s * s / 2 for s in seqlens)
+    cand = {
+        "fold": dict(fold=True),
+        "fold_nb": dict(fold=True, cp=("nobounds",)),
+        "dense": dict(fold=False),
+    }
+    best = None
+    for i, name in enumerate(configs):
+        if i > 0 and deadline is not None and time.time() > deadline:
+            break
+        kw = cand[name]
+
+        def step(q, k, v, cu=cu, kw=kw):
+            return flash_attention_varlen(q, k, v, cu, cu, causal=True, **kw)
+
+        try:
+            dt = timed(step, q0, k, v, n_iter=20)
+        except Exception as e:
+            print(f"[bench] varlen config {name} failed: {e!r}",
+                  file=sys.stderr, flush=True)
+            continue
+        print(f"[bench] varlen {name}: {flops/dt/1e12:.1f} TF raw",
+              file=sys.stderr, flush=True)
+        if best is None or dt < best[1]:
+            best = (flops / dt / 1e12, dt, name)
+    if best is None:
+        raise RuntimeError("bench_varlen_prefill: all configs failed")
+    return best
+
+
 def bench_train(n_layer=4, n_embd=2048, n_head=16, seq=2048, batch=8,
                 peak_tflops=197.0):
     """Single-chip train-step MFU (the training/README.md:6-8 claim as a
@@ -391,6 +436,8 @@ def main():
     pre_tflops, pre_fixed_us = -1.0, -1.0
     train_tok, train_mfu = -1.0, -1.0
     train27_tok, train27_mfu = -1.0, -1.0
+    vl_tf, vl_name = -1.0, "none"
+    eng_tok, eng_tok_sus = -1.0, -1.0
 
     def payload():
         return json.dumps(
@@ -420,6 +467,10 @@ def main():
                     "train_mfu": round(train_mfu, 4),
                     "train_mfu_2p7b_shape": round(train27_mfu, 4),
                     "train_tokens_per_sec_2p7b_shape": round(train27_tok, 1),
+                    "varlen_prefill_tflops": round(vl_tf, 2),
+                    "varlen_prefill_config": vl_name,
+                    "engine_tokens_per_sec": round(eng_tok, 1),
+                    "engine_tokens_per_sec_sustained": round(eng_tok_sus, 1),
                     "methodology": (
                         "two-size fit separates the per-pallas_call fixed "
                         "cost (145-580us measured for an EMPTY kernel on this "
@@ -471,6 +522,19 @@ def main():
                   f"t={time.time()-t_start:.0f}s", file=sys.stderr, flush=True)
         except Exception as e:
             print(f"[bench] prefill b4 failed: {e!r}", file=sys.stderr)
+        _preserve(payload())
+
+    # ---- varlen packed-ragged causal prefill (continuous-batching path,
+    # mha_varlen_fwd flash_api.cpp:422-668)
+    if time.time() - t_start < 2000:
+        try:
+            vl_tf, _, vl_name = bench_varlen_prefill(
+                deadline=time.time() + 300
+            )
+            print(f"[bench] varlen prefill done at t={time.time()-t_start:.0f}s"
+                  f" ({vl_tf:.1f} TF, {vl_name})", file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"[bench] varlen prefill failed: {e!r}", file=sys.stderr)
         _preserve(payload())
 
     # ---- train step MFU next: it is a judged headline (>=65% target), so it
@@ -549,6 +613,28 @@ def main():
             pre_tflops = pre_rate / 1e12
         except Exception:
             pre_tflops, pre_fixed_us = tf_raw, -1.0  # tf_raw is the b=1 raw
+        _preserve(payload())
+
+    # ---- end-to-end serving: FULL llama-7B-shape (32L, 13.5 GB bf16)
+    # engine decode on one chip — sustained (in-jit greedy loop) and raw
+    # (engine.step ticks incl. host sampling + relay dispatch). Last stage:
+    # it allocates most of HBM.
+    if time.time() - t_start < 3300:
+        try:
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(__file__) or ".", "benchmarks")
+            )
+            import bench_engine_hw as _ehw
+
+            cfg_e, model_e, params_e = _ehw.build(32)
+            eng_tok_sus, _ = _ehw.bench_engine_sustained(cfg_e, model_e, params_e)
+            eng_tok, _ = _ehw.bench_engine_raw(model_e, params_e)
+            del cfg_e, model_e, params_e
+            print(f"[bench] engine done at t={time.time()-t_start:.0f}s "
+                  f"(sustained {eng_tok_sus:.0f} tok/s, raw {eng_tok:.0f})",
+                  file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"[bench] engine bench failed: {e!r}", file=sys.stderr)
 
     print(
         f"[bench] device={kind} decode: {dec_gbps:.0f} GB/s sustained "

@@ -348,3 +348,62 @@ def test_runbook_variant_names_valid():
 
     for name, kw in bench.PREFILL_CONFIGS.items():
         assert isinstance(kw, dict), name
+
+
+@pytest.mark.parametrize("paged", [True, False])
+@pytest.mark.parametrize("s_new", [2, 5])
+def test_kvcache_fused_multitoken_append(paged, s_new):
+    """d=128 + sq>1 routes through the varlen-paged kernel's in-kernel
+    multi-token append prologue (flash_fwd_kernel.h:671-785 for
+    seqlen_knew > 1) — ONE device program; cache update must be exact and
+    the output must match the scatter path bit-for-bit semantics."""
+    import os as _os
+
+    rng = np.random.default_rng(90 + s_new)
+    b, h, h_k, d, ps = 2, 4, 2, 128, 16
+    max_len = 256
+    lens = [60, 129]
+    if paged:
+        k_cache, v_cache, bt = _mk_paged_cache(rng, b, max_len, h_k, d, ps)
+    else:
+        k_cache = rand(rng, (b, max_len, h_k, d), jnp.float32)
+        v_cache = rand(rng, (b, max_len, h_k, d), jnp.float32)
+        bt = None
+    q = rand(rng, (b, s_new, h, d), jnp.float32)
+    k_new = rand(rng, (b, s_new, h_k, d), jnp.float32)
+    v_new = rand(rng, (b, s_new, h_k, d), jnp.float32)
+
+    out, (k2, v2) = flash_attn_with_kvcache(
+        q, k_cache, v_cache, k_new, v_new,
+        cache_seqlens=jnp.asarray(lens, jnp.int32),
+        block_table=bt, causal=True,
+    )
+    # scatter-path reference (same inputs, fused path disabled)
+    _os.environ["VFA_FUSED_APPEND"] = "0"
+    try:
+        out_s, (k2s, v2s) = flash_attn_with_kvcache(
+            q, k_cache, v_cache, k_new, v_new,
+            cache_seqlens=jnp.asarray(lens, jnp.int32),
+            block_table=bt, causal=True,
+        )
+    finally:
+        _os.environ.pop("VFA_FUSED_APPEND", None)
+    np.testing.assert_array_equal(np.asarray(k2), np.asarray(k2s))
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(v2s))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_s), atol=2e-5, rtol=2e-5
+    )
+    for i, L in enumerate(lens):
+        if paged:
+            kd = _cache_dense(k2, bt, i, L + s_new, ps)
+            vd = _cache_dense(v2, bt, i, L + s_new, ps)
+        else:
+            kd = np.asarray(k2[i, : L + s_new])
+            vd = np.asarray(v2[i, : L + s_new])
+        np.testing.assert_array_equal(kd[L:], np.asarray(k_new[i]))
+        np.testing.assert_array_equal(vd[L:], np.asarray(v_new[i]))
+        ref, pt = oracle_pair(
+            q[i : i + 1], jnp.asarray(kd)[None], jnp.asarray(vd)[None],
+            causal=True,
+        )
+        check_close(out[i], ref[0], pt[0], mult=3.0, what=f"seq{i}")

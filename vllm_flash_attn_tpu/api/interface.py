@@ -351,12 +351,20 @@ def flash_attn_with_kvcache(
         # VFA_FUSED_APPEND=0 falls back to the XLA scatter
         and _os.environ.get("VFA_FUSED_APPEND", "1") == "1"
     )
-    if appended and not fused_append:
+    # multi-token append + multi-token query (speculative verify / chunked
+    # prefill): the varlen-paged kernel appends in its prologue — ONE device
+    # program instead of scatter + attention (the reference Append_KV
+    # prologue for seqlen_knew > 1, flash_fwd_kernel.h:671-785)
+    fused_append_multi = (
+        appended and not fused_append and sq > 1 and d % 128 == 0
+        and _os.environ.get("VFA_FUSED_APPEND", "1") == "1"
+    )
+    if appended and not fused_append and not fused_append_multi:
         assert v is not None
         k_pages, v_pages = append_kv_paged(k_pages, v_pages, k, v, lens, tables)
         total_lens = lens + k.shape[1]
     elif appended:
-        total_lens = lens + 1
+        total_lens = lens + k.shape[1]
     else:
         total_lens = lens
 
@@ -393,25 +401,35 @@ def flash_attn_with_kvcache(
         # multi-token query (speculative verify / chunked prefill): ragged
         # paged kernel reads exactly the pages it attends to — no dense
         # gather (reference does this in-kernel via the page table,
-        # utils.h:412-428)
+        # utils.h:412-428); with fused_append_multi the same kernel also
+        # writes the new tokens in its prologue
         cu_q = jnp.arange(b + 1, dtype=jnp.int32) * sq
         q_stream = q.reshape(b * sq, h, d).transpose(1, 0, 2)
+        app_kw = dict(k_new=k, v_new=v) if fused_append_multi else {}
         o = flash_attention_varlen_paged(
             q_stream, k_pages, v_pages, cu_q, total_lens, tables, sq,
             alibi_slopes, causal=causal, sm_scale=softmax_scale,
-            window=tuple(window_size), softcap=softcap,
+            window=tuple(window_size), softcap=softcap, **app_kw,
         )
+        if fused_append_multi:
+            o, k_pages, v_pages = o
         out = o.transpose(1, 0, 2).reshape(b, sq, h, d)
     else:
         # multi-token + LSE: the ragged paged kernel emits LSE directly —
         # no dense cache gather
         cu_q = jnp.arange(b + 1, dtype=jnp.int32) * sq
         q_stream = q.reshape(b * sq, h, d).transpose(1, 0, 2)
-        o, lse_flat = flash_attention_varlen_paged(
+        app_kw = dict(k_new=k, v_new=v) if fused_append_multi else {}
+        res = flash_attention_varlen_paged(
             q_stream, k_pages, v_pages, cu_q, total_lens, tables, sq,
             alibi_slopes, causal=causal, sm_scale=softmax_scale,
             window=tuple(window_size), softcap=softcap, return_lse=True,
+            **app_kw,
         )
+        if fused_append_multi:
+            o, lse_flat, k_pages, v_pages = res
+        else:
+            o, lse_flat = res
         lse = lse_flat.reshape(h, b, sq).transpose(1, 0, 2)
         out = o.transpose(1, 0, 2).reshape(b, sq, h, d)
 

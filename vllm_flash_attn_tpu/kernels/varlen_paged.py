@@ -86,9 +86,15 @@ def _kernel(
     has_alibi: bool,
     return_lse: bool = False,
     nkb_s: int = 0,
+    s_new: int = 0,  # fused multi-token append: tokens per row in k_new
     bmap_ref=None,  # folded grid: dim 1 walks only ACTIVE (b, qi, ki) steps
     qmap_ref=None,
     kmap_ref=None,
+    num_new_ref=None,  # (b,) int32 — tokens row bb actually appends
+    k_new_hbm=None,  # (n_pad, h_k*d) VMEM — new tokens, row-padded to 8
+    v_new_hbm=None,
+    append_sem=None,  # DMA (2,)
+    append_buf=None,  # VMEM (page_size, h_k*d) — page RMW staging
 ):
     h_ = pl.program_id(0)
     if bmap_ref is not None:
@@ -97,13 +103,99 @@ def _kernel(
         qi = qmap_ref[t]
         ki = kmap_ref[t]
         nkb = nkb_s
+        grid_first = jnp.logical_and(h_ == 0, pl.program_id(1) == 0)
     else:
         b = pl.program_id(1)
         qi = pl.program_id(2)
         ki = pl.program_id(3)
         nkb = pl.num_programs(3)
+        grid_first = (
+            (h_ == 0) & (b == 0) & (qi == 0) & (ki == 0)
+        )
     bk = page_size * pages_per_block
     hk_idx = h_ // q_per_kv
+
+    if s_new > 0:
+        # In-kernel MULTI-token cache append (the reference Append_KV
+        # prologue, flash_fwd_kernel.h:671-785, for seqlen_knew > 1 — the
+        # speculative-verify case): before ANY page fetch, write each row's
+        # new tokens into its page slots. Row bb's tokens occupy positions
+        # lens_k[bb]-num_new[bb] .. lens_k[bb]-1 (lens_k already includes
+        # the new tokens), spanning at most npp pages.
+        #
+        # Mosaic rejects every single-row DMA shape for this (a 1-row slice
+        # of any tiled dim fails the (sublane,128) alignment check — three
+        # round-5 hardware compile errors), so the append is page-granular
+        # read-modify-write instead: DMA the whole page into VMEM, replace
+        # the target rows via a one-hot row-select matmul from the VMEM
+        # k_new block (exact — exactly one 1.0 per selected row), DMA the
+        # page back. All slices are full-extent leading-dim slices. The
+        # grid is sequential on one core, so step (0,..,0) strictly
+        # precedes every fetch.
+        npp = (s_new + page_size - 2) // page_size + 1
+        n_pad = k_new_hbm.shape[0]
+
+        @pl.when(grid_first)
+        def _append_prologue():
+            num_pages_ = k_pages_ref.shape[0]
+            max_pages_ = tables_ref.shape[1]
+            iota_n = jax.lax.broadcasted_iota(
+                jnp.int32, (page_size, n_pad), 1
+            )
+            for bb in range(batch):
+                @pl.when(num_new_ref[bb] > 0)
+                def _row(bb=bb):
+                    pos0 = lens_k_ref[bb] - num_new_ref[bb]
+                    first_pg = pos0 // page_size
+                    last_pg = (lens_k_ref[bb] - 1) // page_size
+                    for pp in range(npp):
+                        @pl.when(first_pg + pp <= last_pg)
+                        def _page(bb=bb, pp=pp):
+                            idx = jnp.minimum(first_pg + pp, max_pages_ - 1)
+                            pg = jnp.clip(
+                                tables_ref[bb, idx], 0, num_pages_ - 1
+                            )
+                            rows_g = (
+                                (first_pg + pp) * page_size
+                                + jax.lax.broadcasted_iota(
+                                    jnp.int32, (page_size, 1), 0
+                                )
+                            )
+                            tok = rows_g - pos0  # (ps, 1) token index
+                            valid = jnp.logical_and(
+                                tok >= 0, tok < num_new_ref[bb]
+                            )
+                            tgt = jnp.where(valid, bb * s_new + tok, -1)
+                            sel = (iota_n == tgt).astype(k_new_hbm.dtype)
+                            for src_ref, pool_ref in (
+                                (k_new_hbm, k_pages_ref),
+                                (v_new_hbm, v_pages_ref),
+                            ):
+                                cin = pltpu.make_async_copy(
+                                    pool_ref.at[pg], append_buf,
+                                    append_sem.at[0],
+                                )
+                                cin.start()
+                                cin.wait()
+                                new_rows = jax.lax.dot_general(
+                                    sel, src_ref[...],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                )  # (ps, h_k*d) — exact one-hot select
+                                merged = jnp.where(
+                                    valid,
+                                    new_rows,
+                                    append_buf[...].astype(jnp.float32),
+                                )
+                                append_buf[...] = merged.astype(
+                                    append_buf.dtype
+                                )
+                                cout = pltpu.make_async_copy(
+                                    append_buf, pool_ref.at[pg],
+                                    append_sem.at[1],
+                                )
+                                cout.start()
+                                cout.wait()
 
     wl, wr = window
     if causal:
@@ -360,12 +452,24 @@ def flash_attention_varlen_paged(
     return_lse: bool = False,
     interpret: Optional[bool] = None,
     fold: Optional[bool] = None,  # splash folded grid (None -> VP_SPLASH env)
+    k_new: Optional[jax.Array] = None,  # (b, s_new, h_k, d): fused append
+    v_new: Optional[jax.Array] = None,
+    num_new: Optional[jax.Array] = None,  # (b,) tokens per row (def: s_new)
 ):
     """Varlen queries attending over a paged KV cache, zero dense gathering.
 
     Causal is bottom-right aligned per sequence (query i of sequence b sits at
     key position i + lens_k[b] - len_q[b], flash_attn_interface.py:1051-1061).
     Returns out (h, total_q, d) [, fp32 lse (h, total_q) if return_lse].
+
+    With k_new/v_new, the kernel writes each row's `num_new[b]` (default
+    s_new) new tokens into its page slots at positions
+    lens_k[b]-num_new[b]..lens_k[b]-1 BEFORE the sweep (multi-token in-kernel
+    append, flash_fwd_kernel.h:671-785 analog — the speculative-verify /
+    chunked-prefill case); `lens_k` must already include the new tokens, and
+    the (donated, aliased) updated pools are returned after the attention
+    output: (out[, lse], k_pages, v_pages). Requires a lane-aligned pool
+    (d % 128 == 0 or a lane-padded allocation).
     """
     h, total_q, d = q.shape
     num_pages, page_size, h_k, d_pool = k_pages.shape
@@ -442,9 +546,42 @@ def flash_attention_varlen_paged(
     k_pages = k_pages.reshape(num_pages, page_size, h_k * d)
     v_pages = v_pages.reshape(num_pages, page_size, h_k * d)
 
+    # fused multi-token append operands (dummies keep ONE kernel signature)
+    append = k_new is not None
+    if append:
+        assert v_new is not None
+        s_new = k_new.shape[1]
+        assert d == d_orig or d_pool == d, (
+            "fused append requires a lane-aligned pool (d % 128 == 0 or a "
+            "lane-padded allocation): the per-call pool pad copies the pool, "
+            "defeating in-place aliasing — use append_kv_paged instead"
+        )
+        if k_new.shape[-1] != d:  # lane-padded pool: pad the new tokens only
+            pw = [(0, 0), (0, 0), (0, 0), (0, d - k_new.shape[-1])]
+            k_new = jnp.pad(k_new, pw)
+            v_new = jnp.pad(v_new, pw)
+        # (n_pad, h_k*d) VMEM block, rows 8-padded: the kernel consumes the
+        # new tokens as VALUES (one-hot row-select matmul), never as
+        # single-row DMA sources (Mosaic tiling constraint)
+        n_pad = -(-batch * s_new // 8) * 8
+        k_new = k_new.astype(k_pages.dtype).reshape(batch * s_new, h_k * d)
+        v_new = v_new.astype(v_pages.dtype).reshape(batch * s_new, h_k * d)
+        pad_rows = [(0, n_pad - batch * s_new), (0, 0)]
+        k_new = jnp.pad(k_new, pad_rows)
+        v_new = jnp.pad(v_new, pad_rows)
+        if num_new is None:
+            num_new = jnp.full((batch,), s_new, jnp.int32)
+        else:
+            num_new = num_new.astype(jnp.int32)
+    else:
+        s_new = 0
+        k_new = jnp.zeros((8, 128), k_pages.dtype)
+        v_new = jnp.zeros((8, 128), v_pages.dtype)
+        num_new = jnp.zeros((batch,), jnp.int32)
+
     if fold is None:
         fold = _SPLASH
-    kernel = functools.partial(
+    body = functools.partial(
         _kernel,
         batch=batch,
         page_size=page_size,
@@ -458,28 +595,38 @@ def flash_attention_varlen_paged(
         has_alibi=has_alibi,
         return_lse=return_lse,
         nkb_s=nkb,
+        s_new=s_new,
     )
-    if fold:
-        body = kernel
-        if return_lse:
+    n_pref = 8 if fold else 5
+    n_out = 1 + (1 if return_lse else 0) + (2 if append else 0)
 
-            def kernel(cu_r, lq_r, lk_r, bt_r, bm_r, qm_r, km_r,  # noqa: F811
-                       q_r, k_r, v_r, a_r, o_r, lse_r, *scr):
-                body(cu_r, lq_r, lk_r, bt_r, q_r, k_r, v_r, a_r, o_r, lse_r,
-                     *scr, bmap_ref=bm_r, qmap_ref=qm_r, kmap_ref=km_r)
-
-        else:
-
-            def kernel(cu_r, lq_r, lk_r, bt_r, bm_r, qm_r, km_r,  # noqa: F811
-                       q_r, k_r, v_r, a_r, o_r, *scr):
-                body(cu_r, lq_r, lk_r, bt_r, q_r, k_r, v_r, a_r, o_r, None,
-                     *scr, bmap_ref=bm_r, qmap_ref=qm_r, kmap_ref=km_r)
-
-    elif not return_lse:
-        body = kernel
-
-        def kernel(cu_r, lq_r, lk_r, bt_r, q_r, k_r, v_r, a_r, o_r, *scr):  # noqa: F811
-            body(cu_r, lq_r, lk_r, bt_r, q_r, k_r, v_r, a_r, o_r, None, *scr)
+    def kernel(*refs):
+        # one positional adapter for every (fold, lse, append) combination:
+        # prefetch refs, input refs, output refs, scratch refs — in operand
+        # order
+        cu_r, lq_r, lk_r, bt_r, nn_r = refs[:5]
+        maps = refs[5:n_pref]
+        q_r, kp_r, vp_r, a_r, kn_r, vn_r = refs[n_pref:n_pref + 6]
+        outs = refs[n_pref + 6:n_pref + 6 + n_out]
+        scr = refs[n_pref + 6 + n_out:]
+        o_r = outs[0]
+        lse_r = outs[1] if return_lse else None
+        if append:
+            # the aliased pool OUTPUT refs replace the input pool refs for
+            # the whole kernel: on hardware they are the same HBM buffers
+            # (input_output_aliases); in interpret mode the outputs are
+            # seeded with the input values — append writes and sweep reads
+            # see one consistent, mutating pool either way
+            kp_r, vp_r = outs[-2], outs[-1]
+        app_buf, app_sem = (scr[-2], scr[-1]) if append else (None, None)
+        scr_main = scr[:-2] if append else scr
+        kw = (
+            dict(bmap_ref=maps[0], qmap_ref=maps[1], kmap_ref=maps[2])
+            if fold else {}
+        )
+        body(cu_r, lq_r, lk_r, bt_r, q_r, kp_r, vp_r, a_r, o_r, lse_r,
+             *scr_main, num_new_ref=nn_r, k_new_hbm=kn_r, v_new_hbm=vn_r,
+             append_sem=app_sem, append_buf=app_buf, **kw)
 
     if fold:
         bmap, qmap, kmap, total_steps = _build_paged_fold_maps(
@@ -487,63 +634,90 @@ def flash_attention_varlen_paged(
             causal, window,
         )
         grid = (h, total_steps)
-        num_prefetch = 7
         semantics = ("arbitrary", "arbitrary")
     else:
         grid = (h, batch, nq, nkb)
-        num_prefetch = 4
         semantics = ("arbitrary", "arbitrary", "arbitrary", "arbitrary")
+    scratch_shapes = [
+        pltpu.VMEM((block_q, d), q.dtype),
+        pltpu.VMEM((block_q, d), q.dtype),
+        pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+        pltpu.VMEM((2, ppb, page_size, d), k_pages.dtype),
+        pltpu.VMEM((2, ppb, page_size, d), v_pages.dtype),
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+        pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+        pltpu.VMEM((block_q, d), jnp.float32),
+    ]
+    if append:
+        scratch_shapes.append(
+            pltpu.VMEM((page_size, h_k * d), k_pages.dtype)
+        )
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((2,)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=num_prefetch,
+        num_scalar_prefetch=n_pref,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # q stream
             pl.BlockSpec(memory_space=pl.ANY),  # k pages
             pl.BlockSpec(memory_space=pl.ANY),  # v pages
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # alibi
+            # k_new/v_new live in VMEM as full blocks: the append prologue
+            # reads them as values for its row-select matmul
+            pl.BlockSpec(k_new.shape, lambda *_: (0, 0)),
+            pl.BlockSpec(v_new.shape, lambda *_: (0, 0)),
         ],
-        out_specs=(
-            [pl.BlockSpec(memory_space=pl.ANY)] * 2
-            if return_lse else [pl.BlockSpec(memory_space=pl.ANY)]
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, d), q.dtype),
-            pltpu.VMEM((block_q, d), q.dtype),
-            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
-            pltpu.VMEM((2, ppb, page_size, d), k_pages.dtype),
-            pltpu.VMEM((2, ppb, page_size, d), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
-            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_out,
+        scratch_shapes=scratch_shapes,
     )
     out_shape = [jax.ShapeDtypeStruct((h, total_pad, d), q.dtype)]
     if return_lse:
         out_shape.append(
             jax.ShapeDtypeStruct((h, total_pad, MIN_LANES), jnp.float32)
         )
+    if append:
+        out_shape += [
+            jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+            jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
+        ]
     operands = [
         cu_for_kernel,
         lens_q_.astype(jnp.int32),
         lens_k.astype(jnp.int32),
         block_tables.astype(jnp.int32),
+        num_new,
     ]
     if fold:
         operands += [bmap, qmap, kmap]
-    operands += [q, k_pages, v_pages, alibi_slopes]
+    operands += [q, k_pages, v_pages, alibi_slopes, k_new, v_new]
+    # operand indices count scalar prefetch too: k_pages = n_pref+1
+    aliases = (
+        {n_pref + 1: n_out - 2, n_pref + 2: n_out - 1} if append else {}
+    )
     results = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=semantics,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*operands)
+    pools = ()
+    if append:
+        pools = (
+            results[-2].reshape(num_pages, page_size, h_k, d),
+            results[-1].reshape(num_pages, page_size, h_k, d),
+        )
+        results = results[:-2]
     out = results[0][:, new_idx, :d_orig]  # gather back to the caller's packing
     if return_lse:
-        return out, results[1][:, new_idx, 0]
-    return out
+        ret = (out, results[1][:, new_idx, 0])
+    else:
+        ret = (out,)
+    if append:
+        return ret + pools
+    return ret if return_lse else out
