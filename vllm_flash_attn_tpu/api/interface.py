@@ -342,14 +342,14 @@ def flash_attn_with_kvcache(
     # reference's Append_KV prologue, flash_fwd_kernel.h:671-785): one less
     # XLA pass per step; multi-token/odd-d/split appends use the functional
     # scatter
-    import os as _os
+    from vllm_flash_attn_tpu.config import knob as _config_knob
 
     fused_append = (
         appended and sq == 1 and k.shape[1] == 1 and num_splits <= 1
         and d % 128 == 0
         # default ON (see modules/mha.py: fused measured free on hardware);
         # VFA_FUSED_APPEND=0 falls back to the XLA scatter
-        and _os.environ.get("VFA_FUSED_APPEND", "1") == "1"
+        and _config_knob("fused_append")
     )
     # multi-token append + multi-token query (speculative verify / chunked
     # prefill): the varlen-paged kernel appends in its prologue — ONE device
@@ -357,7 +357,7 @@ def flash_attn_with_kvcache(
     # prologue for seqlen_knew > 1, flash_fwd_kernel.h:671-785)
     fused_append_multi = (
         appended and not fused_append and sq > 1 and d % 128 == 0
-        and _os.environ.get("VFA_FUSED_APPEND", "1") == "1"
+        and _config_knob("fused_append")
     )
     if appended and not fused_append and not fused_append_multi:
         assert v is not None

@@ -491,7 +491,8 @@ def mha_backward_pallas(
     import os as _os
 
     if cp is None:
-        cp = tuple(x for x in _os.environ.get("PB_CP", "").split(",") if x)
+        from vllm_flash_attn_tpu.config import knob as _knob
+        cp = tuple(_knob("pb_cp"))
     return _mha_backward_pallas_jit(
         q, k, v, out, lse, do, causal=causal, sm_scale=sm_scale,
         window=tuple(window), block_q=block_q, block_k=block_k,

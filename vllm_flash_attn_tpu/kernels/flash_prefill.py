@@ -52,7 +52,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vllm_flash_attn_tpu.config import use_interpret
+from vllm_flash_attn_tpu.config import knob, use_interpret
 
 # -0.7 * float32 max: large enough to zero out after softmax, finite so that
 # exp(m - m) never hits inf - inf -> NaN on fully-masked rows.
@@ -1951,7 +1951,7 @@ def _vjp_bwd(
             q.shape[1], k.shape[1], softcap, bool(alibi_slopes.size)
         )
         and (causal or tuple(window) == (-1, -1))
-        and os.environ.get("VFA_XLA_BWD", "0") != "1"
+        and not knob("xla_bwd")
     )
     if use_pallas:
         # per-PROCESS block-size knobs (read at trace time; fine for A/B
@@ -1959,8 +1959,8 @@ def _vjp_bwd(
         dq, dk, dv = mha_backward_pallas(
             q, k, v, out, lse, g,
             causal=causal, sm_scale=sm_scale, window=window,
-            block_q=int(os.environ.get("PB_BQ", "1024")),
-            block_k=int(os.environ.get("PB_BK", "1024")),
+            block_q=int(knob("pb_bq")),
+            block_k=int(knob("pb_bk")),
             interpret=interpret,
         )
     else:
@@ -2059,44 +2059,43 @@ def flash_attention(
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
     if interpret is None:
         interpret = use_interpret()
+    # knob registry: config.py is the ONE documented surface (env overrides
+    # of the same names still work for shell-level A/Bs); explicit kwargs win
     if fuse_rowsum is None:
-        fuse_rowsum = os.environ.get("PF_ROWSUM", "0") == "1"
+        fuse_rowsum = knob("pf_rowsum")
     if p_bf16 is None:
-        p_bf16 = os.environ.get("PF_PBF16", "0") == "1"
+        p_bf16 = knob("pf_pbf16")
     if interleave is None:
-        interleave = int(os.environ.get("PF_INTERLEAVE", "1"))
+        interleave = int(knob("pf_interleave"))
     if force_dense is None:
-        force_dense = os.environ.get("PF_DENSE", "0") == "1"
+        force_dense = knob("pf_dense")
     if debug_skip is None:
-        debug_skip = tuple(
-            s for s in os.environ.get("PF_SKIP", "").split(",") if s
-        )
+        debug_skip = tuple(knob("pf_skip"))
     if kv_chunk is None:
-        kv_chunk = int(os.environ.get("PF_CHUNK", "0"))
+        kv_chunk = int(knob("pf_chunk"))
     if pipe is None:
-        pipe = os.environ.get("PF_PIPE", "0") == "1"
+        pipe = knob("pf_pipe")
     if no_diag is None:
-        # experiment default OFF: enable with PF_DIAG=1 (measured neutral)
-        no_diag = os.environ.get("PF_DIAG", "0") != "1"
+        # experiment default OFF: enable with pf_diag (measured neutral)
+        no_diag = not knob("pf_diag")
     if two_pass is None:
-        # round-4 experiment: lse-then-pv two-pass structure (PF_TWOPASS=1)
-        two_pass = os.environ.get("PF_TWOPASS", "0") == "1"
+        # round-4 experiment: lse-then-pv two-pass structure (-22% at the
+        # b=4 headline shape, round-5 sweep)
+        two_pass = knob("pf_two_pass")
     if unroll is None:
-        # round-4 experiment: PF_UNROLL=N sweeps N block_k tiles per grid
+        # round-4 experiment: pf_unroll=N sweeps N block_k tiles per grid
         # step with a statically UNROLLED inner loop (chunked-kernel path)
-        unroll = int(os.environ.get("PF_UNROLL", "0"))
+        unroll = int(knob("pf_unroll"))
     if cp is None:
         # Mosaic compiler knobs (see _cparams). Hardware default measured
         # round 4: bounds checks off + input fusion on = +26% raw TFLOP/s
         # in-process on v5e (benchmarks/bench_prefill_hw.py: base 41.7 ->
-        # cpboth 52.7). PF_CP overrides for A/Bs; PF_CP=none forces empty.
-        # Interpret mode (the CPU sanitizer path) keeps no knobs so its
-        # coverage is independent of Mosaic compiler behavior.
-        env = os.environ.get("PF_CP")
-        if env is None:
+        # cpboth 52.7). pf_cp/PF_CP overrides for A/Bs (env "none" forces
+        # empty). Interpret mode (the CPU sanitizer path) keeps no knobs so
+        # its coverage is independent of Mosaic compiler behavior.
+        cp = knob("pf_cp")
+        if cp is None:
             cp = () if interpret else ("nobounds", "fusein")
-        else:
-            cp = tuple(x for x in env.split(",") if x and x != "none")
     if unroll and not kv_chunk:
         kv_chunk = int(unroll) * block_k
     return _flash_attention_jit(

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vllm_flash_attn_tpu.config import use_interpret
+from vllm_flash_attn_tpu.config import knob, use_interpret
 from vllm_flash_attn_tpu.kernels.flash_prefill import (
     DEFAULT_MASK_VALUE,
     LN2,
@@ -43,13 +43,13 @@ from vllm_flash_attn_tpu.kernels.flash_prefill import (
 # forward's grid structure instead of the dense nq*nk sweep with skipped
 # steps. Default off until hardware-validated; per-process module constant
 # (like PD_QINT8) — pass fold= explicitly for in-process A/Bs.
-_SPLASH = os.environ.get("VF_SPLASH", "0") == "1"
+
 
 # Round-4 structure knob, mirroring flash_prefill's PF_CP: 'flat' routes the
 # forward through the manual-DMA flat kernel below, 'nobounds' disables
 # Mosaic bounds checks, 'd3'/'d4' deepen the DMA ring. Module constant (read
 # once per process, never inside a jit trace); pass cp= for in-process A/Bs.
-_VF_CP = tuple(x for x in os.environ.get("VF_CP", "").split(",") if x)
+
 
 
 def build_varlen_metadata(
@@ -447,9 +447,9 @@ def _flash_attention_varlen_impl(
     cp: Optional[Tuple[str, ...]] = None,
 ):
     if fold is None:
-        fold = _SPLASH
+        fold = knob("vf_splash")
     if cp is None:
-        cp = _VF_CP
+        cp = tuple(knob("vf_cp"))
     h, total_q, d = q.shape
     h_k, total_k, _ = k.shape
     assert h % h_k == 0

@@ -47,24 +47,27 @@ from vllm_flash_attn_tpu.kernels.flash_prefill import (
 from vllm_flash_attn_tpu.kernels.kv_quant import V_SCALE_LANE
 
 # perf-archaeology knob: comma-separated stages to skip (WRONG RESULTS) so the
-# per-stage cost can be measured on real hardware. e.g. PD_SKIP=pv,softmax
-_DEBUG_SKIP = frozenset(
-    s for s in os.environ.get("PD_SKIP", "").split(",") if s
-)
+# per-stage cost can be measured on real hardware. e.g. PD_SKIP=pv,softmax.
+# All three pd_* knobs are defined in config.py (the single knob surface) and
+# read ONCE at this module's import — they steer trace-time structure inside
+# the jitted decode path, so set them before the first import / via env.
+from vllm_flash_attn_tpu.config import knob as _knob
+
+_DEBUG_SKIP = frozenset(_knob("pd_skip"))
 # int8 cache: run QK as an int8 x int8 MXU matmul against a host-quantized
 # block-diagonal q weight (per-b-per-head absmax scales folded into the
 # existing per-token k-scale multiply) instead of casting the K block to
 # bf16. Default ON: raw decode 1.43x bf16 without it, ~1.0x with it
 # (in-process v5e A/B), ppl delta +0.015 vs the 0.05 budget
-# (eval_kv_quant_ppl). PD_QINT8=0 reverts. Read per process like PD_SKIP.
-_QINT8 = os.environ.get("PD_QINT8", "1") == "1"
+# (eval_kv_quant_ppl). pd_qint8=False reverts.
+_QINT8 = _knob("pd_qint8")
 # int8 PV: requantize p per q head (v scales folded in first — exact) and run
 # PV as int8 x int8 MXU matmul against the raw int8 V block (skips the V
 # dequant cast + head-repeat passes). Default ON since the round-4 hardware
 # A/B: marginal int8/bf16 step time 0.807 -> 0.547 at the llama-7B MHA shape
 # (benchmarks/bench_qpv_hw.py), ppl budget still met
-# (tests/test_kv_quant.py::test_quantized_cache_ppl_delta). PD_QPV=0 escapes.
-_QPV = os.environ.get("PD_QPV", "1") == "1"
+# (tests/test_kv_quant.py::test_quantized_cache_ppl_delta). pd_qpv escapes.
+_QPV = _knob("pd_qpv")
 
 
 def _decode_kernel(

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vllm_flash_attn_tpu.config import use_interpret
+from vllm_flash_attn_tpu.config import knob, use_interpret
 from vllm_flash_attn_tpu.kernels.flash_prefill import (
     DEFAULT_MASK_VALUE,
     LN2,
@@ -45,7 +45,7 @@ from vllm_flash_attn_tpu.kernels.flash_prefill import (
 # (b, NQ, NKB) sweep whose inactive steps are pl.when bubbles). Default off
 # until hardware-validated; per-process module constant — pass fold=
 # explicitly for in-process A/Bs.
-_SPLASH = os.environ.get("VP_SPLASH", "0") == "1"
+
 
 
 def _kernel(
@@ -580,7 +580,7 @@ def flash_attention_varlen_paged(
         num_new = jnp.zeros((batch,), jnp.int32)
 
     if fold is None:
-        fold = _SPLASH
+        fold = knob("vp_splash")
     body = functools.partial(
         _kernel,
         batch=batch,

@@ -73,7 +73,7 @@ def paged_cache_attention(
 
     quantized = isinstance(state.k_pages, QuantizedPages)
     d_model = q.shape[-1]
-    import os as _os
+    from vllm_flash_attn_tpu.config import knob as _config_knob
 
     if (
         state.mode == "decode"
@@ -85,7 +85,7 @@ def paged_cache_attention(
         # fused append+attend at 1497us/step vs 1586us attend-only (b8,
         # ctx2048) — the in-kernel prologue is free; VFA_FUSED_APPEND=0
         # falls back to the XLA scatter
-        and _os.environ.get("VFA_FUSED_APPEND", "1") == "1"
+        and _config_knob("fused_append")
     ):
         # fused in-kernel append + attention (flash_fwd_kernel.h:671-785
         # analog): the kernel writes each active row's new token into its
