@@ -422,6 +422,17 @@ def test_config_resolvers_and_overlays():
     assert cfg.model.n_embd == 768  # via nested include chain
     assert not hasattr(cfg, "__tokens_per_batch")
 
+    # the reference's 2.7B long-context headline experiment
+    # (configs/experiment/pile/gpt3-2.7B-flash-8k.yaml analog)
+    cfg = TrainConfig()
+    load_experiment(
+        cfg, "/root/repo/configs/experiments/gpt3/gpt3-2.7b-8k.yaml"
+    )
+    assert cfg.seq_len == 8192 and cfg.model.n_positions == 8192
+    assert cfg.model.n_embd == 2560 and cfg.model.n_layer == 32
+    assert cfg.tp == 4 and cfg.sequence_parallel
+    assert cfg.global_batch_size == 64
+
 
 def test_config_groups_and_profile_mode(tmp_path):
     """Round-4 config-group overrides (mode= / scheduler= / optimizer=, the
