@@ -429,3 +429,39 @@ def test_engine_chunked_prefill_matches():
         assert r.output_tokens == e.output_tokens, (
             r.request_id, r.output_tokens, e.output_tokens
         )
+
+
+def test_engine_device_argmax_routing():
+    """Device-side greedy argmax readback (round-5: full-row readback costs
+    ~12 ms/tick on the relay on top of a ~32 ms round trip; a lax.top_k
+    variant was measured and rejected at +20 ms device sort): greedy outputs
+    must be bit-identical to the full-row program, and any sampling request
+    routes the whole tick back to full rows."""
+    model = GPTLMHeadModel(CFG)
+    params = model.init(jax.random.PRNGKey(11))
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(0, CFG.vocab_size, (n,)).tolist() for n in (6, 13)]
+
+    def run(device_argmax, temperature=0.0, top_k=0):
+        engine = LLMEngine(
+            model, params, page_size=16, num_pages=64, max_seqs=2,
+            max_pages_per_seq=8,
+        )
+        engine.device_argmax = device_argmax
+        done = engine.run([
+            Request(i, p, max_new_tokens=8, temperature=temperature,
+                    top_k=top_k, seed=7)
+            for i, p in enumerate(prompts)
+        ])
+        outs = {r.request_id: r.output_tokens for r in done}
+        return outs, set(engine._decode_fns.keys())
+
+    g_full, v_full = run(False)
+    g_amax, v_amax = run(True)
+    assert g_full == g_amax, (g_full, g_amax)
+    assert v_full == {False} and v_amax == {True}
+    # sampling requests force the full-row program even with argmax enabled
+    s1, v1 = run(True, temperature=0.9, top_k=16)
+    s2, _ = run(True, temperature=0.9, top_k=16)
+    assert s1 == s2 and v1 == {False}
+    assert all(len(t) == 8 for t in s1.values())

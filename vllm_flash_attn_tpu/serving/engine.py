@@ -73,6 +73,10 @@ class Request:
         p /= p.sum()
         return int(self._rng.choice(len(p), p=p))
 
+    @property
+    def greedy(self) -> bool:
+        return self.temperature == 0.0 or self.top_k == 1
+
 
 def _bucket(n: int, buckets=(32, 64, 128, 256, 512, 1024, 2048, 4096)) -> int:
     for b in buckets:
@@ -180,12 +184,23 @@ class LLMEngine:
         self._finished: List[Request] = []  # drained by step()
         self._admit_order: List[int] = []
         self._last_token = np.zeros((max_seqs,), np.int32)
-        self._decode_fn = None
+        # decode programs keyed by argmax routing (True = device-side greedy
+        # token, 16-byte readback; False = full logits rows for sampling)
+        self.device_argmax = True
+        self._decode_fns: Dict[bool, object] = {}
         self._prefill_fns = {}
 
     # ------------------------------------------------------------- device fns
 
-    def _build_decode(self):
+    def _build_decode(self, argmax: bool = False):
+        """argmax=True: the device program reduces each logits row to its
+        greedy token id before readback — 16 bytes instead of a full
+        (max_seqs, vocab) fp32 row block per tick. Measured on the relay rig
+        (round 5): the full-row readback costs ~12 ms/tick on top of a ~32 ms
+        per-call round trip; device argmax removes the payload for the common
+        all-greedy batch. (A device-side lax.top_k(64) variant was measured
+        and REJECTED: +20 ms of device sort — worse than shipping the rows.)
+        Sampling requests route to the full-row program."""
         model, vocab = self.model, self.vocab
 
         def step(params, tokens, kc, vc, lengths, tables, num_new):
@@ -197,7 +212,13 @@ class LLMEngine:
                 logits = jax.lax.all_gather(
                     logits[:, 0], "model", axis=1, tiled=True
                 )[:, None]
-            return logits[:, 0, :vocab], state.k_pages, state.v_pages
+            row = logits[:, 0, :vocab]
+            if argmax:
+                # ties break to the lowest index — same as np.argmax in
+                # Request.sample, so greedy streams are bit-identical
+                tok = jnp.argmax(row, axis=-1).astype(jnp.int32)
+                return tok, state.k_pages, state.v_pages
+            return row, state.k_pages, state.v_pages
 
         if self.mesh is not None:
             from jax import shard_map
@@ -504,10 +525,15 @@ class LLMEngine:
         num_new = active_mask.astype(np.int32)
         lens_before = np.maximum(lens_after - num_new, 0)
 
-        if self._decode_fn is None:
-            self._decode_fn = self._build_decode()
+        # route: device-side argmax (16-byte readback) when every active
+        # request is greedy; full logits rows otherwise
+        argmax = self.device_argmax and all(
+            r.greedy for r in self.active.values()
+        )
+        if argmax not in self._decode_fns:
+            self._decode_fns[argmax] = self._build_decode(argmax)
         tokens = jnp.asarray(self._last_token[:, None])
-        logits, self.k_pages, self.v_pages = self._decode_fn(
+        outs = self._decode_fns[argmax](
             self.params,
             tokens,
             self.k_pages,
@@ -516,12 +542,22 @@ class LLMEngine:
             jnp.asarray(tables),
             jnp.asarray(num_new),
         )
-        logits_np = np.asarray(logits)
-        for slot, req in list(self.active.items()):
-            tok = req.sample(logits_np[slot])
-            req.output_tokens.append(tok)
-            self._last_token[slot] = tok
-            self._maybe_finish(slot)
+        if argmax:
+            toks, self.k_pages, self.v_pages = outs
+            toks_np = np.asarray(toks)
+            for slot, req in list(self.active.items()):
+                tok = int(toks_np[slot])
+                req.output_tokens.append(tok)
+                self._last_token[slot] = tok
+                self._maybe_finish(slot)
+        else:
+            logits, self.k_pages, self.v_pages = outs
+            logits_np = np.asarray(logits)
+            for slot, req in list(self.active.items()):
+                tok = req.sample(logits_np[slot])
+                req.output_tokens.append(tok)
+                self._last_token[slot] = tok
+                self._maybe_finish(slot)
         out, self._finished = self._finished, []
         return out
 
