@@ -84,6 +84,9 @@ class Config:
     vf_splash: bool = False      # folded active-pair grid (flash_varlen)
     vf_cp: Tuple[str, ...] = ()  # Mosaic compiler knobs (flash_varlen)
     vp_splash: bool = False      # folded grid (varlen_paged)
+    vp_allheads: bool = True     # all-heads-per-step varlen_paged kernel:
+    #   one full-page DMA shared by every head + static head loop (the
+    #   decode kernel's pattern) vs the per-(head, page) 4KB-DMA grid
 
     # ---- API / serving -----------------------------------------------------
     fused_append: bool = True    # in-kernel cache append on the kvcache path
@@ -115,6 +118,7 @@ _KNOB_ENV = {
     "vf_splash": "VF_SPLASH",
     "vf_cp": "VF_CP",
     "vp_splash": "VP_SPLASH",
+    "vp_allheads": "VP_ALLHEADS",
     "fused_append": "VFA_FUSED_APPEND",
     "embed_grad": "VFA_EMBED_GRAD",
 }

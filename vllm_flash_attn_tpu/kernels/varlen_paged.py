@@ -116,86 +116,11 @@ def _kernel(
     hk_idx = h_ // q_per_kv
 
     if s_new > 0:
-        # In-kernel MULTI-token cache append (the reference Append_KV
-        # prologue, flash_fwd_kernel.h:671-785, for seqlen_knew > 1 — the
-        # speculative-verify case): before ANY page fetch, write each row's
-        # new tokens into its page slots. Row bb's tokens occupy positions
-        # lens_k[bb]-num_new[bb] .. lens_k[bb]-1 (lens_k already includes
-        # the new tokens), spanning at most npp pages.
-        #
-        # Mosaic rejects every single-row DMA shape for this (a 1-row slice
-        # of any tiled dim fails the (sublane,128) alignment check — three
-        # round-5 hardware compile errors), so the append is page-granular
-        # read-modify-write instead: DMA the whole page into VMEM, replace
-        # the target rows via a one-hot row-select matmul from the VMEM
-        # k_new block (exact — exactly one 1.0 per selected row), DMA the
-        # page back. All slices are full-extent leading-dim slices. The
-        # grid is sequential on one core, so step (0,..,0) strictly
-        # precedes every fetch.
-        npp = (s_new + page_size - 2) // page_size + 1
-        n_pad = k_new_hbm.shape[0]
-
-        @pl.when(grid_first)
-        def _append_prologue():
-            num_pages_ = k_pages_ref.shape[0]
-            max_pages_ = tables_ref.shape[1]
-            iota_n = jax.lax.broadcasted_iota(
-                jnp.int32, (page_size, n_pad), 1
-            )
-            for bb in range(batch):
-                @pl.when(num_new_ref[bb] > 0)
-                def _row(bb=bb):
-                    pos0 = lens_k_ref[bb] - num_new_ref[bb]
-                    first_pg = pos0 // page_size
-                    last_pg = (lens_k_ref[bb] - 1) // page_size
-                    for pp in range(npp):
-                        @pl.when(first_pg + pp <= last_pg)
-                        def _page(bb=bb, pp=pp):
-                            idx = jnp.minimum(first_pg + pp, max_pages_ - 1)
-                            pg = jnp.clip(
-                                tables_ref[bb, idx], 0, num_pages_ - 1
-                            )
-                            rows_g = (
-                                (first_pg + pp) * page_size
-                                + jax.lax.broadcasted_iota(
-                                    jnp.int32, (page_size, 1), 0
-                                )
-                            )
-                            tok = rows_g - pos0  # (ps, 1) token index
-                            valid = jnp.logical_and(
-                                tok >= 0, tok < num_new_ref[bb]
-                            )
-                            tgt = jnp.where(valid, bb * s_new + tok, -1)
-                            sel = (iota_n == tgt).astype(k_new_hbm.dtype)
-                            for src_ref, pool_ref in (
-                                (k_new_hbm, k_pages_ref),
-                                (v_new_hbm, v_pages_ref),
-                            ):
-                                cin = pltpu.make_async_copy(
-                                    pool_ref.at[pg], append_buf,
-                                    append_sem.at[0],
-                                )
-                                cin.start()
-                                cin.wait()
-                                new_rows = jax.lax.dot_general(
-                                    sel, src_ref[...],
-                                    (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32,
-                                )  # (ps, h_k*d) — exact one-hot select
-                                merged = jnp.where(
-                                    valid,
-                                    new_rows,
-                                    append_buf[...].astype(jnp.float32),
-                                )
-                                append_buf[...] = merged.astype(
-                                    append_buf.dtype
-                                )
-                                cout = pltpu.make_async_copy(
-                                    append_buf, pool_ref.at[pg],
-                                    append_sem.at[1],
-                                )
-                                cout.start()
-                                cout.wait()
+        _emit_append_prologue(
+            grid_first, batch, s_new, page_size, lens_k_ref, num_new_ref,
+            tables_ref, k_pages_ref, v_pages_ref, k_new_hbm, v_new_hbm,
+            append_sem, append_buf,
+        )
 
     wl, wr = window
     if causal:
@@ -380,6 +305,302 @@ def _kernel(
                 lcopy.wait()
 
 
+def _emit_append_prologue(
+    grid_first, batch, s_new, page_size, lens_k_ref, num_new_ref,
+    tables_ref, k_pages_ref, v_pages_ref, k_new_ref, v_new_ref,
+    append_sem, append_buf,
+):
+    """In-kernel MULTI-token cache append (the reference Append_KV prologue,
+    flash_fwd_kernel.h:671-785, for seqlen_knew > 1 — the speculative-verify
+    case): before ANY page fetch, write each row's new tokens into its page
+    slots. Row bb's tokens occupy positions lens_k[bb]-num_new[bb] ..
+    lens_k[bb]-1 (lens_k already includes the new tokens), spanning at most
+    npp pages.
+
+    Mosaic rejects every single-row DMA shape for this (a 1-row slice of any
+    tiled dim fails the (sublane,128) alignment check — three round-5
+    hardware compile errors), so the append is page-granular
+    read-modify-write instead: DMA the whole page into VMEM, replace the
+    target rows via a one-hot row-select matmul from the VMEM k_new block
+    (exact — exactly one 1.0 per selected row), DMA the page back. All
+    slices are full-extent leading-dim slices. The grid is sequential on one
+    core, so the first grid step strictly precedes every fetch."""
+    npp = (s_new + page_size - 2) // page_size + 1
+    n_pad = k_new_ref.shape[0]
+
+    @pl.when(grid_first)
+    def _append_prologue():
+        num_pages_ = k_pages_ref.shape[0]
+        max_pages_ = tables_ref.shape[1]
+        iota_n = jax.lax.broadcasted_iota(jnp.int32, (page_size, n_pad), 1)
+        for bb in range(batch):
+            @pl.when(num_new_ref[bb] > 0)
+            def _row(bb=bb):
+                pos0 = lens_k_ref[bb] - num_new_ref[bb]
+                first_pg = pos0 // page_size
+                last_pg = (lens_k_ref[bb] - 1) // page_size
+                for pp in range(npp):
+                    @pl.when(first_pg + pp <= last_pg)
+                    def _page(bb=bb, pp=pp):
+                        idx = jnp.minimum(first_pg + pp, max_pages_ - 1)
+                        pg = jnp.clip(tables_ref[bb, idx], 0, num_pages_ - 1)
+                        rows_g = (
+                            (first_pg + pp) * page_size
+                            + jax.lax.broadcasted_iota(
+                                jnp.int32, (page_size, 1), 0
+                            )
+                        )
+                        tok = rows_g - pos0  # (ps, 1) token index
+                        valid = jnp.logical_and(
+                            tok >= 0, tok < num_new_ref[bb]
+                        )
+                        tgt = jnp.where(valid, bb * s_new + tok, -1)
+                        sel = (iota_n == tgt).astype(k_new_ref.dtype)
+                        for src_ref, pool_ref in (
+                            (k_new_ref, k_pages_ref),
+                            (v_new_ref, v_pages_ref),
+                        ):
+                            cin = pltpu.make_async_copy(
+                                pool_ref.at[pg], append_buf, append_sem.at[0]
+                            )
+                            cin.start()
+                            cin.wait()
+                            new_rows = jax.lax.dot_general(
+                                sel, src_ref[...], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )  # (ps, h_k*d) — exact one-hot select
+                            merged = jnp.where(
+                                valid,
+                                new_rows,
+                                append_buf[...].astype(jnp.float32),
+                            )
+                            append_buf[...] = merged.astype(append_buf.dtype)
+                            cout = pltpu.make_async_copy(
+                                append_buf, pool_ref.at[pg], append_sem.at[1]
+                            )
+                            cout.start()
+                            cout.wait()
+
+
+def _kernel_allheads(
+    # scalar prefetch
+    cu_q_ref,  # (b+1,) int32 query sequence starts (8-ALIGNED packing)
+    lens_q_ref,  # (b,) int32 TRUE query lengths
+    lens_k_ref,  # (b,) int32 keys per sequence
+    tables_ref,  # (b, max_pages) int32
+    # inputs
+    q_hbm,  # (h, total_q_padded, d) ANY/HBM
+    k_pages_ref,  # (num_pages, page_size, h_k*d) ANY/HBM
+    v_pages_ref,
+    alibi_ref,  # SMEM (1, h) or (batch, h)
+    # outputs
+    o_hbm,  # (h, total_q_padded, d) ANY
+    lse_hbm,  # (h, total_q_padded, MIN_LANES) fp32 ANY, or None
+    # scratch
+    q_buf,  # (h, block_q, d)
+    o_buf,  # (h, block_q, d)
+    lse_buf,  # (h, block_q, MIN_LANES) fp32
+    k_buf,  # (2, ppb, page_size, h_k*d) — ALL heads per page
+    v_buf,
+    sems,  # DMA (2, 2)
+    qo_sem,  # DMA (2,)
+    m_scr,  # (h, block_q, MIN_LANES)
+    l_scr,
+    acc_scr,  # (h, block_q, d) fp32
+    *,
+    batch: int,
+    page_size: int,
+    pages_per_block: int,
+    q_per_kv: int,
+    block_q: int,
+    n_heads: int,
+    head_dim: int,
+    sm_scale: float,
+    causal: bool,
+    window,
+    softcap: float,
+    has_alibi: bool,
+    return_lse: bool = False,
+    nkb_s: int = 0,
+    s_new: int = 0,
+    bmap_ref=None,
+    qmap_ref=None,
+    kmap_ref=None,
+    num_new_ref=None,
+    k_new_hbm=None,
+    v_new_hbm=None,
+    append_sem=None,
+    append_buf=None,
+):
+    """All-heads-per-step variant of _kernel (round 5). The per-head grid
+    re-walks every page once PER HEAD in 4 KB lane-slice DMAs — measured
+    6-7 TF on the chunked-prefill mix regardless of block tuning, i.e.
+    DMA-issue-bound. Here the grid is (b, qi, ki) only: each step DMAs the
+    whole page ONCE for all heads (the paged_decode pattern that reaches
+    HBM speed-of-light) and sweeps the heads in a STATIC unrolled loop with
+    static lane slices of the shared block. Scratch carries per-head
+    softmax state; q/o move as single all-head window DMAs."""
+    if bmap_ref is not None:
+        t = pl.program_id(0)
+        b = bmap_ref[t]
+        qi = qmap_ref[t]
+        ki = kmap_ref[t]
+        nkb = nkb_s
+        grid_first = t == 0
+    else:
+        b = pl.program_id(0)
+        qi = pl.program_id(1)
+        ki = pl.program_id(2)
+        nkb = pl.num_programs(2)
+        grid_first = (b == 0) & (qi == 0) & (ki == 0)
+    bk = page_size * pages_per_block
+    d = head_dim
+
+    if s_new > 0:
+        _emit_append_prologue(
+            grid_first, batch, s_new, page_size, lens_k_ref, num_new_ref,
+            tables_ref, k_pages_ref, v_pages_ref, k_new_hbm, v_new_hbm,
+            append_sem, append_buf,
+        )
+
+    wl, wr = window
+    if causal:
+        wr = 0
+
+    q_start = pl.multiple_of(cu_q_ref[b], 8)
+    len_q = lens_q_ref[b]
+    len_k = lens_k_ref[b]
+    nq_b = pl.cdiv(len_q, block_q)
+
+    offset = len_k - len_q
+    row_lo = qi * block_q
+    row_hi = jnp.minimum(row_lo + block_q, len_q) - 1
+    nkb_b = jnp.maximum(pl.cdiv(len_k, bk) - 1, 0)
+    if wr >= 0:
+        last = jnp.clip((row_hi + offset + wr) // bk, 0, nkb - 1)
+    else:
+        last = jnp.int32(nkb - 1)
+    last = jnp.minimum(last, nkb_b)
+    if wl >= 0:
+        first = jnp.clip((row_lo + offset - wl) // bk, 0, last)
+    else:
+        first = jnp.int32(0)
+
+    active = jnp.logical_and(qi < nq_b, jnp.logical_and(ki >= first, ki <= last))
+    active = jnp.logical_and(active, len_k > 0)
+
+    def start_kv_fetch(ki_, slot):
+        max_pages = tables_ref.shape[1]
+        num_pages = k_pages_ref.shape[0]
+        for p in range(pages_per_block):
+            idx = jnp.minimum(ki_ * pages_per_block + p, max_pages - 1)
+            page_idx = jnp.clip(tables_ref[b, idx], 0, num_pages - 1)
+            pltpu.make_async_copy(
+                k_pages_ref.at[page_idx], k_buf.at[slot, p], sems.at[slot, 0]
+            ).start()
+            pltpu.make_async_copy(
+                v_pages_ref.at[page_idx], v_buf.at[slot, p], sems.at[slot, 1]
+            ).start()
+
+    @pl.when(active)
+    def _run():
+        step = ki - first
+        slot = jax.lax.rem(step, 2)
+        win = pl.ds(pl.multiple_of(q_start + qi * block_q, 8), block_q)
+
+        @pl.when(ki == first)
+        def _init_row():
+            start_kv_fetch(ki, slot)
+            qc = pltpu.make_async_copy(
+                q_hbm.at[:, win], q_buf, qo_sem.at[0]
+            )
+            qc.start()
+            m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+            l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+            acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+            qc.wait()
+
+        @pl.when(ki < last)
+        def _prefetch_next():
+            start_kv_fetch(ki + 1, 1 - slot)
+
+        for p in range(pages_per_block):
+            pltpu.make_async_copy(
+                k_pages_ref.at[0], k_buf.at[slot, p], sems.at[slot, 0]
+            ).wait()
+            pltpu.make_async_copy(
+                v_pages_ref.at[0], v_buf.at[slot, p], sems.at[slot, 1]
+            ).wait()
+        kt = k_buf[slot].reshape(bk, k_buf.shape[-1])  # (bk, h_k*d)
+        vt = v_buf[slot].reshape(bk, v_buf.shape[-1])
+
+        # position mask is head-independent: compute ONCE for all heads
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, bk), 0) + qi * block_q
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, bk), 1) + ki * bk
+        mask = jnp.logical_and(col < len_k, row < len_q)
+        if wr >= 0:
+            mask &= col <= row + offset + wr
+        if wl >= 0:
+            mask &= col >= row + offset - wl
+        if has_alibi:
+            ab = 0 if alibi_ref.shape[0] == 1 else b
+            dist = jnp.abs(row + offset - col).astype(jnp.float32)
+
+        for hh in range(n_heads):
+            lo = (hh // q_per_kv) * d  # static lane offset of this kv head
+            kh = kt[:, lo:lo + d]  # (bk, d)
+            s = jax.lax.dot_general(
+                q_buf[hh], kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (block_q, bk); log2-domain (sm_scale*log2e folded into q)
+            if softcap > 0.0:
+                cap2 = softcap * LOG2E
+                s = jnp.tanh(s / cap2) * cap2
+            if has_alibi:
+                s = s - alibi_ref[ab, hh] * dist
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+            m_prev = m_scr[hh]
+            l_prev = l_scr[hh]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s - m_next[:, :1])
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_scr[hh] = m_next
+            l_scr[hh] = l_next
+            pv = jax.lax.dot(
+                p.astype(vt.dtype), vt[:, lo:lo + d],
+                preferred_element_type=jnp.float32,
+            )
+            acc_scr[hh] = acc_scr[hh] * alpha[:, :1] + pv
+
+        @pl.when(ki == last)
+        def _store_row():
+            for hh in range(n_heads):
+                l = l_scr[hh][:, :1]
+                m_fin = m_scr[hh][:, :1]
+                dead = jnp.logical_or(
+                    l == 0.0, m_fin <= 0.5 * DEFAULT_MASK_VALUE
+                )
+                l_inv = jnp.where(dead, 0.0, 1.0 / l)
+                o_buf[hh] = (acc_scr[hh] * l_inv).astype(o_buf.dtype)
+                if return_lse:
+                    lse = jnp.where(dead, jnp.inf, m_fin * LN2 + jnp.log(l))
+                    lse_buf[hh] = jnp.broadcast_to(lse, lse_buf.shape[1:])
+            copy = pltpu.make_async_copy(
+                o_buf, o_hbm.at[:, win], qo_sem.at[1]
+            )
+            copy.start()
+            copy.wait()
+            if return_lse:
+                lcopy = pltpu.make_async_copy(
+                    lse_buf, lse_hbm.at[:, win], qo_sem.at[1]
+                )
+                lcopy.start()
+                lcopy.wait()
+
+
 def _build_paged_fold_maps(
     lens_q, lens_k, batch, nq, nkb, block_q, bk, causal, window
 ):
@@ -482,7 +703,9 @@ def flash_attention_varlen_paged(
     if interpret is None:
         interpret = use_interpret()
     if pages_per_compute_block is None:
-        pages_per_compute_block = max(1, min(max_pages, 512 // page_size))
+        # round-5 hardware sweep (all-heads kernel): bk=256 beats bk=512 by
+        # ~8% on both the chunked-prefill mix and monolithic prompts
+        pages_per_compute_block = max(1, min(max_pages, 256 // page_size))
     ppb = min(pages_per_compute_block, max_pages)
     nkb = pl.cdiv(max_pages, ppb)
 
@@ -581,8 +804,19 @@ def flash_attention_varlen_paged(
 
     if fold is None:
         fold = knob("vp_splash")
-    body = functools.partial(
-        _kernel,
+    # all-heads-per-step structure (round 5): one full-page DMA shared by
+    # every head + static head loop — 32x fewer, 32x bigger page DMAs than
+    # the per-head grid (which measured 6-7 TF, DMA-issue-bound, on the
+    # chunked-prefill mix). Guarded by a VMEM estimate: per-head softmax
+    # state and all-head q/o/acc buffers must fit.
+    vmem_allheads = (
+        2 * 2 * ppb * page_size * h_k * d            # k+v rings (bf16-ish)
+        + h * block_q * (2 * d * 2 + d * 4)          # q/o bf16 + acc fp32
+        + 2 * h * block_q * MIN_LANES * 4            # m/l
+        + h * block_q * MIN_LANES * 4                # lse
+    )
+    allheads = bool(knob("vp_allheads")) and h <= 64 and vmem_allheads < 80e6
+    common = dict(
         batch=batch,
         page_size=page_size,
         pages_per_block=ppb,
@@ -597,6 +831,12 @@ def flash_attention_varlen_paged(
         nkb_s=nkb,
         s_new=s_new,
     )
+    if allheads:
+        body = functools.partial(
+            _kernel_allheads, n_heads=h, head_dim=d, **common
+        )
+    else:
+        body = functools.partial(_kernel, **common)
     n_pref = 8 if fold else 5
     n_out = 1 + (1 if return_lse else 0) + (2 if append else 0)
 
@@ -633,23 +873,36 @@ def flash_attention_varlen_paged(
             lens_q_, lens_k, batch, nq, nkb, block_q, ppb * page_size,
             causal, window,
         )
-        grid = (h, total_steps)
-        semantics = ("arbitrary", "arbitrary")
+        grid = (total_steps,) if allheads else (h, total_steps)
     else:
-        grid = (h, batch, nq, nkb)
-        semantics = ("arbitrary", "arbitrary", "arbitrary", "arbitrary")
-    scratch_shapes = [
-        pltpu.VMEM((block_q, d), q.dtype),
-        pltpu.VMEM((block_q, d), q.dtype),
-        pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
-        pltpu.VMEM((2, ppb, page_size, d), k_pages.dtype),
-        pltpu.VMEM((2, ppb, page_size, d), v_pages.dtype),
-        pltpu.SemaphoreType.DMA((2, 2)),
-        pltpu.SemaphoreType.DMA((2,)),
-        pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
-        pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
-        pltpu.VMEM((block_q, d), jnp.float32),
-    ]
+        grid = (batch, nq, nkb) if allheads else (h, batch, nq, nkb)
+    semantics = ("arbitrary",) * len(grid)
+    if allheads:
+        scratch_shapes = [
+            pltpu.VMEM((h, block_q, d), q.dtype),
+            pltpu.VMEM((h, block_q, d), q.dtype),
+            pltpu.VMEM((h, block_q, MIN_LANES), jnp.float32),
+            pltpu.VMEM((2, ppb, page_size, h_k * d), k_pages.dtype),
+            pltpu.VMEM((2, ppb, page_size, h_k * d), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((h, block_q, MIN_LANES), jnp.float32),
+            pltpu.VMEM((h, block_q, MIN_LANES), jnp.float32),
+            pltpu.VMEM((h, block_q, d), jnp.float32),
+        ]
+    else:
+        scratch_shapes = [
+            pltpu.VMEM((block_q, d), q.dtype),
+            pltpu.VMEM((block_q, d), q.dtype),
+            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+            pltpu.VMEM((2, ppb, page_size, d), k_pages.dtype),
+            pltpu.VMEM((2, ppb, page_size, d), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ]
     if append:
         scratch_shapes.append(
             pltpu.VMEM((page_size, h_k * d), k_pages.dtype)
