@@ -549,3 +549,29 @@ def test_remat_blocks_grad_parity():
             lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1
         )
         assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5, mode
+
+
+def test_all_experiment_configs_load():
+    """Every yaml under configs/experiments resolves through the include
+    chain into a valid TrainConfig (the reference ships a 42-yaml experiment
+    matrix; this pins ours loadable as the families grow)."""
+    import glob
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from training_run import load_experiment
+
+    files = sorted(
+        glob.glob("/root/repo/configs/experiments/**/*.yaml", recursive=True)
+    )
+    files = [f for f in files if not f.endswith("base.yaml")]
+    assert len(files) >= 20, files
+    for f in files:
+        cfg = TrainConfig()
+        load_experiment(cfg, f)
+        assert cfg.seq_len > 0 and cfg.global_batch_size > 0, f
+        assert cfg.model.n_embd % cfg.model.n_head == 0, f
+        if "rotary" in f:
+            assert cfg.model.rotary_emb_dim > 0, f
+        if "-8k" in f:
+            assert cfg.seq_len == 8192, f
