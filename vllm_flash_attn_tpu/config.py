@@ -68,6 +68,14 @@ class Config:
     pf_unroll: int = 0           # statically unrolled block_k tiles per step
     pf_cp: Optional[Tuple[str, ...]] = None  # Mosaic compiler knobs; None =
     #   auto: () in interpret, ("nobounds","fusein") on hardware (+26% r4)
+    pf_nocond: bool = False  # replace the per-tile lax.cond dual path
+    #   (masked vs unmasked online_update) with unconditional masking.
+    #   A VMEM-resident MICRObenchmark showed the cond costing ~3 us/tile
+    #   (both branches predicated: plain 3.28 / mask_all 3.62 / cond 6.57
+    #   us per 1024x1024 tile), but in the REAL kernel the cond lowers as a
+    #   cheap branch and unconditional masking LOSES ~3% (b=4 causal 4k
+    #   interleaved A/B with cleared jit caches: cond 78.1/77.8 TF vs
+    #   nocond 75.6/75.4). Default off; read ONCE at flash_prefill import.
 
     # ---- attention backward (kernels/flash_backward_pallas.py) -------------
     xla_bwd: bool = False        # force the XLA backward (no Pallas pair)
@@ -108,6 +116,7 @@ _KNOB_ENV = {
     "pf_two_pass": "PF_TWOPASS",
     "pf_unroll": "PF_UNROLL",
     "pf_cp": "PF_CP",
+    "pf_nocond": "PF_NOCOND",
     "xla_bwd": "VFA_XLA_BWD",
     "pb_bq": "PB_BQ",
     "pb_bk": "PB_BK",

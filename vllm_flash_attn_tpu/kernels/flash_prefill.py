@@ -54,6 +54,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vllm_flash_attn_tpu.config import knob, use_interpret
 
+# Branch-free masking experiment (pf_nocond, import-once like the pd_*
+# knobs). A VMEM-resident microbenchmark measured the per-tile lax.cond
+# dual path at ~3 us/tile (both branches predicated), but in THIS kernel
+# the cond lowers as a cheap branch and unconditional masking loses ~3%
+# on hardware (round-5 interleaved A/B, caches cleared). Kept as a knob:
+# the microbenchmark result says the lowering is context-dependent.
+_NOCOND = knob("pf_nocond")
+
 # -0.7 * float32 max: large enough to zero out after softmax, finite so that
 # exp(m - m) never hits inf - inf -> NaN on fully-masked rows.
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
@@ -289,11 +297,21 @@ def _fwd_kernel(
                 # replaces the two iotas + compare + where passes;
                 # exp2(MASK - m) == 0 keeps the softmax exact.
                 needs = col_base + block_k - 1 > min_row_i + offset
-                jax.lax.cond(
-                    needs,
-                    lambda: online_update(s + diag_ref[rows], False),
-                    lambda: online_update(s, False),
-                )
+                if _NOCOND:
+                    # branch-free: interior tiles add gate*bias == 0 (one
+                    # fused multiply-add pass beats the predicated-both-
+                    # branches cond by ~3 us/tile)
+                    gate = jnp.where(needs, jnp.float32(1), jnp.float32(0))
+                    online_update(s + gate * diag_ref[rows], False)
+                else:
+                    jax.lax.cond(
+                        needs,
+                        lambda: online_update(s + diag_ref[rows], False),
+                        lambda: online_update(s, False),
+                    )
+            elif _NOCOND:
+                # unconditional masking: ~0.34 us/tile vs ~3 us for the cond
+                online_update(s, True)
             else:
                 needs = col_base + block_k > seqlen_k
                 if wr >= 0:
@@ -493,15 +511,21 @@ def _fwd_kernel_chunked(
                     alpha_acc = alpha[:, :1]
                 acc_scr[...] = acc_scr[...] * alpha_acc + pv
 
-            needs = col_base + block_k > seqlen_k
-            if wr >= 0:
-                needs |= col_base + block_k - 1 > min_row + offset + wr
-            if wl >= 0:
-                needs |= col_base < max_row + offset - wl
             if (wl >= 0) or (wr >= 0) or (seqlen_k % block_k != 0):
-                jax.lax.cond(
-                    needs, lambda: update(s, True), lambda: update(s, False)
-                )
+                if _NOCOND:
+                    update(s, True)  # see _NOCOND note at module top
+                else:
+                    needs = col_base + block_k > seqlen_k
+                    if wr >= 0:
+                        needs |= (
+                            col_base + block_k - 1 > min_row + offset + wr
+                        )
+                    if wl >= 0:
+                        needs |= col_base < max_row + offset - wl
+                    jax.lax.cond(
+                        needs, lambda: update(s, True),
+                        lambda: update(s, False),
+                    )
             else:
                 update(s, False)
 
@@ -799,6 +823,8 @@ def _fwd_kernel_flat(
         any_mask = (wl >= 0) or (wr >= 0) or (seqlen_k % block_k != 0)
         if not any_mask:
             update(s, False)
+        elif _NOCOND:
+            update(s, True)  # see _NOCOND note at module top
         else:
             needs = col_base + block_k > seqlen_k
             if wr >= 0:
