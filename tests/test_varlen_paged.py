@@ -221,3 +221,10 @@ def test_no_dense_gather_in_traced_path():
         and src_rank(ln) >= 4
     ]
     assert not big_gather, big_gather[:2]
+
+
+def test_mqa():
+    # h_kv=1: the all-heads kernel's static lane slice degenerates to one
+    # shared kv column block for every q head (q_per_kv == h)
+    run_case([20, 36], [50, 70], h=8, h_k=1, page_size=8)
+    run_case([4, 4], [130, 77], h=4, h_k=1)
