@@ -124,7 +124,7 @@ def bench_decode(ctx_max=8192, ctx_points=(2048, 8192), batch=8, h=32,
     # of one round cannot skew the fit (round-3 capture regressed 819->736
     # GB/s on exactly that failure mode)
     rounds = []
-    for _ in range(3):
+    for _ in range(8):  # ~100ms/round: cheap insurance against relay stalls
         pt = {}
         for ctx in ctx_points:
             t0 = time.time()
