@@ -465,3 +465,47 @@ def test_engine_device_argmax_routing():
     s2, _ = run(True, temperature=0.9, top_k=16)
     assert s1 == s2 and v1 == {False}
     assert all(len(t) == 8 for t in s1.values())
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_engine_speculative_matches_greedy(k):
+    """Draft-model speculative decoding must produce BIT-IDENTICAL token
+    streams to plain greedy decoding — with a perfect draft (same weights:
+    every proposal accepted, commits k+1 tokens per tick) AND a bad draft
+    (different weights: frequent rejection exercises the allocator-shrink
+    rollback of both caches)."""
+    model = GPTLMHeadModel(CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    bad_draft_params = model.init(jax.random.PRNGKey(99))
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, CFG.vocab_size, (n,)).tolist()
+               for n in (5, 12, 23)]
+
+    def run(**kw):
+        engine = LLMEngine(
+            model, params, page_size=16, num_pages=96, max_seqs=4,
+            max_pages_per_seq=8, **kw,
+        )
+        done = engine.run([
+            Request(i, p, max_new_tokens=11 + i)
+            for i, p in enumerate(prompts)
+        ])
+        return {r.request_id: r.output_tokens for r in done}
+
+    base = run()
+    perfect = run(draft_model=model, draft_params=params, speculate_k=k)
+    assert perfect == base, (k, "perfect draft", perfect, base)
+    bad = run(draft_model=model, draft_params=bad_draft_params, speculate_k=k)
+    assert bad == base, (k, "bad draft", bad, base)
+
+
+def test_engine_speculative_rejects_sampling():
+    model = GPTLMHeadModel(CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    engine = LLMEngine(
+        model, params, page_size=16, num_pages=64, max_seqs=2,
+        max_pages_per_seq=8, draft_model=model, draft_params=params,
+        speculate_k=2,
+    )
+    with pytest.raises(NotImplementedError):
+        engine.add_request(Request(0, [1, 2, 3], temperature=0.8, top_k=5))

