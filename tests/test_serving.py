@@ -509,3 +509,84 @@ def test_engine_speculative_rejects_sampling():
     )
     with pytest.raises(NotImplementedError):
         engine.add_request(Request(0, [1, 2, 3], temperature=0.8, top_k=5))
+
+
+def test_engine_prefix_cache_matches_and_hits():
+    """Automatic prefix caching: outputs are identical to the plain engine,
+    shared full prompt pages are adopted (allocator refcounts) instead of
+    re-prefilled, and resubmitted prompts hit the cache."""
+    model = GPTLMHeadModel(CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    shared = rng.integers(0, CFG.vocab_size, (40,)).tolist()  # 2 full pages
+    prompts = [
+        shared + rng.integers(0, CFG.vocab_size, (7,)).tolist(),
+        shared + rng.integers(0, CFG.vocab_size, (3,)).tolist(),
+        rng.integers(0, CFG.vocab_size, (21,)).tolist(),  # unrelated
+    ]
+
+    def run(**kw):
+        eng = LLMEngine(model, params, page_size=16, num_pages=96,
+                        max_seqs=2, max_pages_per_seq=8, **kw)
+        done = eng.run([Request(i, p, max_new_tokens=9)
+                        for i, p in enumerate(prompts)])
+        # resubmission: an identical prompt later must hit its own pages
+        done += eng.run([Request(9, prompts[0], max_new_tokens=9)])
+        return {r.request_id: r.output_tokens for r in done}, eng
+
+    base, _ = run()
+    cached, eng = run(prefix_cache=True)
+    assert cached == base, (cached, base)
+    # the resubmission of prompts[0] re-hits its full 2-page prefix
+    # (requests admitted in the SAME wave register only after their joint
+    # prefill, so intra-wave sharing is not deduped — a known non-goal)
+    assert eng.prefix_hits == 2, eng.prefix_hits
+    assert len(eng._prefix_cache) > 0
+    # all pins released cleanly on teardown: evict everything and check the
+    # pool is whole again (every sequence has finished)
+    eng._evict_prefix_lru(96)
+    assert eng.allocator.num_free_pages() == 96
+
+
+def test_engine_prefix_cache_eviction_pressure():
+    """A pool too small to keep every cached prefix forces LRU eviction
+    (instead of preemption); outputs must stay identical to plain greedy."""
+    model = GPTLMHeadModel(CFG)
+    params = model.init(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(6)
+    prompts = [rng.integers(0, CFG.vocab_size, (33 + 5 * i,)).tolist()
+               for i in range(6)]
+
+    def run(**kw):
+        eng = LLMEngine(model, params, page_size=16, num_pages=14,
+                        max_seqs=2, max_pages_per_seq=6, **kw)
+        done = eng.run([Request(i, p, max_new_tokens=7)
+                        for i, p in enumerate(prompts)])
+        return {r.request_id: r.output_tokens for r in done}
+
+    base = run()
+    cached = run(prefix_cache=True)
+    assert cached == base, (cached, base)
+
+
+def test_engine_prefix_cache_with_speculative():
+    """Prefix caching composes with speculative decoding: the draft's pools
+    share the page ids, so adopted prefixes carry valid draft K/V too."""
+    model = GPTLMHeadModel(CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(7)
+    shared = rng.integers(0, CFG.vocab_size, (32,)).tolist()
+    prompts = [shared + rng.integers(0, CFG.vocab_size, (n,)).tolist()
+               for n in (4, 9)]
+
+    def run(**kw):
+        eng = LLMEngine(model, params, page_size=16, num_pages=96,
+                        max_seqs=2, max_pages_per_seq=8, **kw)
+        done = eng.run([Request(i, p, max_new_tokens=10)
+                        for i, p in enumerate(prompts)])
+        return {r.request_id: r.output_tokens for r in done}
+
+    base = run()
+    both = run(prefix_cache=True, draft_model=model, draft_params=params,
+               speculate_k=2)
+    assert both == base, (both, base)

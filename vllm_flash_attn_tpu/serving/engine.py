@@ -101,6 +101,7 @@ class LLMEngine:
         draft_model=None,
         draft_params=None,
         speculate_k: int = 0,
+        prefix_cache: bool = False,
     ):
         """mesh: optional jax Mesh with a 'model' axis for tensor-parallel
         serving — `model` must then be a ParallelGPTLMHeadModel and `params`
@@ -129,6 +130,17 @@ class LLMEngine:
         such sequences, interleaved with decode ticks of the already-running
         sequences — long prompts no longer stall the running batch for their
         whole prefill.
+
+        prefix_cache=True enables AUTOMATIC PREFIX CACHING (the vLLM
+        flagship scheduling feature): full prompt pages are keyed by their
+        token-chain and shared across requests via allocator refcounts —
+        a new request adopts every cached full page of its prompt and only
+        prefills the suffix (ONE chunked-mode device call per admission
+        wave). Cache entries hold an allocator pin; LRU eviction runs
+        before preemption when the pool runs dry. Shared pages are never
+        written (suffixes start on fresh pages), so no copy-on-write is
+        needed. Composes with speculative decoding (the draft's pools share
+        the page ids, so its prefix K/V is cached alongside).
         """
         self.model = model
         self.mesh = mesh
@@ -195,6 +207,21 @@ class LLMEngine:
             raise NotImplementedError(
                 "chunked prefill over a quantized cache is not wired"
             )
+        self.prefix_on = bool(prefix_cache)
+        if self.prefix_on:
+            assert not self.prefill_chunk, (
+                "prefix caching + chunked prefill is not wired in one engine"
+            )
+            assert cache_dtype not in ("int8", "fp8"), (
+                "prefix caching over a quantized cache is not wired"
+            )
+            from collections import OrderedDict
+
+            # token-chain key -> pinned page id (exact tuple chains, no
+            # hash-collision risk); insertion order doubles as the LRU
+            self._prefix_cache = OrderedDict()
+            self.prefix_hits = 0
+            self.prefix_misses = 0
         self.speculate_k = int(speculate_k)
         self.draft_model = draft_model
         self.draft_params = draft_params
@@ -307,8 +334,11 @@ class LLMEngine:
             )
         return jax.jit(step, donate_argnums=(2, 3))
 
-    def _build_chunk_prefill(self, chunk):
-        model, vocab = self.model, self.vocab
+    def _build_chunk_prefill_for_draft(self, chunk):
+        return self._build_chunk_prefill(chunk, model=self.draft_model)
+
+    def _build_chunk_prefill(self, chunk, model=None):
+        model, vocab = model or self.model, self.vocab
 
         def step(params, ids, kc, vc, tables, lengths, num_new):
             # chunked prefill: ids (B, chunk) are the next chunk of each
@@ -414,6 +444,10 @@ class LLMEngine:
                 grown.add(slot)
             if ok:
                 break
+            if self.prefix_on and self._prefix_cache:
+                # free cached-prefix pins before resorting to preemption
+                self._evict_prefix_lru(len(self.active) * (k + 1))
+                continue
             victim = self._preempt_youngest()
             grown.discard(victim)
             if not self.active:
@@ -577,6 +611,134 @@ class LLMEngine:
             self._maybe_finish(slot)
         return True
 
+    def _evict_prefix_lru(self, want_free: int) -> None:
+        """Drop LRU prefix-cache pins until `want_free` pages are free or
+        the cache is empty (an unpin only frees a page no live sequence
+        still references)."""
+        while (
+            self.allocator.num_free_pages() < want_free and self._prefix_cache
+        ):
+            _, page = self._prefix_cache.popitem(last=False)
+            self.allocator.unref_page(page)
+
+    def _prefix_lookup(self, tokens) -> tuple:
+        """Longest cached full-page chain of `tokens`, capped so at least one
+        token remains for the suffix prefill. Returns (pages, key_chain)."""
+        ps = self.page_size
+        n_full = (len(tokens) - 1) // ps
+        pages, key = [], None
+        for i in range(n_full):
+            key = (key, tuple(tokens[i * ps:(i + 1) * ps]))
+            page = self._prefix_cache.get(key)
+            if page is None:
+                break
+            self._prefix_cache.move_to_end(key)
+            pages.append(page)
+        return pages
+
+    def _prefix_register(self, tokens, table_row) -> None:
+        """Pin and register every full prompt page of a just-prefilled
+        sequence (including re-touching already-cached ones for LRU)."""
+        ps = self.page_size
+        key = None
+        for i in range((len(tokens) - 1) // ps):
+            key = (key, tuple(tokens[i * ps:(i + 1) * ps]))
+            if key in self._prefix_cache:
+                self._prefix_cache.move_to_end(key)
+                continue
+            page = int(table_row[i])
+            if self.allocator.ref_page(page) >= 0:
+                self._prefix_cache[key] = page
+
+    def _admit_batch_prefix(self) -> bool:
+        """Prefix-cached admission: adopt every cached full prompt page and
+        prefill only the suffixes — ONE chunked-mode device call for the
+        whole admission wave (rows carry per-row lengths/num_new)."""
+        ps = self.page_size
+        batch = []  # (req, slot, L, pre_tokens)
+        while self.pending and (
+            len(self.active) + len(self.prefilling) + len(batch)
+            < self.max_seqs
+        ):
+            req = self.pending[0]
+            L = len(req.prompt_tokens)
+            need_pages = -(-L // ps) + 1
+            if need_pages > self.max_pages_per_seq:
+                self.pending.pop(0)
+                req.finished = True
+                req.error = "rejected"
+                self._finished.append(req)
+                continue
+            pre_pages = self._prefix_lookup(req.prompt_tokens)
+            fresh = need_pages - len(pre_pages)
+            if self.allocator.num_free_pages() < fresh:
+                self._evict_prefix_lru(fresh)
+            if self.allocator.num_free_pages() < fresh:
+                break
+            slot = self.allocator.alloc_seq()
+            if slot < 0:
+                break
+            self.pending.pop(0)
+            pre_tokens = len(pre_pages) * ps
+            if pre_pages:
+                r = self.allocator.adopt(slot, pre_pages, pre_tokens)
+                if r < 0:  # defensive: stale entry — fall back to full prefill
+                    pre_pages, pre_tokens = [], 0
+            if pre_tokens:
+                self.prefix_hits += len(pre_pages)
+            else:
+                self.prefix_misses += 1
+            assert self.allocator.extend(slot, L - pre_tokens) == L
+            batch.append((req, slot, L, pre_tokens))
+        if not batch:
+            return False
+
+        B = 1
+        while B < len(batch):
+            B *= 2
+        padded = _bucket(max(L - pre for _, _, L, pre in batch))
+        tables, _ = self.allocator.gather([slot for _, slot, _, _ in batch])
+        tables = np.asarray(tables)
+        if B > len(batch):
+            pad = np.zeros((B - len(batch), tables.shape[1]), tables.dtype)
+            tables = np.concatenate([tables, pad], axis=0)
+        ids = np.zeros((B, padded), np.int32)
+        lengths = np.zeros((B,), np.int32)
+        num_new = np.zeros((B,), np.int32)
+        for i, (req, _, L, pre) in enumerate(batch):
+            ids[i, : L - pre] = req.prompt_tokens[pre:]
+            lengths[i] = pre
+            num_new[i] = L - pre
+        key = (B, padded)
+        if key not in self._chunk_fns:
+            self._chunk_fns[key] = self._build_chunk_prefill(padded)
+        args = (jnp.asarray(ids), jnp.asarray(tables), jnp.asarray(lengths),
+                jnp.asarray(num_new))
+        last_logits, self.k_pages, self.v_pages = self._chunk_fns[key](
+            self.params, args[0], self.k_pages, self.v_pages,
+            args[1], args[2], args[3],
+        )
+        if self.speculate_k:
+            dkey = ("draft", B, padded)
+            if dkey not in self._chunk_fns:
+                self._chunk_fns[dkey] = self._build_chunk_prefill_for_draft(
+                    padded
+                )
+            _, self.d_k_pages, self.d_v_pages = self._chunk_fns[dkey](
+                self.draft_params, args[0], self.d_k_pages, self.d_v_pages,
+                args[1], args[2], args[3],
+            )
+        last_logits = np.asarray(last_logits)
+        for i, (req, slot, L, _) in enumerate(batch):
+            self._prefix_register(req.prompt_tokens, tables[i])
+            tok = req.sample(last_logits[i])
+            req.output_tokens.append(tok)
+            self._last_token[slot] = tok
+            self.active[slot] = req
+            self._admit_order.append(slot)
+            self._maybe_finish(slot)
+        return True
+
     def _maybe_finish(self, slot: int):
         req = self.active.get(slot)
         if req is None:
@@ -671,9 +833,10 @@ class LLMEngine:
     def step(self) -> List[Request]:
         """One scheduling tick: admit, advance chunked prefills, then
         decode. Returns finished requests."""
+        admit = self._admit_batch_prefix if self.prefix_on else self._admit_batch
         while (
             len(self.active) + len(self.prefilling) < self.max_seqs
-            and self._admit_batch()
+            and admit()
         ):
             pass
         self._chunk_tick()
@@ -706,6 +869,10 @@ class LLMEngine:
                 grown.add(slot)
             if ok:
                 break
+            if self.prefix_on and self._prefix_cache:
+                # free cached-prefix pins before resorting to preemption
+                self._evict_prefix_lru(len(self.active))
+                continue
             victim = self._preempt_youngest()
             grown.discard(victim)  # its pages were freed with the sequence
             if not self.active:

@@ -63,6 +63,17 @@ def _build_lib() -> ctypes.CDLL | None:
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.pa_adopt.restype = ctypes.c_int32
+    lib.pa_adopt.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32, ctypes.c_int32,
+    ]
+    lib.pa_ref_page.restype = ctypes.c_int32
+    lib.pa_ref_page.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.pa_unref_page.restype = ctypes.c_int32
+    lib.pa_unref_page.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.pa_page_refcount.restype = ctypes.c_int32
+    lib.pa_page_refcount.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     return lib
 
 
@@ -97,6 +108,7 @@ class PageAllocator:
             self._seqs = [[] for _ in range(max_seqs)]
             self._lens = [0] * max_seqs
             self._used = [False] * max_seqs
+            self._refs = [0] * num_pages
 
     @property
     def native(self) -> bool:
@@ -139,9 +151,17 @@ class PageAllocator:
         if need > len(self._free):
             return -1
         for _ in range(need):
-            self._seqs[slot].append(self._free.pop())
+            p = self._free.pop()
+            self._refs[p] = 1
+            self._seqs[slot].append(p)
         self._lens[slot] = new_len
         return new_len
+
+    def _dec_ref(self, p: int) -> None:
+        self._refs[p] -= 1
+        if self._refs[p] <= 0:
+            self._refs[p] = 0
+            self._free.append(p)
 
     def shrink(self, slot: int, num_tokens: int) -> int:
         """Shrink a sequence, returning now-unused pages to the pool.
@@ -153,7 +173,7 @@ class PageAllocator:
         new_len = max(0, self._lens[slot] - num_tokens)
         keep = -(-new_len // self.page_size)
         while len(self._seqs[slot]) > keep:
-            self._free.append(self._seqs[slot].pop())
+            self._dec_ref(self._seqs[slot].pop())
         self._lens[slot] = new_len
         return new_len
 
@@ -162,7 +182,8 @@ class PageAllocator:
             self._lib.pa_free_seq(self._h, slot)
             return
         if 0 <= slot < self.max_seqs and self._used[slot]:
-            self._free.extend(self._seqs[slot])
+            for p in self._seqs[slot]:
+                self._dec_ref(p)
             self._seqs[slot] = []
             self._lens[slot] = 0
             self._used[slot] = False
@@ -173,6 +194,63 @@ class PageAllocator:
         if 0 <= slot < self.max_seqs and self._used[slot]:
             return self._lens[slot]
         return -1
+
+    def adopt(self, slot: int, pages, n_tokens: int) -> int:
+        """Attach EXISTING pages (a cached prompt prefix) to a fresh slot:
+        refcounts increment and the slot starts at n_tokens (page-covered).
+        Returns the new length or -2 (vLLM automatic-prefix-caching
+        analog)."""
+        pages = np.asarray(pages, dtype=np.int32)
+        if self._lib:
+            return self._lib.pa_adopt(
+                self._h, slot,
+                pages.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(pages), n_tokens,
+            )
+        if not (0 <= slot < self.max_seqs) or not self._used[slot]:
+            return -2
+        if self._seqs[slot] or self._lens[slot] != 0:
+            return -2
+        if len(pages) > self.max_pages_per_seq:
+            return -2
+        if n_tokens > len(pages) * self.page_size:
+            return -2
+        for i, p in enumerate(pages):
+            p = int(p)
+            if not (0 <= p < self.num_pages) or self._refs[p] <= 0:
+                for q in self._seqs[slot]:
+                    self._dec_ref(q)
+                self._seqs[slot] = []
+                return -2
+            self._refs[p] += 1
+            self._seqs[slot].append(p)
+        self._lens[slot] = n_tokens
+        return n_tokens
+
+    def ref_page(self, page: int) -> int:
+        """Pin a page on behalf of the prefix-cache table (extra ref)."""
+        if self._lib:
+            return self._lib.pa_ref_page(self._h, page)
+        if not (0 <= page < self.num_pages) or self._refs[page] <= 0:
+            return -2
+        self._refs[page] += 1
+        return self._refs[page]
+
+    def unref_page(self, page: int) -> int:
+        """Drop a prefix-cache pin; frees the page at refcount zero."""
+        if self._lib:
+            return self._lib.pa_unref_page(self._h, page)
+        if not (0 <= page < self.num_pages) or self._refs[page] <= 0:
+            return -2
+        self._dec_ref(page)
+        return self._refs[page]
+
+    def page_refcount(self, page: int) -> int:
+        if self._lib:
+            return self._lib.pa_page_refcount(self._h, page)
+        if not (0 <= page < self.num_pages):
+            return -2
+        return self._refs[page]
 
     def gather(self, slots) -> tuple[np.ndarray, np.ndarray]:
         """Batched (block_tables (n, max_pages) int32, lengths (n,) int32)."""
