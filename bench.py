@@ -592,10 +592,11 @@ def main():
     # MFU number is not a small-width artifact
     if time.time() - t_start < 3300:
         try:
-            # b=8: +4 MFU points over b=4 at this shape (round-5 in-process
-            # sweep: 56.9% -> 61.1% with the matmul embedding grad)
+            # 4L/b8: round-5 sweep 2L/b4 53.8% -> 2L/b8 61.1% (embedding-grad
+            # matmul + batch) -> 4L/b8 62.3% (deeper stack amortizes the
+            # LM head; 6L regresses on memory pressure)
             train27_tok, train27_mfu, _ = bench_train(
-                n_layer=2, n_embd=2560, n_head=20, seq=2048, batch=8,
+                n_layer=4, n_embd=2560, n_head=20, seq=2048, batch=8,
                 peak_tflops=peak,
             )
             print(f"[bench] train-2.7Bshape done at t={time.time()-t_start:.0f}s"
