@@ -590,3 +590,43 @@ def test_engine_prefix_cache_with_speculative():
     both = run(prefix_cache=True, draft_model=model, draft_params=params,
                speculate_k=2)
     assert both == base, (both, base)
+
+
+@pytest.mark.parametrize("force_python", [False, True], ids=["cpp", "python"])
+def test_page_allocator_prefix_refcounts(force_python):
+    """adopt/ref_page/unref_page semantics (prefix caching): shared pages
+    survive their donor, cache pins gate the free list, and error paths
+    leave state unchanged."""
+    pa = PageAllocator(8, 4, 4, 4, force_python=force_python)
+    s0 = pa.alloc_seq()
+    assert pa.extend(s0, 9) == 9  # 3 pages
+    t, _ = pa.gather([s0])
+    pages = [int(p) for p in t[0][:3]]
+    assert all(pa.page_refcount(p) == 1 for p in pages)
+    # cache pins the first two
+    assert pa.ref_page(pages[0]) == 2 and pa.ref_page(pages[1]) == 2
+    # a fresh slot adopts them
+    s1 = pa.alloc_seq()
+    assert pa.adopt(s1, pages[:2], 8) == 8
+    assert pa.page_refcount(pages[0]) == 3
+    assert pa.extend(s1, 3) == 11  # fresh page for the suffix
+    # error paths: adopt on a non-empty slot / bad page id
+    assert pa.adopt(s1, pages[:1], 4) == -2
+    assert pa.ref_page(7) == -2 or pa.page_refcount(7) in (0, -2)
+    free0 = pa.num_free_pages()
+    pa.free_seq(s0)  # only its unshared 3rd page frees
+    assert pa.num_free_pages() == free0 + 1
+    pa.free_seq(s1)
+    assert pa.page_refcount(pages[0]) == 1  # cache pin remains
+    assert pa.unref_page(pages[0]) == 0
+    assert pa.unref_page(pages[1]) == 0
+    assert pa.num_free_pages() == 8
+    # shrink decrements shared refcounts without freeing shared pages
+    s2 = pa.alloc_seq()
+    assert pa.extend(s2, 16) == 16
+    t2, _ = pa.gather([s2])
+    p0 = int(t2[0][0])
+    assert pa.ref_page(p0) == 2
+    assert pa.shrink(s2, 16) == 0
+    assert pa.page_refcount(p0) == 1  # pinned, not freed
+    assert pa.unref_page(p0) == 0

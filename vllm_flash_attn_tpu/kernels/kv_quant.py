@@ -1,5 +1,12 @@
 """Quantized KV-cache support (int8 / fp8-e4m3, per-token-per-head scales).
 
+Production guidance for v5e: use INT8. Measured decode marginal step time vs
+bf16 (round-5 in-process A/B, llama-7B MHA shape): int8 0.49x (int8 x int8
+MXU QK/PV paths), fp8 5.6x SLOWER — v5e has no native fp8 arithmetic, so the
+in-kernel fp8->bf16 cast lowers to scalar bit manipulation that dwarfs the
+halved HBM traffic. fp8 remains supported for accuracy studies (ppl delta
+-0.018 vs int8's +0.005) and for chips with native fp8.
+
 BASELINE.json north star: FP8/INT8 KV cache with dequant fused into the
 attention matmuls. The TPU form avoids materializing dequantized K/V entirely:
 for scores  s[t,j] = scale_k[t,j] * sum_d k_q[t,j,d]*q[j,d]  the scale folds in
