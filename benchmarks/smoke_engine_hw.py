@@ -60,6 +60,12 @@ def main():
         ("int8+qint8", model, params, {"cache_dtype": "int8"}),
         ("chunked-prefill", model, params, {"prefill_chunk": 16}),
         ("mqa-int8", model_mqa, params_mqa, {"cache_dtype": "int8"}),
+        ("speculative", model, params,
+         {"draft_model": model, "draft_params": params, "speculate_k": 2}),
+        ("prefix-cache", model, params, {"prefix_cache": True}),
+        ("spec+prefix", model, params,
+         {"draft_model": model, "draft_params": params, "speculate_k": 2,
+          "prefix_cache": True}),
     ):
         try:
             t0 = time.time()
