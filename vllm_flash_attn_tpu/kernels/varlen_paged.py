@@ -14,17 +14,25 @@ sequence starts are not block-aligned, so each q row-window is DMA'd manually
 (BlockSpec indexing cannot express unaligned dynamic offsets) and the output
 window is written back the same way.
 
-Grid: (h, batch, NQ, NKB), NQ bounded by max_seqlen_q; inactive steps are
-skipped by pl.when (a bubble, but no DMA and no compute). The kv pipeline is
-per-row double-buffered: the row's first block is fetched at row start, then
-each step prefetches the next block of the same row.
+Two kernel structures (config `vp_allheads` picks; default ON):
+- ALL-HEADS (round 5, `_kernel_allheads`): grid (batch, NQ, NKB) — each step
+  DMAs the whole page ONCE for every head (the paged_decode pattern) and
+  sweeps the heads in a statically unrolled loop with static lane slices;
+  per-head softmax state lives in (h, block_q, *) scratch. 1.6x the per-head
+  grid on the chunked-prefill mix (the old structure re-walked every page
+  once PER HEAD in 4KB lane-slice DMAs — DMA-issue-bound).
+- PER-HEAD (`_kernel`): grid (h, batch, NQ, NKB); kept as the fallback for
+  h > 64 or when the all-head scratch exceeds the VMEM estimate.
+Both: inactive steps are skipped by pl.when; the kv pipeline is per-row
+double-buffered (first block fetched at row start, next prefetched per step).
+Multi-token in-kernel append prologue (fused speculative-verify path): see
+`_emit_append_prologue`.
 """
 
 from __future__ import annotations
 
 import functools
 import math
-import os
 from typing import Optional, Tuple
 
 import jax
@@ -39,14 +47,6 @@ from vllm_flash_attn_tpu.kernels.flash_prefill import (
     LOG2E,
     MIN_LANES,
 )
-
-# Splash-style folded grid for the paged-varlen kernel: one dynamic-length
-# grid dimension enumerating only the active (b, qi, ki) steps (vs the dense
-# (b, NQ, NKB) sweep whose inactive steps are pl.when bubbles). Default off
-# until hardware-validated; per-process module constant — pass fold=
-# explicitly for in-process A/Bs.
-
-
 
 def _kernel(
     # scalar prefetch

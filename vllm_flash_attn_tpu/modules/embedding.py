@@ -5,7 +5,7 @@ GPT2Embeddings / ParallelGPT2Embeddings, pinned by
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp
