@@ -688,7 +688,14 @@ class LLMEngine:
                 self.prefix_hits += len(pre_pages)
             else:
                 self.prefix_misses += 1
-            assert self.allocator.extend(slot, L - pre_tokens) == L
+            r = self.allocator.extend(slot, L - pre_tokens)
+            if r != L:
+                # only reachable through the adopt-failure fallback (the
+                # free-page check above assumed the adopted pages): requeue
+                # and stop admitting this wave
+                self.allocator.free_seq(slot)
+                self.pending.insert(0, req)
+                break
             batch.append((req, slot, L, pre_tokens))
         if not batch:
             return False
