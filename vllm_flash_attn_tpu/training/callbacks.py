@@ -45,6 +45,42 @@ class SpeedMonitor:
         self._t_last = now
 
 
+class DeviceStatsMonitor:
+    """Device memory/utilization stats (the reference's GPUStatsMonitor
+    analog, configs/callbacks/gpu-monitor.yaml): samples
+    `device.memory_stats()` on log steps — bytes in use, peak, and pool
+    limit, as fractions of the limit where available. No-op on backends
+    without memory stats (CPU interpret tests)."""
+
+    def __init__(self, log_every: int = 10, device=None):
+        import jax
+
+        self.log_every = log_every
+        self.device = device or jax.local_devices()[0]
+        self.stats: Dict[str, float] = {}
+
+    def on_step_end(self, step: int, **_):
+        if step % self.log_every != 0:
+            return
+        try:
+            m = self.device.memory_stats()
+        except Exception:
+            m = None
+        if not m:
+            return
+        in_use = m.get("bytes_in_use")
+        peak = m.get("peak_bytes_in_use")
+        limit = m.get("bytes_limit") or m.get("bytes_reservable_limit")
+        if in_use is not None:
+            self.stats["device/bytes_in_use"] = float(in_use)
+        if peak is not None:
+            self.stats["device/peak_bytes_in_use"] = float(peak)
+        if limit:
+            self.stats["device/mem_limit_bytes"] = float(limit)
+            if in_use is not None:
+                self.stats["device/mem_used_frac"] = float(in_use) / float(limit)
+
+
 def model_flops_per_token(n_layer, n_embd, n_head, seq_len, vocab_size,
                           n_inner=None, gated=False) -> float:
     """Analytic fwd+bwd FLOPs/token (6N + attention), the reference MFU

@@ -20,6 +20,7 @@ from vllm_flash_attn_tpu.models.gpt import GPTConfig, GPTLMHeadModel
 from vllm_flash_attn_tpu.models.gpt_parallel import ParallelGPTLMHeadModel
 from vllm_flash_attn_tpu.parallel.mesh import make_mesh
 from vllm_flash_attn_tpu.training.callbacks import (
+    DeviceStatsMonitor,
     EMA,
     CsvLogger,
     FlopCounter,
@@ -145,6 +146,7 @@ class Trainer:
         self.loader = LMDataLoader(dataset, cfg.global_batch_size, sampler)
 
         self.speed = SpeedMonitor(cfg.log_every)
+        self.device_stats = DeviceStatsMonitor(cfg.log_every)
         self.flops = FlopCounter(cfg.model, cfg.seq_len)
         self.ppl = Perplexity()
         self.num_tokens = NumTokens()
@@ -276,6 +278,7 @@ class Trainer:
                 self.num_tokens.update(ntok)
                 self.ppl.update(loss, ntok)
                 self.speed.on_step_end(step, ntok)
+                self.device_stats.on_step_end(step)
                 if self.ema is not None:
                     self.ema.update(self.state.params)
                 if step % cfg.log_every == 0:
@@ -288,6 +291,7 @@ class Trainer:
                         "grad_norm": gnorm,
                         "ppl": self.ppl.compute(),
                         **self.speed.stats,
+                        **self.device_stats.stats,
                         **self.loss_scale.stats(
                             gnorm,
                             float(self.state.opt_state["lr_scale"])
