@@ -605,14 +605,63 @@ def main():
             print(f"[bench] train-2.7Bshape failed: {e!r}", file=sys.stderr)
         _preserve(payload())
 
-    # ---- prefill two-point fit (one more compile; skip over budget)
+    # ---- prefill two-point fit: the 2k and 4k points are measured
+    # BACK-TO-BACK in paired rounds (one more compile; skip over budget).
+    # Measuring them in different moments let relay drift leak into the
+    # sustained headline exactly like the round-4 int8 bug — observed
+    # 98.8-135.9 TF swings on identical code.
     if time.time() - t_start < 3500:
         try:
-            _, dt_p2k, _ = bench_prefill(s=2048, configs=(pf_name,))
-            pre_rate = (fl_4k - fl_2k) / (dt_4k - dt_p2k)
-            pre_fixed_us = (dt_4k - fl_4k / pre_rate) * 1e6
-            pre_tflops = pre_rate / 1e12
-        except Exception:
+            from vllm_flash_attn_tpu.kernels.flash_prefill import (
+                flash_attention,
+            )
+
+            kwp = PREFILL_CONFIGS[pf_name]
+            rng = np.random.default_rng(1)
+            ops = {}
+            for s_ in (2048, 4096):
+                q_ = jnp.asarray(
+                    rng.standard_normal((1, 32, s_, 128)), jnp.bfloat16
+                )
+                k_ = jnp.asarray(
+                    rng.standard_normal((1, 32, s_, 128)), jnp.bfloat16
+                )
+                v_ = jnp.asarray(
+                    rng.standard_normal((1, 32, s_, 128)), jnp.bfloat16
+                )
+
+                @jax.jit
+                def many_(q, k, v, kw=kwp):
+                    def body(y, _):
+                        o = flash_attention(y, k, v, causal=True, **kw)
+                        return o.astype(y.dtype), None
+
+                    y, _ = jax.lax.scan(body, q, None, length=20)
+                    return jnp.sum(y.astype(jnp.float32))
+
+                float(many_(q_, k_, v_))
+                ops[s_] = (many_, q_, k_, v_)
+            best_fit = None
+            for _ in range(5):
+                pt = {}
+                for s_, (f_, q_, k_, v_) in ops.items():
+                    t0 = time.time()
+                    float(f_(q_, k_, v_))
+                    pt[s_] = (time.time() - t0) / 20
+                marg = pt[4096] - pt[2048]
+                if marg <= 0:
+                    continue
+                rate = (fl_4k - fl_2k) / marg
+                if rate / 1e12 > peak * 1.02:
+                    continue  # stalled 2k sample — unphysical fit
+                if best_fit is None or rate > best_fit[0]:
+                    best_fit = (rate, pt[4096])
+            if best_fit is not None:
+                pre_rate, dt4 = best_fit
+                pre_fixed_us = (dt4 - fl_4k / pre_rate) * 1e6
+                pre_tflops = pre_rate / 1e12
+        except Exception as e:
+            print(f"[bench] prefill fit failed: {e!r}", file=sys.stderr)
             pre_tflops, pre_fixed_us = tf_raw, -1.0  # tf_raw is the b=1 raw
         _preserve(payload())
 
