@@ -250,3 +250,40 @@ def test_single_query_attention():
         np.testing.assert_allclose(
             np.asarray(out[i]), np.asarray(ref[0, 0]), atol=1e-4, rtol=1e-4
         )
+
+
+def test_config_knob_resolution_precedence():
+    """config.knob(): env var of the documented name overrides the Config
+    field; tuple/int/bool parsing; 'none' forces an empty tuple."""
+    import os
+
+    from vllm_flash_attn_tpu.config import get_config, knob
+
+    cfg = get_config()
+    assert knob("pf_unroll") == cfg.pf_unroll
+    assert knob("pd_qint8") == cfg.pd_qint8
+    assert knob("pf_cp") is None  # auto sentinel
+    old = {k: os.environ.pop(k, None)
+           for k in ("PF_UNROLL", "PF_CP", "PD_QPV", "PF_SKIP")}
+    try:
+        os.environ["PF_UNROLL"] = "4"
+        os.environ["PF_CP"] = "nobounds,fusein"
+        os.environ["PD_QPV"] = "0"
+        os.environ["PF_SKIP"] = "qk,softmax"
+        assert knob("pf_unroll") == 4
+        assert knob("pf_cp") == ("nobounds", "fusein")
+        assert knob("pd_qpv") is False
+        assert knob("pf_skip") == ("qk", "softmax")
+        os.environ["PF_CP"] = "none"
+        assert knob("pf_cp") == ()
+        # config mutation visible when no env override
+        del os.environ["PF_UNROLL"]
+        cfg.pf_unroll = 2
+        assert knob("pf_unroll") == 2
+    finally:
+        cfg.pf_unroll = 0
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
