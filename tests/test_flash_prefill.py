@@ -511,3 +511,45 @@ def test_flat_two_pass_composed(case):
     np.testing.assert_allclose(
         np.asarray(comp), np.asarray(base), atol=2e-5, rtol=2e-5
     )
+
+
+def test_diag_split_matches_base():
+    """The causal diagonal-tile quadrant skip (pf_diagsplit, default ON;
+    +4.7% raw on hardware) must be bit-exact vs the full-width path: the
+    kept region computes identically and the skipped quadrant is fully
+    masked. Covers ragged tails, bq != bk, and interleave 2."""
+    import vllm_flash_attn_tpu.kernels.flash_prefill as FP
+
+    rng = np.random.default_rng(17)
+    cases = [
+        dict(s=1024, bq=256, bk=256, il=1),
+        dict(s=1000, bq=256, bk=256, il=1),  # ragged tail
+        dict(s=512, bq=128, bk=256, il=1),   # bq != bk
+        dict(s=640, bq=256, bk=256, il=2),
+    ]
+    old = FP._DIAGSPLIT
+    try:
+        for c in cases:
+            q = jnp.asarray(rng.standard_normal((1, 2, c["s"], 64)), jnp.float32)
+            k = jnp.asarray(rng.standard_normal((1, 2, c["s"], 64)), jnp.float32)
+            v = jnp.asarray(rng.standard_normal((1, 2, c["s"], 64)), jnp.float32)
+            outs = {}
+            for ds in (False, True):
+                jax.clear_caches()
+                FP._DIAGSPLIT = ds
+                outs[ds] = flash_attention(
+                    q, k, v, causal=True, block_q=c["bq"], block_k=c["bk"],
+                    interleave=c["il"],
+                )
+            np.testing.assert_array_equal(
+                np.asarray(outs[False]), np.asarray(outs[True]), err_msg=str(c)
+            )
+            # gradients flow (custom_vjp path unaffected by the fwd split)
+            g = jax.grad(lambda q: flash_attention(
+                q, k, v, causal=True, block_q=c["bq"], block_k=c["bk"],
+                interleave=c["il"],
+            ).sum())(q)
+            assert bool(jnp.isfinite(g).all()), c
+    finally:
+        FP._DIAGSPLIT = old
+        jax.clear_caches()

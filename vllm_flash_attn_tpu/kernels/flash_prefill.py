@@ -54,6 +54,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vllm_flash_attn_tpu.config import knob, use_interpret
 
+# Diagonal quadrant split (pf_diagsplit, import-once): with interleave >= 2,
+# a sub-chain whose rows cannot see the right half of a causal diagonal tile
+# contracts only k[:block_k//2] — the upper-right QUADRANT of each diagonal
+# tile skips both its GEMMs and its softmax (for bq == bk causal at 4k/1024
+# blocks, 4 of 10 tiles per head are diagonal: ~11%% fewer tile-FLOPs).
+# Plain-causal only (no window/alibi/softcap/rowsum/skip); pairs with
+# pf_interleave=2 (at interleave=1 the whole-block chain always sees the
+# right half, so the branch never fires).
+_DIAGSPLIT = knob("pf_diagsplit")
+
 # Branch-free masking experiment (pf_nocond, import-once like the pd_*
 # knobs). A VMEM-resident microbenchmark measured the per-tile lax.cond
 # dual path at ~3 us/tile (both branches predicated), but in THIS kernel
@@ -152,12 +162,27 @@ def _fwd_kernel(
             min_row_i = min_row + r0
             max_row_i = jnp.minimum(min_row_i + sub, seqlen_q) - 1
             q = q_ref[0, 0, rows]  # (sub, d); pre-scaled by sm_scale*log2(e)
+            diag_split = (
+                _DIAGSPLIT
+                and causal
+                and wl < 0
+                and not has_alibi
+                and softcap == 0.0
+                and not fuse_rowsum
+                and not p_bf16
+                and not debug_skip
+                and not diag_bias
+                and sub % 16 == 0
+                and block_k % (2 * MIN_LANES) == 0
+            )
             # Scores live in the log2 domain: sm_scale*log2(e) is folded
             # into q host-side (the reference's scale_softmax_log2,
             # flash_api.cpp:21-137 used at flash_fwd_kernel.h:318-321), so
             # the kernel runs NO full-tile scale pass and the softmax uses
             # native exp2.
-            if "qk" in debug_skip:
+            if diag_split:
+                s = None  # QK happens inside the diag-split branches
+            elif "qk" in debug_skip:
                 # stage isolation: pseudo-scores from a cheap vreg tile of q
                 # (data-dependent so softmax stays honest; the k/v block
                 # fetches are emitted by the Pallas pipeline regardless)
@@ -170,12 +195,12 @@ def _fwd_kernel(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (sub, block_k)
-            if softcap > 0.0:
+            if softcap > 0.0 and not diag_split:
                 # tanh(nat/cap)*cap*log2e == tanh(s/c')*c' with c'=cap*log2e
                 cap2 = softcap * LOG2E
                 s = jnp.tanh(s / cap2) * cap2
 
-            if has_alibi:
+            if has_alibi and not diag_split:
                 row = (
                     jax.lax.broadcasted_iota(jnp.int32, (sub, block_k), 0)
                     + min_row_i
@@ -189,14 +214,22 @@ def _fwd_kernel(
                 slope = alibi_ref[bi, hi]
                 s = s - slope * jnp.abs(row + offset - col).astype(jnp.float32)
 
-            def online_update(s, masked: bool):
+            def online_update(s, masked: bool, rows_=None, min_row_=None):
+                # width- and row-window-general: s may be (sub, block_k), a
+                # narrower (sub, w) slice, or a row SUBSET (diag-split path:
+                # the top half-rows of a diagonal tile contract only the
+                # left half of k); shapes derive from s, the scratch window
+                # from rows_/min_row_ (default: this chain's full window)
+                width = s.shape[1]
+                if rows_ is None:
+                    rows_, min_row_ = rows, min_row_i
                 if masked:
                     row = (
-                        jax.lax.broadcasted_iota(jnp.int32, (sub, block_k), 0)
-                        + min_row_i
+                        jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                        + min_row_
                     )
                     col = (
-                        jax.lax.broadcasted_iota(jnp.int32, (sub, block_k), 1)
+                        jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                         + col_base
                     )
                     mask = col < seqlen_k
@@ -207,9 +240,9 @@ def _fwd_kernel(
                     s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
                 if "softmax" in debug_skip:
                     # stage isolation: raw scores as p, running stats frozen
-                    m_scr[rows] = jnp.zeros(_stats_block(sub), jnp.float32)
-                    l_scr[rows] = jnp.ones(_stats_block(sub), jnp.float32)
-                    v = v_ref[0, 0]
+                    m_scr[rows_] = jnp.zeros(_stats_block(s.shape[0]), jnp.float32)
+                    l_scr[rows_] = jnp.ones(_stats_block(s.shape[0]), jnp.float32)
+                    v = v_ref[0, 0, :width]
                     if "pv" in debug_skip:
                         dv_ = acc_scr.shape[-1]
                         pv = s[:, :dv_]
@@ -218,10 +251,10 @@ def _fwd_kernel(
                             s.astype(v.dtype), v,
                             preferred_element_type=jnp.float32,
                         )
-                    acc_scr[rows] = acc_scr[rows] + pv
+                    acc_scr[rows_] = acc_scr[rows_] + pv
                     return
-                m_prev = m_scr[rows]  # (sub, 128)
-                l_prev = l_scr[rows]
+                m_prev = m_scr[rows_]  # (sub, 128)
+                l_prev = l_scr[rows_]
                 m_cur = jnp.max(s, axis=1, keepdims=True)
                 m_next = jnp.maximum(m_prev, m_cur)
                 alpha = jnp.exp2(m_prev - m_next)
@@ -237,7 +270,7 @@ def _fwd_kernel(
                 # m_next[:, :1] instead is a 1-lane->N-lane broadcast Mosaic
                 # lowers poorly (CLAUDE.md gotcha; same trick as jnp.tile in
                 # the stock jax flash kernel).
-                nrep = block_k // MIN_LANES
+                nrep = width // MIN_LANES
                 m_big = (
                     pltpu.repeat(m_next, nrep, axis=1) if nrep > 1 else m_next
                 )
@@ -251,9 +284,9 @@ def _fwd_kernel(
                     l_next = alpha * l_prev + jnp.sum(
                         p, axis=1, keepdims=True, dtype=jnp.float32
                     )
-                    l_scr[rows] = l_next
-                m_scr[rows] = m_next
-                v = v_ref[0, 0]
+                    l_scr[rows_] = l_next
+                m_scr[rows_] = m_next
+                v = v_ref[0, 0, :width]
                 if masked and seqlen_k % block_k != 0:
                     # OOB rows of a partial final kv tile are undefined (NaN
                     # in interpret mode, stale VMEM on hardware); 0*NaN would
@@ -285,9 +318,57 @@ def _fwd_kernel(
                     )
                 else:
                     alpha_acc = alpha[:, :1]
-                acc_scr[rows] = acc_scr[rows] * alpha_acc + pv
+                acc_scr[rows_] = acc_scr[rows_] * alpha_acc + pv
 
             any_mask = (wl >= 0) or (wr >= 0) or (seqlen_k % block_k != 0)
+            if diag_split:
+                # Causal diagonal-tile QUADRANT skip, within one chain: when
+                # the TOP half-rows of this chain cannot see the right half
+                # of k, split the tile — top half-rows contract only
+                # k[:block_k//2] (quadrant dropped from both GEMMs and the
+                # softmax), bottom half-rows run full width. One cheap
+                # branch per tile; interior tiles take the normal path.
+                hw = block_k // 2
+                sub2 = sub // 2
+                needs = col_base + block_k > seqlen_k
+                # masking needed if the last col exceeds what the FIRST row
+                # of the chain may see
+                needs |= col_base + block_k - 1 > min_row_i + offset
+                split_ok = jnp.logical_and(
+                    needs,
+                    col_base + hw > min_row_i + sub2 - 1 + offset,
+                )
+
+                def _split():
+                    s_top = jax.lax.dot_general(
+                        q[:sub2], k[:hw], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    online_update(
+                        s_top, True, slice(r0, r0 + sub2), min_row_i
+                    )
+                    s_bot = jax.lax.dot_general(
+                        q[sub2:], k, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    online_update(
+                        s_bot, True, slice(r0 + sub2, r0 + sub),
+                        min_row_i + sub2,
+                    )
+
+                def _normal():
+                    s2 = jax.lax.dot_general(
+                        q, k, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    jax.lax.cond(
+                        needs,
+                        lambda: online_update(s2, True),
+                        lambda: online_update(s2, False),
+                    )
+
+                jax.lax.cond(split_ok, _split, _normal)
+                return
             if not any_mask:
                 online_update(s, False)
             elif diag_bias:
