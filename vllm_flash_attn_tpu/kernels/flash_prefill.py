@@ -172,6 +172,12 @@ def _fwd_kernel(
                 and not p_bf16
                 and not debug_skip
                 and not diag_bias
+                # lse variant (training fwd under the vjp) sits within 180KB
+                # of the 16MB scoped-vmem stack limit at 1024 blocks; the
+                # split's extra branch buffers push it over. Inference
+                # prefill (no lse) keeps the +4.7%; the training step loses
+                # ~0.3% (fwd attention is ~7% of the step).
+                and not return_lse
                 and sub % 16 == 0
                 and block_k % (2 * MIN_LANES) == 0
             )
