@@ -42,7 +42,9 @@ from vllm_flash_attn_tpu.models.gpt import GPTConfig, GPTLMHeadModel
 from vllm_flash_attn_tpu.serving.cache import PagedState
 from vllm_flash_attn_tpu.serving.engine import LLMEngine, Request
 
-MAX_SEQS = 4
+MAX_SEQS = 16  # round-5 sweep: sustained tok/s scales 187 (B=4) -> 353
+# (B=8) -> 579 (B=16); B=32's scan-carry pool copy OOMs next to the 13.5GB
+# params. Weights-bandwidth roofline at B=16 is ~970 tok/s.
 PROMPT = 32
 PAGE = 16
 
@@ -91,7 +93,8 @@ def bench_engine_raw(model, params, n_decode=48):
 def bench_engine_sustained(cfg, model, params, n_iter=32):
     """The engine's decode device program chained in ONE jit with greedy
     argmax feedback — no host between steps."""
-    pages_per_seq = 16
+    pages_per_seq = 8  # the un-donated scan carry copies the pools: keep
+    # them small next to the 13.5GB params (prompt 32 + 32 iters < 128)
     num_pages = MAX_SEQS * pages_per_seq
     kc, vc = PagedState.allocate(
         cfg.n_layer, num_pages, PAGE, cfg.n_head_kv or cfg.n_head,
