@@ -21,6 +21,7 @@ VFA_ENG_LAYERS overrides the layer count if the params do not fit.
 
 Usage: python benchmarks/bench_engine_hw.py [n_layer]
 """
+import functools
 import os
 import sys
 import time
@@ -42,9 +43,9 @@ from vllm_flash_attn_tpu.models.gpt import GPTConfig, GPTLMHeadModel
 from vllm_flash_attn_tpu.serving.cache import PagedState
 from vllm_flash_attn_tpu.serving.engine import LLMEngine, Request
 
-MAX_SEQS = 16  # round-5 sweep: sustained tok/s scales 187 (B=4) -> 353
-# (B=8) -> 579 (B=16); B=32's scan-carry pool copy OOMs next to the 13.5GB
-# params. Weights-bandwidth roofline at B=16 is ~970 tok/s.
+MAX_SEQS = 32  # round-5 sweep: sustained tok/s scales 187 (B=4) -> 353
+# (B=8) -> 589 (B=16) -> 809 (B=32, after donating the pools into the jit —
+# the un-donated scan-carry copy OOM'd next to the 13.5GB params).
 PROMPT = 32
 PAGE = 16
 
@@ -69,8 +70,10 @@ def build(n_layer: int):
 
 def bench_engine_raw(model, params, n_decode=48):
     eng = LLMEngine(
-        model, params, page_size=PAGE, num_pages=MAX_SEQS * 16 + 8,
-        max_seqs=MAX_SEQS, max_pages_per_seq=16,
+        model, params, page_size=PAGE, num_pages=MAX_SEQS * 8 + 8,
+        max_seqs=MAX_SEQS, max_pages_per_seq=8,  # 128-token budget per seq
+        # (prompt 32 + 64 decode); 16-page tables OOM'd at B=32 next to the
+        # 13.5GB params
     )
     rng = np.random.default_rng(0)
     for i in range(MAX_SEQS):
@@ -109,8 +112,10 @@ def bench_engine_sustained(cfg, model, params, n_iter=32):
     )
     ones = jnp.ones((MAX_SEQS,), jnp.int32)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(2, 3))
     def many(params, tok, kc, vc, lens, tables):
+        # pools donated: without it XLA copies both 0.5-1GB pools into the
+        # scan carry, which OOMs next to the 13.5GB params at batch 32
         def body(carry, _):
             tok, kc, vc, lens = carry
             state = PagedState(kc, vc, lens, tables, ones, "decode")
@@ -123,15 +128,17 @@ def bench_engine_sustained(cfg, model, params, n_iter=32):
         (tok, kc, vc, lens), _ = jax.lax.scan(
             body, (tok, kc, vc, lens), None, length=n_iter
         )
-        return jnp.sum(tok)
+        return jnp.sum(tok), kc, vc
 
     t0 = time.time()
-    float(many(params, tok0, kc, vc, lens0, tables))
+    out, kc, vc = many(params, tok0, kc, vc, lens0, tables)
+    float(out)
     print(f"sustained-loop compile+warm {time.time()-t0:.0f}s", flush=True)
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        float(many(params, tok0, kc, vc, lens0, tables))
+        out, kc, vc = many(params, tok0, kc, vc, lens0, tables)
+        float(out)
         best = min(best, time.time() - t0)
     dt = best / n_iter
     return MAX_SEQS / dt, dt
