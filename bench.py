@@ -415,12 +415,23 @@ def main():
     bytes_2k = 8 * 2048 * 2 * 32 * 128 * 2
     bytes_8k = 8 * 8192 * 2 * 32 * 128 * 2
     best = None
+    fallback = None
     for pt in rounds:
         _, _, r_dt_2k = pt[2048]
         _, _, r_dt_8k = pt[8192]
+        if r_dt_8k <= r_dt_2k:
+            continue
         rate = (bytes_8k - bytes_2k) / (r_dt_8k - r_dt_2k)  # bytes/s
+        if fallback is None or rate < fallback[0]:
+            fallback = (rate, pt)  # most conservative valid round
+        # physical clamp: implied HBM rate above SoL means a relay stall
+        # inflated the marginal (a 1069 GB/s = 130% SoL sample was observed)
+        if rate / 1e9 > hbm * 1.02:
+            continue
         if best is None or rate > best[0]:
             best = (rate, pt)
+    if best is None:
+        best = fallback  # every round unphysical: report the least-bad one
     dec_rate, pt = best
     raw_tok, raw_gbps, dt_2k = pt[2048]
     _, _, dt_8k = pt[8192]
