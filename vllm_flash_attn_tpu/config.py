@@ -97,6 +97,12 @@ class Config:
 
     # ---- varlen kernels ----------------------------------------------------
     vf_splash: bool = False      # folded active-pair grid (flash_varlen)
+    vf_diagsplit: bool = False   # varlen diagonal quadrant skip (the
+    #   prefill win ported): predicate computed FROM the metadata mask.
+    #   MEASURED -8% on the packed mix — the mask reduction costs a
+    #   full-tile pass on EVERY tile while mixed-length batches rarely
+    #   qualify (bit-exact either way). Default off; pf_diagsplit's
+    #   arithmetic predicate keeps the +4.7% on dense causal.
     vf_cp: Tuple[str, ...] = ()  # Mosaic compiler knobs (flash_varlen)
     vp_splash: bool = False      # folded grid (varlen_paged)
     vp_allheads: bool = True     # all-heads-per-step varlen_paged kernel:
@@ -133,6 +139,7 @@ _KNOB_ENV = {
     "pd_qint8": "PD_QINT8",
     "pd_qpv": "PD_QPV",
     "vf_splash": "VF_SPLASH",
+    "vf_diagsplit": "VF_DIAGSPLIT",
     "vf_cp": "VF_CP",
     "vp_splash": "VP_SPLASH",
     "vp_allheads": "VP_ALLHEADS",

@@ -28,7 +28,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vllm_flash_attn_tpu.config import knob, use_interpret
-from vllm_flash_attn_tpu.kernels.flash_prefill import (
+
+# Diagonal quadrant skip for packed-causal varlen (vf_diagsplit,
+# import-once like pf_diagsplit): the mask is metadata-driven (per-token
+# segment/position vectors), so the skip predicate is computed FROM the
+# mask itself — if the top-half-rows x right-half-cols quadrant is fully
+# masked, the top half-rows contract only k[:block_k//2] and the quadrant
+# drops out of both GEMMs and the softmax. Bit-exact by construction (the
+# predicate is sufficient: every skipped score was masked).
+_VF_DIAGSPLIT = knob("vf_diagsplit")
+
+from vllm_flash_attn_tpu.kernels.flash_prefill import (  # noqa: E402
     DEFAULT_MASK_VALUE,
     LN2,
     LOG2E,
@@ -211,15 +221,10 @@ def _varlen_kernel(
 
         q = q_ref[0]
         k = k_ref[0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        # sm_scale*log2(e) is folded into q host-side; scores are log2-domain
-        # (scale_softmax_log2, flash_api.cpp:21-137) — no full-tile scale pass.
-        if softcap > 0.0:
-            cap2 = softcap * LOG2E
-            s = jnp.tanh(s / cap2) * cap2
 
+        # the mask is metadata-driven (segment/position vectors) and does
+        # not need the scores — build it FIRST so the diagonal-quadrant
+        # skip can branch before any GEMM runs
         q_seg = q_info_ref[0, :][:, None]  # (block_q, 1)
         q_pos = q_info_ref[1, :][:, None]
         k_seg = k_info_ref[0, :][None, :]  # (1, block_k)
@@ -238,36 +243,88 @@ def _varlen_kernel(
         if wl >= 0:
             mask &= k_pos >= q_pos - wl
 
-        if has_alibi:
-            slope = alibi_ref[0, h_]  # pre-scaled by log2(e) host-side
-            s = s - slope * jnp.abs(q_pos - k_pos).astype(jnp.float32)
+        def update(s, mask_, rows_, q_pos_, k_pos_):
+            # sm_scale*log2(e) is folded into q host-side; scores are
+            # log2-domain (scale_softmax_log2, flash_api.cpp:21-137)
+            if softcap > 0.0:
+                cap2 = softcap * LOG2E
+                s = jnp.tanh(s / cap2) * cap2
+            if has_alibi:
+                slope = alibi_ref[0, h_]  # pre-scaled by log2(e) host-side
+                s = s - slope * jnp.abs(q_pos_ - k_pos_).astype(jnp.float32)
+            s = jnp.where(mask_, s, DEFAULT_MASK_VALUE)
 
-        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+            m_prev = m_scr[rows_]
+            l_prev = l_scr[rows_]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp2(m_prev - m_next)
+            # masked entries need no second where: exp2(MASKVAL - m) == 0
+            # once any real key raised m; fully-masked rows (q padding tail)
+            # are zeroed by the store-time m-based guard
+            p = jnp.exp2(s - m_next[:, :1])
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_scr[rows_] = m_next
+            l_scr[rows_] = l_next
 
-        m_prev = m_scr[...]
-        l_prev = l_scr[...]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp2(m_prev - m_next)
-        # masked entries need no second where: exp2(MASKVAL - m) == 0 once
-        # any real key raised m; fully-masked rows (q padding tail) are
-        # zeroed by the store-time m-based guard
-        p = jnp.exp2(s - m_next[:, :1])
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_scr[...] = m_next
-        l_scr[...] = l_next
-
-        v = v_ref[0]
-        if total_k % block_k != 0:
-            valid = (
-                jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) + ki * block_k
-                < total_k
+            v = v_ref[0][: s.shape[1]]
+            if total_k % block_k != 0:
+                valid = (
+                    jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+                    + ki * block_k
+                    < total_k
+                )
+                v = jnp.where(valid, v, 0)
+            pv = jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
             )
-            v = jnp.where(valid, v, 0)
-        pv = jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            acc_scr[rows_] = acc_scr[rows_] * alpha[:, :1] + pv
+
+        bq = q.shape[0]
+        diag_split = (
+            _VF_DIAGSPLIT
+            and lse_ref is None  # lse variant: scoped-vmem headroom (see
+            # flash_prefill's pf_diagsplit gate)
+            and bq % 16 == 0
+            and block_k % (2 * MIN_LANES) == 0
         )
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+        if diag_split:
+            h2 = bq // 2
+            hw = block_k // 2
+            # sufficient by construction: every score the split path skips
+            # is masked
+            quad_all_masked = (
+                jnp.sum(mask[:h2, hw:].astype(jnp.int32)) == 0
+            )
+
+            def _split():
+                s_top = jax.lax.dot_general(
+                    q[:h2], k[:hw], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                update(s_top, mask[:h2, :hw], slice(0, h2),
+                       q_pos[:h2], k_pos[:, :hw])
+                s_bot = jax.lax.dot_general(
+                    q[h2:], k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                update(s_bot, mask[h2:, :], slice(h2, bq),
+                       q_pos[h2:], k_pos)
+
+            def _full():
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                update(s, mask, slice(0, bq), q_pos, k_pos)
+
+            jax.lax.cond(quad_all_masked, _split, _full)
+        else:
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            update(s, mask, slice(0, bq), q_pos, k_pos)
 
         @pl.when(ki == last)
         def _store():
